@@ -1,0 +1,141 @@
+"""Geometric factors: per-element, per-QP Jacobians J, detJ, J^{-1}.
+
+All functions are jax-traceable in the coordinate arrays so moving-mesh
+(ALE) drivers can recompute factors each step inside ``jit`` — the
+TPU-native replacement for MFEM's element transformations
+(``T.Weight()``/``T.Jacobian()`` used per QP in the reference integrators).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import Mesh
+from .quadrature import QuadratureRule, gauss_rule
+from .reference_elements import get_reference_element, SEGMENT, QUAD
+
+
+@dataclass
+class GeometricFactors:
+    """detJ (ne, nq), invJ (ne, nq, dim, dim), wdetJ (ne, nq),
+    xq (ne, nq, dim) physical quadrature points."""
+
+    detJ: jnp.ndarray
+    invJ: jnp.ndarray
+    wdetJ: jnp.ndarray
+    xq: jnp.ndarray
+
+
+def _inv_det(J):
+    """Batched inverse + determinant for 1x1/2x2/3x3 matrices."""
+    d = J.shape[-1]
+    if d == 1:
+        det = J[..., 0, 0]
+        inv = (1.0 / det)[..., None, None]
+        return det, inv
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, dd = J[..., 1, 0], J[..., 1, 1]
+        det = a * dd - b * c
+        inv = jnp.stack(
+            [jnp.stack([dd, -b], -1), jnp.stack([-c, a], -1)], -2
+        ) / det[..., None, None]
+        return det, inv
+    if d == 3:
+        m = J
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], -1),
+                jnp.stack([c01, c11, c21], -1),
+                jnp.stack([c02, c12, c22], -1),
+            ],
+            -2,
+        ) / det[..., None, None]
+        return det, inv
+    raise ValueError(d)
+
+
+def compute_geometric_factors(coords_e, Bgeo, Ggeo, weights) -> GeometricFactors:
+    """Geometric factors from element geometry-node coordinates.
+
+    coords_e : (ne, ng, dim) geometry node coords (jnp or np)
+    Bgeo     : (nq, ng) geometry shape values at quadrature points
+    Ggeo     : (nq, ng, dim) geometry shape gradients (reference)
+    weights  : (nq,) quadrature weights
+    """
+    coords_e = jnp.asarray(coords_e)
+    Bgeo = jnp.asarray(Bgeo)
+    Ggeo = jnp.asarray(Ggeo)
+    weights = jnp.asarray(weights)
+    # J[e,q,d,r] = sum_n coords[e,n,d] * Ggeo[q,n,r]
+    J = jnp.einsum("end,qnr->eqdr", coords_e, Ggeo)
+    det, inv = _inv_det(J)
+    xq = jnp.einsum("qn,end->eqd", Bgeo, coords_e)
+    return GeometricFactors(det, inv, weights[None, :] * det, xq)
+
+
+def factors_for(mesh: Mesh, quad: QuadratureRule, coords=None,
+                geom_order: int = 1) -> GeometricFactors:
+    """Convenience: geometric factors of a mesh at a quadrature rule.
+
+    coords: optional (nv, dim) vertex coordinates overriding mesh.vertices
+    (for moving meshes with order-1 geometry)."""
+    ref = get_reference_element(mesh.geom, geom_order)
+    B, G = ref.eval(quad.points)
+    verts = mesh.vertices if coords is None else coords
+    coords_e = jnp.asarray(verts)[mesh.elem_conn]
+    return compute_geometric_factors(coords_e, B, G, quad.weights)
+
+
+# -- boundary-face factors --------------------------------------------------
+
+@dataclass
+class FaceFactors:
+    """dS (nbf, nq): surface measure x weight; normal (nbf, nq, dim) unit
+    outward normal; xq (nbf, nq, dim) physical QP positions."""
+
+    wdS: jnp.ndarray
+    normal: jnp.ndarray
+    xq: jnp.ndarray
+
+
+def compute_face_factors(face_coords, Bf, Gf, weights, normal_sign) -> FaceFactors:
+    """Surface factors for boundary faces.
+
+    face_coords : (nbf, ngf, dim) face geometry-node coordinates
+    Bf : (nq, ngf); Gf : (nq, ngf, dim-1); weights : (nq,)
+    normal_sign : (nbf,) ±1 flipping the param normal to point outward.
+    """
+    face_coords = jnp.asarray(face_coords)
+    Bf = jnp.asarray(Bf)
+    Gf = jnp.asarray(Gf)
+    weights = jnp.asarray(weights)
+    normal_sign = jnp.asarray(normal_sign)
+    T = jnp.einsum("end,qnr->eqdr", face_coords, Gf)  # tangent vectors
+    dim = face_coords.shape[-1]
+    if dim == 2:
+        t = T[..., 0]  # (nbf, nq, 2)
+        mag = jnp.linalg.norm(t, axis=-1)
+        nrm = jnp.stack([t[..., 1], -t[..., 0]], axis=-1) / mag[..., None]
+    else:
+        u = T[..., 0]
+        v = T[..., 1]
+        c = jnp.cross(u, v)
+        mag = jnp.linalg.norm(c, axis=-1)
+        nrm = c / mag[..., None]
+    nrm = nrm * normal_sign[:, None, None]
+    xq = jnp.einsum("qn,end->eqd", Bf, face_coords)
+    return FaceFactors(weights[None, :] * mag, nrm, xq)

@@ -1,0 +1,17 @@
+from .krylov import cg, gmres, SolveResult
+from .precond import jacobi_preconditioner, chebyshev_preconditioner, power_iteration_lmax
+from .direct import dense_solve
+from .newton import NewtonConfig, NewtonResult, newton_solve
+
+__all__ = [
+    "cg",
+    "gmres",
+    "SolveResult",
+    "jacobi_preconditioner",
+    "chebyshev_preconditioner",
+    "power_iteration_lmax",
+    "dense_solve",
+    "NewtonConfig",
+    "NewtonResult",
+    "newton_solve",
+]

@@ -1,0 +1,156 @@
+"""Newton harness mirroring the reference's PetscNewtonSolver semantics.
+
+See /root/reference/myapps/convection_diffusion/newton_petsc_solver.hpp:
+- abs/rel residual convergence with r0 = max(1, |R0|)  (:194-201)
+- Jacobian rebuild frequency                            (:224)
+- BC re-enforcement after each update                   (:243-244)
+- per-iteration logging records                         (:48-58, :249-258)
+- per-phase wall-clock timing                           (:60-67)
+
+The Jacobian-vector product comes from ``jax.linearize`` of the residual
+(replacing the reference's hand-derived analytic element Jacobians and its
+two finite-difference Jacobian machineries); assembled-Jacobian linear
+solves are injected via the ``solve_linear`` callable.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class NewtonConfig:
+    abs_tol: float = 1.0e-10
+    rel_tol: float = 1.0e-8
+    max_iter: int = 20
+    jacobian_rebuild_freq: int = 1
+
+
+@dataclass
+class NewtonIterationInfo:
+    iter: int = 0
+    residual_norm: float = 0.0
+    residual_norm0: float = 1.0
+    relative_residual: float = 0.0
+    update_norm: float = 0.0
+    update_norm0: float = 1.0
+    relative_update: float = 0.0
+    converged: bool = False
+
+
+@dataclass
+class NewtonTiming:
+    solve_sec: float = 0.0
+    residual_eval_sec: float = 0.0
+    jacobian_sec: float = 0.0
+    linear_sec: float = 0.0
+    update_sec: float = 0.0
+
+
+@dataclass
+class NewtonResult:
+    converged: bool = False
+    iterations: int = 0
+    final_residual: float = float("inf")
+    initial_residual: float = 1.0
+    final_relative_residual: float = float("inf")
+    final_update_norm: float = 0.0
+    initial_update_norm: float = 1.0
+    final_relative_update: float = 0.0
+    timing: NewtonTiming = field(default_factory=NewtonTiming)
+    history: List[NewtonIterationInfo] = field(default_factory=list)
+
+
+def newton_solve(
+    residual_fn: Callable,
+    x0,
+    solve_linear: Callable,
+    config: NewtonConfig = NewtonConfig(),
+    enforce_bc: Optional[Callable] = None,
+    log_iteration: Optional[Callable] = None,
+    rebuild_jacobian: Optional[Callable] = None,
+):
+    """Damping-free Newton loop.
+
+    residual_fn(x) -> R(x)
+    solve_linear(x, rhs, jac_state) -> dx solving J(x) dx = rhs
+    rebuild_jacobian(x) -> jac_state  (optional; called per rebuild_freq)
+    enforce_bc(x) -> x  re-applied after each update
+    """
+    x = jnp.asarray(x0)
+    result = NewtonResult()
+    t_solve0 = _time.perf_counter()
+    r0 = 1.0
+    du0 = 1.0
+    jac_state = None
+    freq = max(1, config.jacobian_rebuild_freq)
+
+    for it in range(config.max_iter):
+        t0 = _time.perf_counter()
+        R = residual_fn(x)
+        R = jax.block_until_ready(R)
+        result.timing.residual_eval_sec += _time.perf_counter() - t0
+
+        res_norm = float(jnp.linalg.norm(R))
+        if it == 0:
+            r0 = max(1.0, res_norm)
+            result.initial_residual = r0
+        rel_res = res_norm / r0 if r0 > 0 else res_norm
+        result.final_residual = res_norm
+        result.final_relative_residual = rel_res
+
+        if res_norm < config.abs_tol or rel_res < config.rel_tol:
+            result.converged = True
+            result.iterations = it
+            info = NewtonIterationInfo(
+                iter=it, residual_norm=res_norm, residual_norm0=r0,
+                relative_residual=rel_res, update_norm=0.0,
+                update_norm0=du0, relative_update=0.0, converged=True,
+            )
+            result.history.append(info)
+            if log_iteration:
+                log_iteration(info)
+            break
+
+        if rebuild_jacobian is not None and (it % freq == 0 or jac_state is None):
+            t0 = _time.perf_counter()
+            jac_state = rebuild_jacobian(x)
+            jax.block_until_ready(jac_state)
+            result.timing.jacobian_sec += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        dx = solve_linear(x, -R, jac_state)
+        dx = jax.block_until_ready(dx)
+        result.timing.linear_sec += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        update_norm = float(jnp.linalg.norm(dx))
+        if it == 0:
+            du0 = max(1.0, update_norm)
+            result.initial_update_norm = du0
+        rel_update = update_norm / du0 if du0 > 0 else update_norm
+        x = x + dx
+        if enforce_bc is not None:
+            x = enforce_bc(x)
+        result.timing.update_sec += _time.perf_counter() - t0
+        result.final_update_norm = update_norm
+        result.final_relative_update = rel_update
+
+        info = NewtonIterationInfo(
+            iter=it, residual_norm=res_norm, residual_norm0=r0,
+            relative_residual=rel_res, update_norm=update_norm,
+            update_norm0=du0, relative_update=rel_update, converged=False,
+        )
+        result.history.append(info)
+        if log_iteration:
+            log_iteration(info)
+
+    if not result.converged:
+        result.iterations = config.max_iter
+    result.timing.solve_sec = _time.perf_counter() - t_solve0
+    return x, result

@@ -1,0 +1,31 @@
+"""Test config: force CPU with an 8-device virtual mesh + f64.
+
+The container boots with an `axon` TPU platform plugin registered via
+sitecustomize; tests must run on the virtual CPU mesh instead (SURVEY.md
+§2.4), so we override the platform *after* import via jax.config (env vars
+are pre-empted by the sitecustomize boot).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("CMFEM_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+REFERENCE_DIR = "/root/reference/myapps/convection_diffusion"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    return REFERENCE_DIR

@@ -1,0 +1,211 @@
+"""Core layer tests: reference elements, quadrature, mesh, fespace, geometry."""
+
+import numpy as np
+import pytest
+
+from cmfem_tpu.core import (
+    get_reference_element,
+    gauss_rule,
+    load_gmsh,
+    make_cartesian_mesh_2d,
+    make_cartesian_mesh_3d,
+    FESpace,
+)
+from cmfem_tpu.core.geometry import factors_for
+from cmfem_tpu.core.reference_elements import (
+    SEGMENT, TRIANGLE, QUAD, HEXAHEDRON,
+)
+
+MESH_DIR = "/root/reference/myapps/convection_diffusion/Mesh"
+
+
+@pytest.mark.parametrize("geom,order", [
+    (SEGMENT, 1), (SEGMENT, 2), (SEGMENT, 3),
+    (TRIANGLE, 1), (TRIANGLE, 2), (TRIANGLE, 3),
+    (QUAD, 1), (QUAD, 2), (QUAD, 3),
+    (HEXAHEDRON, 1), (HEXAHEDRON, 2), (HEXAHEDRON, 3),
+])
+def test_partition_of_unity(geom, order):
+    ref = get_reference_element(geom, order)
+    q = gauss_rule(geom, 2 * order)
+    B, G = ref.eval(q.points)
+    assert B.shape == (q.nqp, ref.ndof)
+    np.testing.assert_allclose(B.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(G.sum(axis=1), 0.0, atol=1e-11)
+
+
+@pytest.mark.parametrize("geom,order", [
+    (TRIANGLE, 2), (QUAD, 3), (HEXAHEDRON, 2),
+])
+def test_nodal_interpolation_property(geom, order):
+    """Basis i equals 1 at node i, 0 at others (Lagrange property)."""
+    ref = get_reference_element(geom, order)
+    B, _ = ref.eval(ref.nodes)
+    np.testing.assert_allclose(B, np.eye(ref.ndof), atol=1e-10)
+
+
+@pytest.mark.parametrize("geom,vol", [
+    (SEGMENT, 1.0), (TRIANGLE, 0.5), (QUAD, 1.0), (HEXAHEDRON, 1.0),
+])
+def test_quadrature_volume(geom, vol):
+    for order in range(1, 8):
+        q = gauss_rule(geom, order)
+        np.testing.assert_allclose(q.weights.sum(), vol, rtol=1e-12)
+
+
+def test_quadrature_polynomial_exactness_triangle():
+    q = gauss_rule(TRIANGLE, 5)
+    # integral of x^a y^b over unit triangle = a! b! / (a+b+2)!
+    from math import factorial
+    for a in range(4):
+        for b in range(4):
+            if a + b > 5:
+                continue
+            exact = factorial(a) * factorial(b) / factorial(a + b + 2)
+            got = np.sum(q.weights * q.points[:, 0] ** a * q.points[:, 1] ** b)
+            np.testing.assert_allclose(got, exact, rtol=1e-12)
+
+
+def test_load_gmsh_unit_square():
+    m = load_gmsh(f"{MESH_DIR}/unit_square.msh")
+    assert m.dim == 2
+    lo, hi = m.bounding_box()
+    np.testing.assert_allclose(lo, [0, 0], atol=1e-12)
+    np.testing.assert_allclose(hi, [1, 1], atol=1e-12)
+    assert set(m.bdr_attributes) == {1, 2, 3, 4}
+    # total area via geometric factors
+    q = gauss_rule(m.geom, 2)
+    gf = factors_for(m, q)
+    np.testing.assert_allclose(float(gf.wdetJ.sum()), 1.0, rtol=1e-10)
+
+
+def test_load_gmsh_ablation_strip():
+    m = load_gmsh(f"{MESH_DIR}/ablation_strip.msh")
+    assert m.geom == QUAD
+    q = gauss_rule(m.geom, 2)
+    gf = factors_for(m, q)
+    lo, hi = m.bounding_box()
+    np.testing.assert_allclose(float(gf.wdetJ.sum()),
+                               np.prod(hi - lo), rtol=1e-10)
+    assert set(m.bdr_attributes) == {1, 2, 3}
+
+
+def test_load_gmsh_circle_tri():
+    m = load_gmsh(f"{MESH_DIR}/unit_circle.msh")
+    assert m.geom == TRIANGLE
+    q = gauss_rule(m.geom, 2)
+    gf = factors_for(m, q)
+    # polygonal approx of unit disk, pi to ~1e-2
+    np.testing.assert_allclose(float(gf.wdetJ.sum()), np.pi, rtol=5e-3)
+
+
+def test_uniform_refine_quad_area_and_count():
+    m = load_gmsh(f"{MESH_DIR}/unit_square.msh")
+    m2 = m.uniform_refine()
+    assert m2.num_elements == 4 * m.num_elements
+    assert m2.num_bdr_faces == 2 * m.num_bdr_faces
+    q = gauss_rule(m2.geom, 2)
+    gf = factors_for(m2, q)
+    np.testing.assert_allclose(float(gf.wdetJ.sum()), 1.0, rtol=1e-10)
+
+
+def test_uniform_refine_hex():
+    m = make_cartesian_mesh_3d(2, 2, 2)
+    m2 = m.uniform_refine()
+    assert m2.num_elements == 8 * m.num_elements
+    q = gauss_rule(m2.geom, 2)
+    gf = factors_for(m2, q)
+    np.testing.assert_allclose(float(gf.wdetJ.sum()), 1.0, rtol=1e-10)
+
+
+@pytest.mark.parametrize("order,expected", [(1, 25), (2, 81), (3, 169)])
+def test_fespace_dof_counts_quad(order, expected):
+    # 4x4 quad grid: (4p+1)^2 dofs
+    m = make_cartesian_mesh_2d(4, 4)
+    fes = FESpace(m, order)
+    assert fes.nscalar == expected
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_fespace_dof_counts_hex(order):
+    n = 3
+    m = make_cartesian_mesh_3d(n, n, n)
+    fes = FESpace(m, order)
+    assert fes.nscalar == (n * order + 1) ** 3
+
+
+@pytest.mark.parametrize("geom", [QUAD, TRIANGLE])
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_node_positions_interpolate_linear(geom, order):
+    """Interpolating a linear function must be exact, and shared dofs must
+    agree between elements (continuity of the enumeration)."""
+    m = make_cartesian_mesh_2d(3, 3, geom=geom)
+    fes = FESpace(m, order)
+    u = fes.interpolate(lambda x: 2.0 * x[:, 0] - 3.0 * x[:, 1] + 0.5)
+    # evaluate per element at random ref points and compare
+    ref = fes.ref
+    pts = np.array([[0.3, 0.2], [0.7, 0.6]]) if geom == QUAD else \
+        np.array([[0.2, 0.3], [0.1, 0.5]])
+    B, _ = ref.eval(pts)
+    geo = get_reference_element(geom, 1)
+    Bg, _ = geo.eval(pts)
+    coords = m.vertices[m.elem_conn]
+    xphys = np.einsum("qn,end->eqd", Bg, coords)
+    uh = np.einsum("qn,en->eq", B, u[fes.element_dofs])
+    expect = 2.0 * xphys[..., 0] - 3.0 * xphys[..., 1] + 0.5
+    np.testing.assert_allclose(uh, expect, atol=1e-11)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_hex_face_dof_continuity(order):
+    """High-order hex: interpolation of a smooth poly must be single-valued
+    on shared faces (exercises face orientation mapping)."""
+    m = make_cartesian_mesh_3d(2, 2, 2)
+    fes = FESpace(m, order)
+
+    def f(x):
+        return x[:, 0] ** 2 + 2 * x[:, 1] * x[:, 2] - x[:, 2]
+
+    u = fes.interpolate(f)
+    ref = fes.ref
+    pts = np.array([[0.25, 0.5, 0.75], [0.6, 0.1, 0.9]])
+    B, _ = ref.eval(pts)
+    geo = get_reference_element(HEXAHEDRON, 1)
+    Bg, _ = geo.eval(pts)
+    coords = m.vertices[m.elem_conn]
+    xphys = np.einsum("qn,end->eqd", Bg, coords)
+    uh = np.einsum("qn,en->eq", B, u[fes.element_dofs])
+    expect = (xphys[..., 0] ** 2 + 2 * xphys[..., 1] * xphys[..., 2]
+              - xphys[..., 2])
+    if order >= 2:
+        np.testing.assert_allclose(uh, expect, atol=1e-10)
+
+
+def test_essential_dofs_unit_square():
+    m = make_cartesian_mesh_2d(4, 4)
+    fes = FESpace(m, 2)
+    ess = fes.boundary_dofs()
+    # boundary nodes of a 4x4 order-2 grid: ring of 8*4 = 32 nodes
+    assert len(ess) == 32
+    pts = fes.node_positions[ess]
+    on_b = (np.abs(pts) < 1e-12) | (np.abs(pts - 1) < 1e-12)
+    assert np.all(on_b.any(axis=1))
+
+
+def test_boundary_face_normals_outward():
+    m = make_cartesian_mesh_2d(3, 3)
+    fes = FESpace(m, 1)
+    from cmfem_tpu.core.geometry import compute_face_factors
+    from cmfem_tpu.core.reference_elements import get_reference_element as gre
+    fref = gre(SEGMENT, 1)
+    q = gauss_rule(SEGMENT, 2)
+    Bf, Gf = fref.eval(q.points)
+    coords = m.vertices[m.bdr_conn]
+    ff = compute_face_factors(coords, Bf, Gf, q.weights, fes.bdr.normal_sign)
+    # total boundary length = 4
+    np.testing.assert_allclose(float(ff.wdS.sum()), 4.0, rtol=1e-12)
+    # all normals point away from the center
+    ctr = np.array([0.5, 0.5])
+    d = np.einsum("fqd,fqd->fq", np.asarray(ff.normal),
+                  np.asarray(ff.xq) - ctr)
+    assert (d > 0).all()
