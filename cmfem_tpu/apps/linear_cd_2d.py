@@ -1,0 +1,128 @@
+"""2D steady convection-diffusion-reaction driver (unit square MMS).
+
+TPU-native re-expression of
+/root/reference/myapps/convection_diffusion/linear_convection_diffusion_2D.cpp:
+  -kappa Lap(u) + div(c u) + s u = f on the unit square, u = u_exact on Gamma,
+  u_exact = sin(n pi x) sin(m pi y); same YAML keys, same CSV/ParaView
+  outputs (abs_l2,rel_l2 -> error_csv; u/u_exact fields).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .common import (
+    parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
+    ensure_outdir, validate_unit_square,
+)
+from ..utils.yamlcfg import load_yaml
+from ..io import CsvWriter, VTUCollection
+
+
+def make_mms(kappa, s, cx, cy, n, m):
+    def exact(x):
+        return np.sin(n * np.pi * x[:, 0]) * np.sin(m * np.pi * x[:, 1])
+
+    def forcing(x):
+        nx = n * np.pi * x[:, 0]
+        my = m * np.pi * x[:, 1]
+        sin_nx, cos_nx = np.sin(nx), np.cos(nx)
+        sin_my, cos_my = np.sin(my), np.cos(my)
+        diff = kappa * (n * n + m * m) * np.pi**2 * sin_nx * sin_my
+        conv = cx * n * np.pi * cos_nx * sin_my + cy * m * np.pi * sin_nx * cos_my
+        return diff + conv + s * sin_nx * sin_my
+
+    return exact, forcing
+
+
+def run(cfg: dict) -> dict:
+    import jax.numpy as jnp
+
+    from ..core import FESpace
+    from ..ops import (
+        SpaceOps, BilinearForm, EssentialBC, domain_lf, l2_error, l2_norm_fn,
+    )
+    from ..solvers import gmres, jacobi_preconditioner
+
+    order = int(cfg.get("order", 1))
+    kappa = float(cfg.get("kappa", 0.1))
+    s = float(cfg.get("s", 1.0))
+    cx = float(cfg.get("cx", 1.0))
+    cy = float(cfg.get("cy", -2.0))
+    if "convection" in cfg:
+        cx, cy = [float(v) for v in cfg["convection"]]
+    n_mode = int(cfg.get("mode_n", 3))
+    m_mode = int(cfg.get("mode_m", 3))
+    output_path = cfg.get("output_path", "ParaView")
+    collection_name = cfg.get("collection_name", "convection_diffusion_2D")
+    error_csv = cfg.get("error_csv", "error_history_2D.csv")
+    save_paraview = bool(cfg.get("save_paraview", True))
+    if order < 1:
+        raise ValueError("order must be >= 1.")
+    if kappa <= 0:
+        raise ValueError("kappa must be > 0.")
+    if n_mode <= 0 or m_mode <= 0:
+        raise ValueError("mode_n and mode_m must be positive integers.")
+
+    mesh = load_mesh_from_cfg(cfg)
+    validate_unit_square(mesh)
+    fes = FESpace(mesh, order)
+    print(f"Global true dofs: {fes.nscalar}")
+
+    exact, forcing = make_mms(kappa, s, cx, cy, n_mode, m_mode)
+    ops = SpaceOps(fes)
+    a = (BilinearForm(ops)
+         .add_diffusion(kappa)
+         .add_convection(np.array([cx, cy]))
+         .add_mass(s))
+    data = a.assemble()
+    b = domain_lf(ops, forcing)
+
+    bc = EssentialBC(fes.nscalar, fes.boundary_dofs())
+    u_bc = jnp.asarray(fes.project_bdr(np.zeros(fes.nscalar), exact))
+    apply_A = lambda v: a.apply(data, v)
+    B = bc.constrained_rhs(apply_A, b, u_bc)
+    M = jacobi_preconditioner(jnp.where(bc.mask, 1.0, a.assemble_diagonal(data)))
+    res = gmres(bc.constrain_operator(apply_A), B, M=M,
+                rtol=float(cfg.get("solver_rtol", 1e-12)),
+                restart=int(cfg.get("solver_restart", 80)),
+                maxiter=int(cfg.get("solver_maxiter", 60)))
+    if not bool(res.converged):
+        raise RuntimeError(
+            f"Linear solver did not converge. Iterations={int(res.iters)}, "
+            f"residual={float(res.residual)}")
+    u = res.x
+
+    abs_l2 = float(l2_error(ops, u, exact))
+    exact_l2 = float(l2_norm_fn(ops, exact))
+    rel_l2 = abs_l2 / exact_l2 if exact_l2 > 1e-14 else 0.0
+    print(f"L2 error (absolute): {abs_l2}")
+    print(f"L2 error (relative): {rel_l2}")
+
+    ensure_outdir(output_path)
+    with CsvWriter(os.path.join(output_path, error_csv),
+                   ["abs_l2", "rel_l2"]) as w:
+        w.writerow([abs_l2, rel_l2])
+
+    if save_paraview:
+        dc = VTUCollection(collection_name, fes, prefix_path=output_path)
+        u_exact = fes.interpolate(exact)
+        dc.save(0, 0.0, {"u": np.asarray(u), "u_exact": u_exact})
+
+    return {"abs_l2": abs_l2, "rel_l2": rel_l2, "u": np.asarray(u), "fes": fes}
+
+
+def main(argv=None):
+    setup_cpu_if_requested()
+    args = parse_args("Input/input_2d.yaml", argv)
+    cfg = load_yaml(args.input)
+    echo_config({k: v for k, v in cfg.items() if not k.startswith("_")})
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""App-driver smoke + correctness tests (SURVEY.md §4 patterns 1 and 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/myapps/convection_diffusion"
+
+
+def test_linear_cd_2d_runs(tmp_path):
+    from cmfem_tpu.apps.linear_cd_2d import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 2,
+        "output_path": str(tmp_path),
+        "save_paraview": True,
+    }
+    out = run(cfg)
+    assert out["rel_l2"] < 2e-3
+    assert os.path.exists(tmp_path / "error_history_2D.csv")
+    assert os.path.exists(tmp_path / "convection_diffusion_2D" /
+                          "convection_diffusion_2D.pvd")
+
+
+def test_linear_cd_circle_runs(tmp_path):
+    from cmfem_tpu.apps.linear_cd_2d_circle import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_circle.msh",
+        "order": 2,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out = run(cfg)
+    assert out["rel_l2"] < 5e-4
+
+
+def test_transient_3pe_short(tmp_path):
+    from cmfem_tpu.apps.linear_cd_transient import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 2,
+        "dt": 0.01,
+        "t_final": 0.05,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out = run(cfg)
+    # early-time boundary layer: just require sane, decreasing-q errors
+    row = out["final_errors"]
+    assert row[3] < 0.1 and row[5] < 0.1 and row[7] < 0.2
+    csv = (tmp_path / "error_history.csv").read_text().splitlines()
+    assert csv[0].startswith("step,time,abs_l2_pe1")
+    assert len(csv) == 7  # header + steps 0..5
+
+
+def test_transient_exact_solution_vectorized():
+    """erfc solution matches scalar evaluation incl. asymptotic branch."""
+    from cmfem_tpu.apps.linear_cd_transient import exact_concentration
+
+    xs = np.linspace(0, 1, 11)
+    v = exact_concentration(xs, 0.5, 100.0)
+    assert np.all(np.isfinite(v))
+    assert abs(v[0] - 1.0) < 0.2  # near-inlet value approaches 1
+    # t<=0 -> zeros
+    assert np.all(exact_concentration(xs, 0.0, 10.0) == 0.0)
+
+
+def test_diffusion_mms_short(tmp_path):
+    from cmfem_tpu.apps.diffusion_mms import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 2,
+        "alpha": 0.1,
+        "dt": 0.025,
+        "t_final": 0.1,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out = run(cfg)
+    assert out["final_l2"] < 5e-4
+
+
+def test_nonlinear_diffusion_short(tmp_path):
+    from cmfem_tpu.apps.nonlinear_diffusion import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/square_0p01.msh",
+        "order": 2,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "L": 0.01,
+        "series_terms": 400,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+        "newton_print_level": 0,
+    }
+    out = run(cfg)
+    # rel L2 after 3 BE steps at dt=0.1
+    assert out["final"][1] < 2e-2
+    ncsv = (tmp_path / "newton_history_nonlinear_1D.csv").read_text().splitlines()
+    assert ncsv[0].startswith("step,time,iter,residual")
+    assert len(ncsv) > 3
+
+
+def test_qstar_blowing(tmp_path):
+    from cmfem_tpu.apps.qstar_blowing_1d import QstarParams, run
+
+    p = QstarParams(num_elements=256, verbose=False,
+                    output_dir=str(tmp_path))
+    out = run(p)
+    assert out["converged"]
+    assert abs(out["sdot_rel_error"]) < 5e-3
+    assert out["err_vs_table"][0] < 5.0  # Linf [K] at N=256
+    assert os.path.exists(tmp_path / "qstar_blowing_summary.csv")
+
+
+def test_nonlinear_ad_jacobian_vs_fd():
+    """AD element Jacobian of the nonlinear form matches finite differences
+    (the reference's jacobian_check pattern, SURVEY.md §4.3)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.ops.nonlinear import NonlinearForm
+
+    m = make_cartesian_mesh_2d(2, 2)
+    fes = FESpace(m, 2)
+    ops = SpaceOps(fes)
+
+    def qp_residual(uq, gq, xq, u_old_q=None):
+        mcoef = 1.0 + 0.1 * uq
+        acoef = 2.0 + 0.05 * uq
+        r0 = mcoef * (uq - u_old_q)
+        r1 = acoef[..., None] * gq
+        return r0, r1
+
+    nlf = NonlinearForm(ops, qp_residual)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(fes.nscalar))
+    u_old_q = ops.values_at_qp(jnp.asarray(rng.standard_normal(fes.nscalar)))
+
+    J = np.asarray(nlf.dense_jacobian(u, u_old_q=u_old_q))
+    eps = 1e-6
+    for j in rng.choice(fes.nscalar, 5, replace=False):
+        du = np.zeros(fes.nscalar)
+        du[j] = eps
+        Rp = np.asarray(nlf.residual(u + jnp.asarray(du), u_old_q=u_old_q))
+        Rm = np.asarray(nlf.residual(u - jnp.asarray(du), u_old_q=u_old_q))
+        fd = (Rp - Rm) / (2 * eps)
+        np.testing.assert_allclose(J[:, j], fd, atol=5e-8)
