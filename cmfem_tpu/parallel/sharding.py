@@ -1,0 +1,132 @@
+"""Multi-chip operator apply: elements sharded over a device mesh.
+
+The TPU-native replacement for the reference's MPI domain decomposition
+(``ParMesh`` + true-dof halo exchange, SURVEY.md §2.4): the element batch is
+the data-parallel axis.  Each device owns a contiguous slab of elements and
+the full (replicated) DOF vector; an operator apply is
+
+    gather (local) -> batched B^T D B kernel (local) -> segment_sum (local)
+    -> psum over the mesh axis  (XLA all-reduce riding ICI)
+
+which is exactly T^T A T with the shared-DOF exchange expressed as one
+collective.  Reductions (norms, dot products) are free: vectors are
+replicated, so plain jnp reductions are device-local and identical.
+
+For very large meshes a dof-partitioned variant with ``ppermute`` halo
+exchange would reduce memory; the replicated-vector scheme matches the
+problem sizes of the reference suite and keeps CG/GMRES unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_device_mesh(n_devices: int | None = None, axis: str = "dd") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_elements(mesh: Mesh, *arrays, axis: str = "dd"):
+    """Pad the leading (element) axis to a multiple of the mesh size and
+    shard it. Padded elements get dof index pointing at a dead dof slot?
+    No — padding duplicates element 0 with zero weights, handled by the
+    caller passing padded D blocks of zeros. Returns (padded arrays, ne_pad).
+    """
+    n = mesh.devices.size
+    outs = []
+    ne = arrays[0].shape[0]
+    ne_pad = ((ne + n - 1) // n) * n
+    pad = ne_pad - ne
+    sharding = NamedSharding(mesh, P(axis))
+    for a in arrays:
+        a = np.asarray(a)
+        if pad:
+            pad_block = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+            a = np.concatenate([a, pad_block], axis=0)
+        outs.append(jax.device_put(a, sharding))
+    return outs, ne_pad
+
+
+class ShardedPoissonApply:
+    """Element-sharded matrix-free apply of a (mass+)diffusion operator.
+
+    Holds element-sharded eldofs and QP operator data; `apply` is jittable
+    and returns the replicated global product.  Padding elements carry
+    zeroed operator data so they contribute nothing.
+    """
+
+    def __init__(self, ops, data, mesh: Mesh, axis: str = "dd"):
+        self.ops = ops
+        self.mesh = mesh
+        self.axis = axis
+        self.nscalar = ops.fes.nscalar
+        eldofs = np.asarray(ops.fes.element_dofs)
+        blocks = []
+        self._have = {}
+        for name in ("d00", "d01", "d10", "d11"):
+            v = getattr(data, name)
+            self._have[name] = v is not None
+            if v is not None:
+                blocks.append(np.asarray(v))
+        (self.eldofs, *sharded_blocks), self.ne_pad = shard_elements(
+            mesh, eldofs, *blocks, axis=axis
+        )
+        it = iter(sharded_blocks)
+        self.d00 = next(it) if self._have["d00"] else None
+        self.d01 = next(it) if self._have["d01"] else None
+        self.d10 = next(it) if self._have["d10"] else None
+        self.d11 = next(it) if self._have["d11"] else None
+        self.B = jnp.asarray(ops.B)
+        self.G = jnp.asarray(ops.G)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P()) + tuple(P(axis) for _ in sharded_blocks),
+            out_specs=P(),
+        )
+        def _apply(eldofs, u, *blocks):
+            it = iter(blocks)
+            d00 = next(it) if self._have["d00"] else None
+            d01 = next(it) if self._have["d01"] else None
+            d10 = next(it) if self._have["d10"] else None
+            d11 = next(it) if self._have["d11"] else None
+            u_e = u[eldofs]
+            uq = jnp.einsum("qn,en->eq", self.B, u_e)
+            gq = jnp.einsum("qnr,en->eqr", self.G, u_e)
+            bq = None
+            if d00 is not None:
+                bq = d00 * uq
+            if d01 is not None:
+                t = jnp.einsum("eqr,eqr->eq", d01, gq)
+                bq = t if bq is None else bq + t
+            fq = None
+            if d10 is not None:
+                fq = d10 * uq[..., None]
+            if d11 is not None:
+                t = jnp.einsum("eqrs,eqs->eqr", d11, gq)
+                fq = t if fq is None else fq + t
+            y_e = 0.0
+            if bq is not None:
+                y_e = jnp.einsum("qn,eq->en", self.B, bq)
+            if fq is not None:
+                y_e = y_e + jnp.einsum("qnr,eqr->en", self.G, fq)
+            y = jax.ops.segment_sum(
+                y_e.reshape(-1), eldofs.reshape(-1), num_segments=self.nscalar
+            )
+            return jax.lax.psum(y, self.axis)
+
+        self._apply = _apply
+
+    def __call__(self, u):
+        blocks = [b for b in (self.d00, self.d01, self.d10, self.d11)
+                  if b is not None]
+        return self._apply(self.eldofs, u, *blocks)

@@ -1,0 +1,444 @@
+"""TACOT charring-ablator material model (PATO-style), vectorized in JAX.
+
+Clean-room re-implementation of the reference's ``TACOTMaterial``
+(/root/reference/myapps/convection_diffusion/tacot_material.{hpp,cpp}):
+
+- per-QP Arrhenius reaction extents advanced by an implicit scalar Newton
+  (SolveReactionExtents, tacot_material.cpp:208-280) — here a
+  fixed-iteration vectorized Newton over ALL quadrature points at once,
+  wrapped in a ``custom_jvp`` that differentiates the converged solution by
+  the implicit-function theorem (with clamp-zeroing, matching the
+  reference's frozen-derivative semantics at the x in [x_old, 1] clamps);
+- virgin/char property blending by the virgin-mass fraction tau
+  (EvaluateSolid, :282-402);
+- ideal-gas properties from tables (EvaluateGas, :404-419);
+- natural cubic splines in T per pressure level, linear in p with clamping
+  (CubicSpline1D :571-673, MultiTable2D :693-865).  All table data is
+  baked to dense (L, nprop, nT) arrays at load (T grids are uniform
+  across levels in every shipped material deck).
+
+Everything is jnp and batched over arbitrary leading shapes, so the whole
+material evaluation fuses into the ablation residual under jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+
+def natural_spline_y2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through (x, y).
+
+    y may have leading batch dims (..., n). Thomas-algorithm sweep with
+    natural (zero second derivative) end conditions."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[-1]
+    y2 = np.zeros_like(y)
+    if n < 3:
+        return y2
+    u = np.zeros(y.shape[:-1] + (n - 1,))
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[..., i - 1] + 2.0
+        y2[..., i] = (sig - 1.0) / p
+        dy1 = (y[..., i + 1] - y[..., i]) / (x[i + 1] - x[i])
+        dy0 = (y[..., i] - y[..., i - 1]) / (x[i] - x[i - 1])
+        u[..., i] = (6.0 * (dy1 - dy0) / (x[i + 1] - x[i - 1])
+                     - sig * u[..., i - 1]) / p
+    y2[..., n - 1] = 0.0
+    for k in range(n - 2, -1, -1):
+        y2[..., k] = y2[..., k] * y2[..., k + 1] + u[..., k]
+    return y2
+
+
+def spline_eval(x, y, y2, xq):
+    """Evaluate natural cubic splines with end-clamping.
+
+    x (nT,), y/y2 (..., nT) broadcast against query xq (...,).
+    Returns (value, deriv, clamped); outside [x0, xN] the end value is
+    returned with deriv = 0 (reference EvalClampWithDerivative)."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    xq = jnp.asarray(xq)
+    khi = jnp.clip(jnp.searchsorted(x, xq, side="left"), 1, n - 1)
+    klo = khi - 1
+    h = x[khi] - x[klo]
+    a = (x[khi] - xq) / h
+    b = (xq - x[klo]) / h
+    ylo = jnp.take(y, klo, axis=-1)
+    yhi = jnp.take(y, khi, axis=-1)
+    y2lo = jnp.take(y2, klo, axis=-1)
+    y2hi = jnp.take(y2, khi, axis=-1)
+    val = (a * ylo + b * yhi
+           + ((a**3 - a) * y2lo + (b**3 - b) * y2hi) * (h * h) / 6.0)
+    der = ((yhi - ylo) / h
+           + (h / 6.0) * (-(3 * a * a - 1) * y2lo + (3 * b * b - 1) * y2hi))
+    lo_clamp = xq <= x[0]
+    hi_clamp = xq >= x[-1]
+    val = jnp.where(lo_clamp, jnp.take(y, 0, axis=-1), val)
+    val = jnp.where(hi_clamp, jnp.take(y, n - 1, axis=-1), val)
+    der = jnp.where(lo_clamp | hi_clamp, 0.0, der)
+    return val, der, lo_clamp | hi_clamp
+
+
+@dataclass
+class PropertyTable:
+    """(p, T) property table: splines in T per pressure level, linear in p.
+
+    p_levels (L,), T (nT,), y (L, nprop, nT), y2 same."""
+
+    p_levels: np.ndarray
+    T: np.ndarray
+    y: np.ndarray
+    y2: np.ndarray
+    log_p: bool = False
+
+    @classmethod
+    def from_yaml_node(cls, node: dict, nprop: int) -> "PropertyTable":
+        levels = sorted(node["pressure_tables"], key=lambda t: float(t["p"]))
+        ps = np.array([float(t["p"]) for t in levels])
+        Ts = None
+        ys = []
+        for t in levels:
+            rows = sorted(([float(v) for v in r] for r in t["rows"]),
+                          key=lambda r: r[0])
+            rows = np.asarray(rows)
+            if rows.shape[1] < nprop + 1:
+                raise ValueError("Malformed table row")
+            Tg = rows[:, 0]
+            if Ts is None:
+                Ts = Tg
+            elif len(Tg) != len(Ts) or not np.allclose(Tg, Ts):
+                raise NotImplementedError(
+                    "Per-level T grids must match (true for all shipped decks)")
+            ys.append(rows[:, 1:nprop + 1].T)  # (nprop, nT)
+        y = np.stack(ys, axis=0)  # (L, nprop, nT)
+        y2 = natural_spline_y2(Ts, y)
+        return cls(ps, Ts, y, y2)
+
+    def eval(self, prop_idx: int, p, T, with_derivs: bool = False):
+        """Batched evaluation; returns value or (value, dp, dT, clamped_p,
+        clamped_T)."""
+        ps = jnp.asarray(self.p_levels)
+        L = len(self.p_levels)
+        yj = jnp.asarray(self.y[:, prop_idx])    # (L, nT)
+        y2j = jnp.asarray(self.y2[:, prop_idx])
+
+        T = jnp.asarray(T)
+        p = jnp.asarray(p)
+        # evaluate the spline at every pressure level (L is tiny: 2..5)
+        vals, ders, Tcl = jax.vmap(
+            lambda yl, y2l: spline_eval(self.T, yl, y2l, T)
+        )(yj, y2j)  # (L, ...) each
+
+        if L == 1:
+            out = vals[0]
+            if not with_derivs:
+                return out
+            return out, jnp.zeros_like(out), ders[0], jnp.zeros_like(out, bool), Tcl[0]
+
+        pc = jnp.clip(p, ps[0], ps[-1])
+        clamped_p = (p <= ps[0]) | (p >= ps[-1])
+        hi0 = jnp.clip(jnp.searchsorted(ps, pc, side="left"), 1, L - 1)
+        # exact interior match -> forward interval (reference :829-840)
+        p_tol = 1e-12 * jnp.maximum(1.0, jnp.abs(pc))
+        exact_int = (jnp.abs(ps[hi0] - pc) <= p_tol) & (hi0 < L - 1) & (~clamped_p)
+        lo = jnp.where(exact_int, hi0, hi0 - 1)
+        hi = jnp.where(exact_int, hi0 + 1, hi0)
+        p0 = ps[lo]
+        p1 = ps[hi]
+        w = (pc - p0) / (p1 - p0)
+        take = lambda arr, idx: jnp.take_along_axis(
+            jnp.moveaxis(arr, 0, -1), idx[..., None], axis=-1)[..., 0]
+        v0 = take(vals, lo)
+        v1 = take(vals, hi)
+        d0 = take(ders, lo)
+        d1 = take(ders, hi)
+        c0 = take(Tcl, lo)
+        c1 = take(Tcl, hi)
+        value = (1 - w) * v0 + w * v1
+        dT = (1 - w) * d0 + w * d1
+        if not with_derivs:
+            return value
+        dp = jnp.where(clamped_p, 0.0, (v1 - v0) / (p1 - p0))
+        return value, dp, dT, clamped_p, (c0 | c1)
+
+
+def _make_extent_solver(mat: "TacotMaterial"):
+    """Build the custom_jvp'ed implicit extent solver with the material's
+    reaction constants closed over as static arrays."""
+    A = jnp.asarray(mat.A)
+    E = jnp.asarray(mat.E)
+    m_exp = jnp.asarray(mat.m_exp)
+    n_exp = jnp.asarray(mat.n_exp)
+    T_thr = jnp.asarray(mat.T_thr)
+    R = mat.R
+    iters = mat.newton_iters
+
+    def _pieces(T, x):
+        Tc = jnp.maximum(T, 1.0)[..., None]
+        arr = A * jnp.exp(-E / (R * Tc))
+        tpow = jnp.where(n_exp == 0.0, 1.0, jnp.maximum(Tc, 1e-14) ** n_exp)
+        one_minus = jnp.maximum(1.0 - x, 1e-14)
+        xpow = jnp.where(m_exp == 0.0, 1.0, one_minus ** m_exp)
+        dxpow = jnp.where(m_exp == 1.0, 1.0, one_minus ** (m_exp - 1.0))
+        return Tc, arr, tpow, xpow, dxpow
+
+    @jax.custom_jvp
+    def solve(T, dt, extent_old):
+        x_old = jnp.clip(extent_old, 0.0, 1.0)
+        Tc, arr, tpow, _, _ = _pieces(T, x_old)
+        active = (Tc >= T_thr) & (arr > 0.0) & (dt > 0.0)
+
+        def body(x, _):
+            _, _, _, xpow, dxpow = _pieces(T, x)
+            rate = arr * xpow * tpow
+            f = x - x_old - dt * rate
+            dfdx = 1.0 + dt * arr * m_exp * dxpow * tpow
+            dx = f / jnp.maximum(dfdx, 1e-14)
+            x_new = jnp.clip(x - dx, x_old, 1.0)
+            return jnp.where(active, x_new, x_old), None
+
+        x, _ = jax.lax.scan(body, x_old, None, length=iters)
+        return jnp.clip(jnp.where(active, x, x_old), x_old, 1.0)
+
+    @solve.defjvp
+    def solve_jvp(primals, tangents):
+        """IFT derivative of the converged extents: from
+        f(x, T) = x - x_old - dt*rate(x, T) = 0,
+          dx/dT = dt (dr/dT) / dfdx, dx/dx_old = 1/dfdx, dx/ddt = rate/dfdx;
+        zeroed where the solution sits on a clamp (matching the reference's
+        FD through the clamped update)."""
+        T, dt, extent_old = primals
+        dT, ddt, dx_old_t = tangents
+        x = solve(T, dt, extent_old)
+        x_old = jnp.clip(extent_old, 0.0, 1.0)
+        Tc, arr, tpow, xpow, dxpow = _pieces(T, x)
+        rate = arr * xpow * tpow
+        darr_dT = arr * (E / (R * Tc * Tc))
+        dtpow_dT = jnp.where(n_exp == 0.0, 0.0,
+                             n_exp * jnp.maximum(Tc, 1e-14) ** (n_exp - 1.0))
+        drate_dT = (darr_dT * xpow * tpow + arr * xpow * dtpow_dT) * \
+            jnp.where(T > 1.0, 1.0, 0.0)[..., None]
+        dfdx = 1.0 + dt * arr * m_exp * dxpow * tpow
+        active = (Tc >= T_thr) & (arr > 0.0) & (dt > 0.0)
+        interior = active & (x < 1.0 - 1e-12)
+        dx_dT = jnp.where(interior, dt * drate_dT / dfdx, 0.0)
+        dx_dxold = jnp.where(interior, 1.0 / dfdx, 1.0)
+        dx_ddt = jnp.where(interior, rate / dfdx, 0.0)
+        tangent = dx_dT * dT[..., None] + dx_dxold * dx_old_t + dx_ddt * ddt
+        return x, tangent
+
+    return solve
+
+
+@dataclass
+class TacotMaterial:
+    """Loaded TACOT deck; all methods are jnp-vectorized and jittable."""
+
+    R: float
+    min_pi_pyro: float
+    rho_eps0: np.ndarray      # (nph,)
+    K_v: float
+    K_c: float
+    eps_g_v: float
+    eps_g_c: float
+    F: np.ndarray             # (nr,)
+    A: np.ndarray
+    E: np.ndarray
+    m_exp: np.ndarray
+    n_exp: np.ndarray
+    T_thr: np.ndarray
+    h_reac: np.ndarray
+    phase: np.ndarray         # (nr,) int
+    virgin: PropertyTable
+    char: PropertyTable
+    gas: PropertyTable
+    emissivity_fallback: float = 0.85
+    reflectivity_fallback: float = 0.15
+    newton_iters: int = 30
+
+    @classmethod
+    def load_yaml(cls, path: str) -> "TacotMaterial":
+        with open(path) as f:
+            root = yaml.safe_load(f)
+        for key in ("constants", "phases", "transport", "reactions", "tables"):
+            if key not in root:
+                raise ValueError(
+                    "Material YAML must define constants, phases, transport, "
+                    "reactions, and tables.")
+        c = root["constants"]
+        ph = root["phases"]
+        tr = root["transport"]
+        rhoI = np.array([float(v) for v in ph["rhoI"]])
+        epsI = np.array([float(v) for v in ph["epsI"]])
+        if len(rhoI) < 2 or len(epsI) < 2:
+            raise ValueError("phases.rhoI and phases.epsI need >= 2 entries")
+        nph = min(len(rhoI), len(epsI))
+        reacs = root["reactions"]
+        if not reacs:
+            raise ValueError("Material YAML must contain at least one reaction.")
+
+        def phase_of(r):
+            if "phase_index" in r:
+                return int(r["phase_index"])
+            if "phase" in r:
+                return int(r["phase"]) - 1
+            return min(1, nph - 1)
+
+        F = np.array([float(r["F"]) for r in reacs])
+        if F.sum() <= 0:
+            raise ValueError("Sum of reaction F coefficients must be positive.")
+        return cls(
+            R=float(c["R"]),
+            min_pi_pyro=float(c.get("min_pi_pyro", 1.0e-9)),
+            rho_eps0=(rhoI[:nph] * epsI[:nph]),
+            K_v=float(tr["K_v"]), K_c=float(tr["K_c"]),
+            eps_g_v=float(tr["eps_g_v"]), eps_g_c=float(tr["eps_g_c"]),
+            F=F,
+            A=np.array([float(r["A"]) for r in reacs]),
+            E=np.array([float(r["E"]) for r in reacs]),
+            m_exp=np.array([float(r["m"]) for r in reacs]),
+            n_exp=np.array([float(r["n"]) for r in reacs]),
+            T_thr=np.array([float(r["T_threshold"]) for r in reacs]),
+            h_reac=np.array([float(r["h"]) for r in reacs]),
+            phase=np.array([min(max(phase_of(r), 0), nph - 1) for r in reacs]),
+            virgin=PropertyTable.from_yaml_node(root["tables"]["virgin"], 3),
+            char=PropertyTable.from_yaml_node(root["tables"]["char"], 3),
+            gas=PropertyTable.from_yaml_node(root["tables"]["gas"], 3),
+        )
+
+    # -- derived scalars ---------------------------------------------------
+
+    @property
+    def num_reactions(self) -> int:
+        return len(self.F)
+
+    @property
+    def rho_virgin(self) -> float:
+        return float(self.rho_eps0.sum())
+
+    @property
+    def rho_char(self) -> float:
+        rc = self.rho_eps0.sum() - (self.rho_eps0[self.phase] * self.F).sum()
+        return float(max(rc, 1e-14))
+
+    def initial_solid_density(self) -> float:
+        return float(self.rho_eps0[0] + self.rho_eps0[1])
+
+    def char_solid_density(self) -> float:
+        rem = np.clip(1.0 - self.F.sum(), 0.0, 1.0)
+        return float(self.rho_eps0[0] + self.rho_eps0[1] * rem)
+
+    # -- reaction extents --------------------------------------------------
+
+    def _extent_rate(self, x, T):
+        """Reaction rate dx/dt at extent x, temperature T (batched ..., nr)."""
+        Tc = jnp.maximum(T, 1.0)[..., None]
+        arr = self.A * jnp.exp(-self.E / (self.R * Tc))
+        one_minus = jnp.maximum(1.0 - x, 1e-14)
+        tpow = jnp.where(self.n_exp == 0.0, 1.0,
+                         jnp.maximum(Tc, 1e-14) ** self.n_exp)
+        xpow = jnp.where(self.m_exp == 0.0, 1.0, one_minus ** self.m_exp)
+        rate = arr * xpow * tpow
+        active = (Tc >= self.T_thr) & (arr > 0.0)
+        return jnp.where(active, rate, 0.0)
+
+    def solve_reaction_extents(self, T, dt, extent_old):
+        """Advance extents by implicit backward Euler: x = x_old + dt*rate(x).
+
+        T (...,), dt scalar, extent_old (..., nr) -> extent (..., nr).
+        Fixed 30-iteration vectorized Newton (the reference caps at 30,
+        tacot_material.cpp:249) with the same clamp x in [x_old, 1];
+        differentiable via the implicit-function theorem (custom_jvp)."""
+        if not hasattr(self, "_extent_solver"):
+            object.__setattr__(self, "_extent_solver",
+                               _make_extent_solver(self))
+        return self._extent_solver(jnp.asarray(T), jnp.asarray(dt),
+                                   jnp.asarray(extent_old))
+
+    # -- bulk properties ---------------------------------------------------
+
+    def tau(self, extent):
+        """Virgin-mass fraction weighting (ComputeTau, :878-911)."""
+        w = self.F * self.rho_eps0[self.phase]
+        norm = w.sum()
+        if norm <= 0:
+            return jnp.ones(extent.shape[:-1])
+        t = jnp.sum((w / norm) * (1.0 - jnp.clip(extent, 0.0, 1.0)), axis=-1)
+        return jnp.clip(t, 0.0, 1.0)
+
+    def solid_density(self, extent):
+        nph = len(self.rho_eps0)
+        x = jnp.clip(extent, 0.0, 1.0)
+        # phase_factor[ph] = 1 - sum_{i in ph} F_i x_i
+        contrib = jnp.zeros(extent.shape[:-1] + (nph,))
+        contrib = contrib.at[..., self.phase].add(self.F * x)
+        pf = jnp.maximum(0.0, 1.0 - contrib)
+        return jnp.sum(self.rho_eps0 * pf, axis=-1)
+
+    def solid_props(self, T, p, extent, extent_old=None, dt=0.0):
+        """EvaluateSolid (:282-402); returns a dict of batched arrays."""
+        tau = self.tau(extent)
+        rho_s = self.solid_density(extent)
+        rho_v = self.rho_virgin
+        rho_c = self.rho_char
+        rho_ref = jnp.maximum(rho_s, rho_c)
+        vw = jnp.where(rho_ref > 0, tau * rho_v / rho_ref, tau)
+
+        cp_v = self.virgin.eval(0, p, T)
+        h_v = self.virgin.eval(1, p, T)
+        k_v = self.virgin.eval(2, p, T)
+        cp_c = self.char.eval(0, p, T)
+        h_c = self.char.eval(1, p, T)
+        k_c = self.char.eval(2, p, T)
+
+        out = {
+            "tau": tau,
+            "rho_s": rho_s,
+            "cp": cp_v * vw + cp_c * (1 - vw),
+            "h": h_v * vw + h_c * (1 - vw),
+            "k": k_v * vw + k_c * (1 - vw),
+            "emissivity": jnp.full_like(tau, self.emissivity_fallback),
+            "reflectivity": jnp.full_like(tau, self.reflectivity_fallback),
+        }
+        out["absorptivity"] = jnp.clip(1.0 - out["reflectivity"], 0.0, 1.0)
+        out["K"] = tau * self.K_v + (1 - tau) * self.K_c
+        out["eps_g"] = tau * self.eps_g_v + (1 - tau) * self.eps_g_c
+
+        if extent_old is not None:
+            x = jnp.clip(extent, 0.0, 1.0)
+            xo = jnp.clip(extent_old, 0.0, 1.0)
+            dX = jnp.maximum(0.0, x - xo)
+            pi = jnp.where(dt > 0,
+                           self.rho_eps0[self.phase] * self.F * dX
+                           / jnp.maximum(dt, 1e-300), 0.0)
+            pi = jnp.where(pi < self.min_pi_pyro, 0.0, pi)
+            out["pi_i"] = pi
+            out["pi_total"] = pi.sum(axis=-1)
+        else:
+            out["pi_i"] = jnp.zeros(tau.shape + (self.num_reactions,))
+            out["pi_total"] = jnp.zeros_like(tau)
+
+        if abs(rho_v - rho_c) > 1e-14:
+            h_bar = (rho_v * h_v - rho_c * h_c) / (rho_v - rho_c)
+        else:
+            h_bar = h_v
+        out["pyrolysis_heat_sink"] = h_bar * out["pi_total"]
+        out["m_dot_g"] = out["pi_total"]
+        return out
+
+    def gas_props(self, T, p):
+        """EvaluateGas (:404-419)."""
+        M = self.gas.eval(0, p, T)
+        h = self.gas.eval(1, p, T)
+        mu = self.gas.eval(2, p, T)
+        rho = p * M / (self.R * jnp.maximum(T, 1.0))
+        return {"M": M, "h": h, "mu": mu, "rho": rho}

@@ -33,10 +33,10 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
        rtol=1e-12, atol=0.0, maxiter=1000) -> SolveResult:
     """Preconditioned conjugate gradients for SPD operators."""
     b = jnp.asarray(b)
-    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).astype(b.dtype)
     M = M or _identity
 
-    r0 = b - apply_A(x0)
+    r0 = (b - apply_A(x0)).astype(b.dtype)
     z0 = M(r0)
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.linalg.norm(b)
@@ -48,17 +48,18 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
 
     def body(state):
         x, r, z, p, rz, k = state
-        Ap = apply_A(p)
+        Ap = apply_A(p).astype(b.dtype)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = M(r)
+        z = M(r).astype(b.dtype)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
-    state = (x0, r0, z0, z0, rz0, jnp.asarray(0))
+    z0 = z0.astype(b.dtype)
+    state = (x0, r0, z0, z0, rz0.astype(b.dtype), jnp.asarray(0))
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.linalg.norm(r)
     return SolveResult(x, k, rnorm, rnorm <= jnp.sqrt(tol2) + 1e-300)

@@ -1,0 +1,138 @@
+"""TACOT material model tests against independent references:
+- natural splines vs scipy.interpolate.CubicSpline(bc_type='natural')
+- implicit extent solve satisfies its own equation
+- custom_jvp derivative vs finite differences
+- physical sanity of blended properties on the shipped case-1 deck
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.interpolate import CubicSpline
+
+from cmfem_tpu.physics.tacot import (
+    TacotMaterial, PropertyTable, natural_spline_y2, spline_eval,
+)
+
+MAT1 = "/root/reference/myapps/convection_diffusion/Input/material_tacot_case1.yaml"
+
+
+@pytest.fixture(scope="module")
+def mat():
+    return TacotMaterial.load_yaml(MAT1)
+
+
+def test_natural_spline_matches_scipy():
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 10, 15))
+    y = np.sin(x) + 0.1 * rng.standard_normal(15)
+    y2 = natural_spline_y2(x, y)
+    cs = CubicSpline(x, y, bc_type="natural")
+    xq = np.linspace(x[0] + 1e-6, x[-1] - 1e-6, 200)
+    v, d, cl = spline_eval(x, jnp.asarray(y), jnp.asarray(y2), jnp.asarray(xq))
+    np.testing.assert_allclose(np.asarray(v), cs(xq), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d), cs(xq, 1), atol=1e-10)
+    assert not np.any(np.asarray(cl))
+    # clamping outside the range
+    v2, d2, cl2 = spline_eval(x, jnp.asarray(y), jnp.asarray(y2),
+                              jnp.asarray([x[0] - 1, x[-1] + 1]))
+    np.testing.assert_allclose(np.asarray(v2), [y[0], y[-1]], atol=1e-14)
+    assert np.all(np.asarray(cl2)) and np.all(np.asarray(d2) == 0)
+
+
+def test_table_pressure_interpolation(mat):
+    """Gas table: value at a level matches that level's spline; between
+    levels it's the linear blend."""
+    t = mat.gas
+    T = 1500.0
+    for li, p in enumerate(t.p_levels):
+        v = float(t.eval(0, p, T))
+        cs = CubicSpline(t.T, t.y[li, 0], bc_type="natural")
+        # exact-level query uses forward interval; value identical anyway
+        np.testing.assert_allclose(v, float(cs(T)), rtol=1e-12)
+    p_mid = 0.5 * (t.p_levels[1] + t.p_levels[2])
+    v_mid = float(t.eval(0, p_mid, T))
+    v1 = float(t.eval(0, t.p_levels[1], T))
+    v2 = float(t.eval(0, t.p_levels[2], T))
+    np.testing.assert_allclose(v_mid, 0.5 * (v1 + v2), rtol=1e-12)
+
+
+def test_reaction_extents_satisfy_implicit_equation(mat):
+    T = jnp.asarray([300.0, 600.0, 900.0, 1500.0, 3000.0])
+    dt = 0.1
+    x_old = jnp.zeros((5, mat.num_reactions))
+    x = mat.solve_reaction_extents(T, dt, x_old)
+    assert x.shape == (5, mat.num_reactions)
+    x_np = np.asarray(x)
+    # extents are monotone in T and within [x_old, 1]
+    assert (x_np >= 0).all() and (x_np <= 1).all()
+    assert (np.diff(x_np, axis=0) >= -1e-12).all()
+    # cold temperatures below threshold: no progress
+    assert np.allclose(x_np[0], 0.0)
+    # implicit equation residual where unclamped
+    rate = np.asarray(mat._extent_rate(x, T))
+    f = x_np - np.asarray(x_old) - dt * rate
+    unclamped = (x_np > 1e-12) & (x_np < 1 - 1e-12)
+    assert np.abs(f[unclamped]).max() < 1e-10
+
+
+def test_extent_jvp_vs_fd(mat):
+    T0 = 800.0
+    dt = 0.05
+    x_old = jnp.asarray([[0.1, 0.05, 0.02]])
+
+    def f(T):
+        return mat.solve_reaction_extents(jnp.asarray([T]), dt, x_old)
+
+    eps = 1e-4
+    fd = (np.asarray(f(T0 + eps)) - np.asarray(f(T0 - eps))) / (2 * eps)
+    _, jvp = jax.jvp(lambda T: mat.solve_reaction_extents(T, dt, x_old),
+                     (jnp.asarray([T0]),), (jnp.ones(1),))
+    np.testing.assert_allclose(np.asarray(jvp), fd, rtol=1e-5, atol=1e-10)
+
+
+def test_solid_props_sanity(mat):
+    T = jnp.asarray([300.0, 1000.0, 2500.0])
+    p = jnp.full(3, 101325.0)
+    nr = mat.num_reactions
+    virgin_state = jnp.zeros((3, nr))
+    char_state = jnp.ones((3, nr))
+
+    sv = mat.solid_props(T, p, virgin_state)
+    sc = mat.solid_props(T, p, char_state)
+    np.testing.assert_allclose(np.asarray(sv["tau"]), 1.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sc["tau"]), 0.0, atol=1e-14)
+    np.testing.assert_allclose(float(sv["rho_s"][0]), mat.initial_solid_density())
+    np.testing.assert_allclose(float(sc["rho_s"][0]), mat.char_solid_density())
+    # permeability / porosity blending
+    np.testing.assert_allclose(float(sv["K"][0]), mat.K_v)
+    np.testing.assert_allclose(float(sc["K"][0]), mat.K_c)
+    assert (np.asarray(sv["cp"]) > 0).all()
+    assert (np.asarray(sv["k"]) > 0).all()
+
+    # pyrolysis rates from a state change
+    dt = 0.1
+    x_new = jnp.full((3, nr), 0.5)
+    sp = mat.solid_props(T, p, x_new, extent_old=virgin_state, dt=dt)
+    expect_total = float(np.sum(mat.rho_eps0[mat.phase] * mat.F * 0.5) / dt)
+    np.testing.assert_allclose(np.asarray(sp["pi_total"]), expect_total,
+                               rtol=1e-12)
+
+
+def test_gas_props_ideal_gas(mat):
+    T = jnp.asarray([500.0, 2000.0])
+    p = jnp.asarray([1000.0, 101325.0])
+    g = mat.gas_props(T, p)
+    M = np.asarray(g["M"])
+    rho = np.asarray(g["rho"])
+    np.testing.assert_allclose(rho, np.asarray(p) * M / (mat.R * np.asarray(T)),
+                               rtol=1e-12)
+    assert (M > 1e-3).all() and (M < 1.0).all()  # kg/mol
+
+
+def test_material_yaml_validation(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("constants: {R: 8.314}\n")
+    with pytest.raises(ValueError):
+        TacotMaterial.load_yaml(str(bad))
