@@ -1,0 +1,344 @@
+"""Ablation test case 1: coupled (T, p) pyrolysis with Dirichlet wall T.
+
+Mirrors /root/reference/myapps/convection_diffusion/ablation_test_case1_2D.cpp:
+TACOT strip heated by a tabulated wall-temperature schedule at constant top
+pressure; per-QP reaction state; per-step block Newton solve; probes /
+mass-metrics / newton / timing CSVs and ParaView fields including
+per-reaction extents.  The MUMPS direct solves (Input/petsc_ablation.opts)
+are replaced by a host sparse LU over AD-assembled element Jacobians (the
+systems are a few thousand DOFs); the residual and Jacobian evaluations run
+jitted and batched.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time as _time
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from .common import (
+    parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
+    ensure_outdir, num_steps,
+)
+from ..utils.yamlcfg import load_yaml, resolve_path
+from ..io import CsvWriter, VTUCollection
+
+
+def evaluate_schedule(schedule, t):
+    """Piecewise-linear (time, value) schedule (EvaluateSchedule :111-145)."""
+    ts = np.asarray([s[0] for s in schedule])
+    vs = np.asarray([s[1] for s in schedule])
+    return float(np.interp(t, ts, vs))
+
+
+DEFAULT_SCHEDULE = [
+    [0.0, 300.0], [0.1, 1644.0], [60.0, 1644.0], [60.1, 300.0], [120.0, 300.0],
+]
+
+
+def run(cfg: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import FESpace
+    from ..ops import SpaceOps
+    from ..core.pointlocate import sample_h1, front_depth
+    from ..physics.tacot import TacotMaterial
+    from ..physics.ablation import AblationSystem, AblationState
+    from ..solvers import NewtonConfig
+    from ..utils.timing import StepTimer
+
+    material_file = resolve_path(cfg, cfg.get("material_file",
+                                              "Input/material_tacot_case1.yaml"))
+    order = int(cfg.get("order", 1))
+    dt_cfg = float(cfg.get("dt", 1.0e-2))
+    t_final = float(cfg.get("t_final", 120.0))
+    newton_cfg = NewtonConfig(
+        abs_tol=float(cfg.get("newton_abs_tol", 1e-8)),
+        rel_tol=float(cfg.get("newton_rel_tol", 1e-6)),
+        max_iter=int(cfg.get("newton_max_iter", 20)),
+    )
+    newton_print_level = int(cfg.get("newton_print_level", 1))
+    output_every = int(cfg.get("output_every", 10))
+    output_path = cfg.get("output_path", "ParaView/ablation_case1")
+    collection_name = cfg.get("collection_name", "ablation_test_case1_2D")
+    save_paraview = bool(cfg.get("save_paraview", True))
+    bdr_top = int(cfg.get("bdr_attr_top", 1))
+    top_pressure = float(cfg.get("top_pressure", 101325.0))
+    schedule = cfg.get("top_temperature_schedule", DEFAULT_SCHEDULE)
+    schedule = sorted([[float(a), float(b)] for a, b in schedule])
+    gravity = (float(cfg.get("gravity_x", 0.0)), float(cfg.get("gravity_y", 0.0)))
+    probe_x = float(cfg.get("probe_x", 0.005))
+    probe_y = [float(v) for v in cfg.get(
+        "probe_y", [0.05, 0.049, 0.048, 0.046, 0.042, 0.038, 0.034, 0.026])]
+    if dt_cfg <= 0 or t_final < 0 or order < 1:
+        raise ValueError("invalid dt/t_final/order")
+    if not schedule:
+        raise ValueError("top_temperature_schedule cannot be empty.")
+
+    timer = StepTimer()
+    mat = TacotMaterial.load_yaml(material_file)
+    mesh = load_mesh_from_cfg(cfg)
+    lo, hi = mesh.bounding_box()
+    xmid = 0.5 * (lo[0] + hi[0])
+    fes = FESpace(mesh, order)
+    n = fes.nscalar
+    print(f"Global true dofs (T): {n}")
+    print(f"Global true dofs (p): {n}")
+    print(f"Global true dofs (T+p): {2 * n}")
+
+    quad_order = max(2, 2 * order + 2)
+    ops = SpaceOps(fes, quad_order=quad_order)
+    sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    ne, nq = sys_.ne, sys_.nq
+    state = AblationState.initial(ne, nq, mat)
+
+    ess = np.asarray(fes.boundary_dofs([bdr_top]))
+    ess_mask = np.zeros(n, dtype=bool)
+    ess_mask[ess] = True
+    ess2 = np.concatenate([ess, ess + n])
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess2] = True
+    mask2_j = jnp.asarray(mask2)
+
+    # static sparsity structure of the 2x2 block Jacobian
+    ed = np.asarray(fes.element_dofs, dtype=np.int64)
+    nd = ed.shape[1]
+    rows_b = np.repeat(ed, nd, axis=1).reshape(-1)
+    cols_b = np.tile(ed, (1, nd)).reshape(-1)
+    rows_all = np.concatenate([rows_b, rows_b, rows_b + n, rows_b + n])
+    cols_all = np.concatenate([cols_b, cols_b + n, cols_b, cols_b + n])
+
+    T = jnp.full(n, 300.0)
+    p = jnp.full(n, top_pressure)
+    Tbc0 = evaluate_schedule(schedule, 0.0)
+    T = T.at[jnp.asarray(ess)].set(Tbc0)
+    p = p.at[jnp.asarray(ess)].set(top_pressure)
+
+    @jax.jit
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt):
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
+        R = jnp.concatenate([RT, Rp])
+        return jnp.where(mask2_j, 0.0, R)
+
+    @jax.jit
+    def jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt):
+        return sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
+
+    def solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt):
+        JTT, JTp, JpT, Jpp = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
+        vals = np.concatenate([np.asarray(b).reshape(-1)
+                               for b in (JTT, JTp, JpT, Jpp)])
+        J = sp.coo_matrix((vals, (rows_all, cols_all)),
+                          shape=(2 * n, 2 * n)).tocsr()
+        # essential elimination: identity rows/cols
+        keep = ~mask2
+        d = sp.diags(keep.astype(np.float64))
+        J = d @ J @ d + sp.diags(mask2.astype(np.float64))
+        dx = spla.spsolve(J.tocsc(), -np.asarray(R))
+        return dx
+
+    ensure_outdir(output_path)
+    probes_csv = CsvWriter(os.path.join(output_path,
+                                        cfg.get("probes_csv", "temperature_probes.csv")),
+                           ["time", "wall"] +
+                           [f"TC{i}" for i in range(1, len(probe_y))])
+    mass_csv = CsvWriter(os.path.join(output_path,
+                                      cfg.get("mass_csv", "mass_metrics.csv")),
+                         ["time", "m_dot_g_surf", "m_dot_c",
+                          "front_98_virgin", "front_2_char", "recession"])
+    newton_csv = CsvWriter(os.path.join(output_path,
+                                        cfg.get("newton_csv",
+                                                "newton_history_ablation_case1_2D.csv")),
+                           ["step", "time", "iter", "residual", "residual0",
+                            "rel_residual", "update_norm", "update0",
+                            "rel_update", "converged"])
+    timing_csv = CsvWriter(os.path.join(output_path,
+                                        cfg.get("timing_step_csv",
+                                                "driver_timing_per_step.csv")),
+                           ["step", "bc_sec", "newton_sec",
+                            "newton_residual_eval_sec", "newton_jacobian_sec",
+                            "newton_linear_sec", "newton_update_sec",
+                            "state_advance_sec", "output_sec",
+                            "step_total_sec"])
+
+    l2like = lambda vals: np.asarray(vals)
+    dc = None
+    if save_paraview:
+        dc = VTUCollection(collection_name, fes, prefix_path=output_path)
+
+    nr = mat.num_reactions
+    probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
+
+    def write_outputs(step, t):
+        wallT = evaluate_schedule(schedule, t)
+        probe_vals = sample_h1(fes, np.asarray(T), probe_pts)
+        mdot_surf = float(sys_.top_boundary_mass_flux(T, p, state))
+        f98 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.98)
+        f2 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.02)
+        probes_csv.writerow([t, wallT] + [float(v) for v in probe_vals])
+        mass_csv.writerow([t, mdot_surf, 0.0, f98, f2, 0.0])
+        if dc is not None and step % output_every == 0:
+            fields = {
+                "temperature": np.asarray(T),
+                "pressure": np.asarray(p),
+                "tau": l2like(state.tau_elem),
+                "rho_s": l2like(state.rho_elem),
+                "pi_total": l2like(state.pi_elem),
+                "m_dot_g": l2like(state.mdot_elem),
+                "degree_char": l2like(state.degree_char_elem),
+                "char_density_fraction": l2like(state.char_density_fraction_elem),
+            }
+            for r in range(nr):
+                fields[f"X{r + 1}"] = l2like(state.extent_elem[r])
+            dc.save(step, t, fields)
+        return mdot_surf, f98, f2
+
+    write_outputs(0, 0.0)
+    nsteps = num_steps(t_final, dt_cfg)
+    print(f"Time steps: {nsteps}, nominal final time: {nsteps * dt_cfg}")
+
+    t = 0.0
+    totals = {k: 0.0 for k in ("bc", "newton", "nres", "njac", "nlin", "nupd",
+                               "state", "output", "step")}
+    for step in range(1, nsteps + 1):
+        step_t0 = _time.perf_counter()
+        t_next = min(t_final, t + dt_cfg)
+        dt_step = t_next - t
+        t = t_next
+
+        T_old_q = ops.values_at_qp(T)
+        p_old_q = ops.values_at_qp(p)
+        X_old = state.extent
+
+        bc_t0 = _time.perf_counter()
+        Tbc = evaluate_schedule(schedule, t)
+        T = T.at[jnp.asarray(ess)].set(Tbc)
+        p = p.at[jnp.asarray(ess)].set(top_pressure)
+        bc_sec = _time.perf_counter() - bc_t0
+
+        # Newton loop
+        newton_t0 = _time.perf_counter()
+        nres = njac = nlin = nupd = 0.0
+        r0 = du0 = 1.0
+        converged = False
+        iters = 0
+        final_res = np.inf
+        for it in range(newton_cfg.max_iter):
+            tt = _time.perf_counter()
+            R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step)
+            R = jax.block_until_ready(R)
+            nres += _time.perf_counter() - tt
+            res_norm = float(jnp.linalg.norm(R))
+            if it == 0:
+                r0 = max(1.0, res_norm)
+            rel_res = res_norm / r0
+            final_res = res_norm
+            if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol:
+                converged = True
+                iters = it
+                newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                                     0.0, du0, 0.0, 1])
+                break
+            tt = _time.perf_counter()
+            dx = solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt_step)
+            nlin += _time.perf_counter() - tt
+            tt = _time.perf_counter()
+            un = float(np.linalg.norm(dx))
+            if it == 0:
+                du0 = max(1.0, un)
+            T = T + jnp.asarray(dx[:n])
+            p = p + jnp.asarray(dx[n:])
+            T = T.at[jnp.asarray(ess)].set(Tbc)
+            p = p.at[jnp.asarray(ess)].set(top_pressure)
+            nupd += _time.perf_counter() - tt
+            newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                                 un, du0, un / du0, 0])
+            if newton_print_level > 0:
+                print(f"NR iteration {it}:\n|R|/|R0|= {rel_res}\n|R|= {res_norm}"
+                      f"\n|du|/|du0|= {un / du0}\n|du|= {un}")
+        newton_sec = _time.perf_counter() - newton_t0
+        if not converged:
+            raise RuntimeError(
+                f"Newton did not converge at step {step}, final residual="
+                f"{final_res}")
+
+        st_t0 = _time.perf_counter()
+        state = sys_.advance_state(state, T, p, dt_step)
+        state_sec = _time.perf_counter() - st_t0
+
+        out_t0 = _time.perf_counter()
+        write_outputs(step, t)
+        out_sec = _time.perf_counter() - out_t0
+        step_sec = _time.perf_counter() - step_t0
+        timing_csv.writerow([step, bc_sec, newton_sec, nres, njac, nlin,
+                             nupd, state_sec, out_sec, step_sec])
+        for k, v in zip(("bc", "newton", "nres", "njac", "nlin", "nupd",
+                         "state", "output", "step"),
+                        (bc_sec, newton_sec, nres, njac, nlin, nupd,
+                         state_sec, out_sec, step_sec)):
+            totals[k] += v
+        if step <= 5 or step % 50 == 0 or step == nsteps:
+            print(f"step={step} t={t:g} newton_iters={iters} "
+                  f"Tmax={float(jnp.max(T)):.1f} "
+                  f"tau_min={state.tau_elem.min():.4f}")
+
+    # acceptance tolerance echo (fiat_error_tolerances.csv)
+    acc = cfg.get("acceptance", {})
+    with CsvWriter(os.path.join(output_path, "fiat_error_tolerances.csv"),
+                   ["signal", "tolerance"]) as w:
+        w.writerow(["temperature_rmse_max",
+                    float(acc.get("temperature_rmse_max", 150.0))])
+        w.writerow(["temperature_max_abs_max",
+                    float(acc.get("temperature_max_abs_max", 300.0))])
+        w.writerow(["m_dot_g_peak_rel_error_max",
+                    float(acc.get("m_dot_g_peak_rel_error_max", 0.5))])
+        w.writerow(["m_dot_g_peak_time_error_max",
+                    float(acc.get("m_dot_g_peak_time_error_max", 10.0))])
+        w.writerow(["front98_rmse_max",
+                    float(acc.get("front98_rmse_max", 0.01))])
+        w.writerow(["front2_rmse_max",
+                    float(acc.get("front2_rmse_max", 0.01))])
+
+    with CsvWriter(os.path.join(output_path,
+                                cfg.get("timing_summary_csv",
+                                        "driver_timing_summary.csv")),
+                   ["metric", "seconds"]) as w:
+        summ = timer.summary()
+        w.writerow(["setup_time_maxrank", summ.get("wall", 0.0) - totals["step"]])
+        w.writerow(["run_time_maxrank", summ.get("wall", 0.0)])
+        w.writerow(["sum_step_time_maxrank", totals["step"]])
+        w.writerow(["sum_bc_time_maxrank", totals["bc"]])
+        w.writerow(["sum_newton_time_maxrank", totals["newton"]])
+        w.writerow(["sum_newton_residual_eval_time_maxrank", totals["nres"]])
+        w.writerow(["sum_newton_jacobian_time_maxrank", totals["njac"]])
+        w.writerow(["sum_newton_linear_time_maxrank", totals["nlin"]])
+        w.writerow(["sum_newton_update_time_maxrank", totals["nupd"]])
+        w.writerow(["sum_state_advance_time_maxrank", totals["state"]])
+        w.writerow(["sum_output_time_maxrank", totals["output"]])
+        w.writerow(["avg_step_time_maxrank",
+                    totals["step"] / max(1, nsteps)])
+
+    probes_csv.close()
+    mass_csv.close()
+    newton_csv.close()
+    timing_csv.close()
+    return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
+            "fes": fes, "mesh": mesh}
+
+
+def main(argv=None):
+    setup_cpu_if_requested()
+    args = parse_args("Input/input_ablation_case1.yaml", argv)
+    cfg = load_yaml(args.input)
+    echo_config({k: v for k, v in cfg.items() if not k.startswith("_")})
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

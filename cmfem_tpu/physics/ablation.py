@@ -1,0 +1,227 @@
+"""Coupled (T, p) porous-medium pyrolysis system (ablation case 1+).
+
+Clean-room TPU-native re-implementation of the reference's
+``AblationTPIntegrator`` + ``ReactionStateManager``
+(/root/reference/myapps/convection_diffusion/ablation_test_case1_2D.cpp:264-615):
+
+- energy residual: solid+gas storage, conduction, Darcy enthalpy advection,
+  gravity work, pyrolysis heat sink (ComputeElementResidual :466-597);
+- pressure residual: gas storage, Darcy flux, pyrolysis source;
+- per-QP reaction extents advanced by the implicit TACOT extent solve and
+  *frozen per step* (recomputed from the old state inside the residual, so
+  AD differentiates through the extent Newton — the semantic the
+  reference's whole-residual FD Jacobian (:401-463) captures);
+- element Jacobian blocks by vmapped forward-mode AD instead of FD;
+- element-average diagnostics (AdvanceInternalStates :821-921) and the
+  top-boundary Darcy mass-flux diagnostic (:634-746).
+
+Everything is batched over (ne, nq) and jittable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.assembly import SpaceOps
+from ..ops.faces import BoundaryTrace
+from .tacot import TacotMaterial
+
+MU_FLOOR = 1.0e-12
+
+
+@dataclass
+class AblationState:
+    """Per-QP committed reaction extents + element-average diagnostics."""
+
+    extent: jnp.ndarray            # (ne, nq, nr) committed (extent_old == extent)
+    tau_elem: np.ndarray           # (ne,)
+    rho_elem: np.ndarray
+    pi_elem: np.ndarray
+    mdot_elem: np.ndarray
+    extent_elem: np.ndarray        # (nr, ne)
+    degree_char_elem: np.ndarray
+    char_density_fraction_elem: np.ndarray
+
+    @classmethod
+    def initial(cls, ne, nq, material: TacotMaterial):
+        nr = material.num_reactions
+        return cls(
+            extent=jnp.zeros((ne, nq, nr)),
+            tau_elem=np.ones(ne),
+            rho_elem=np.full(ne, material.initial_solid_density()),
+            pi_elem=np.zeros(ne),
+            mdot_elem=np.zeros(ne),
+            extent_elem=np.zeros((nr, ne)),
+            degree_char_elem=np.zeros(ne),
+            char_density_fraction_elem=np.zeros(ne),
+        )
+
+
+class AblationSystem:
+    """The coupled residual, AD Jacobian, state advance, and diagnostics."""
+
+    def __init__(self, ops: SpaceOps, material: TacotMaterial,
+                 gravity=(0.0, 0.0), top_attr: int = 1):
+        self.ops = ops
+        self.mat = material
+        self.gravity = jnp.asarray(np.asarray(gravity, dtype=np.float64))
+        self.n = ops.fes.nscalar
+        self.ne, self.nq = np.asarray(ops.gf.wdetJ).shape
+        self.trace = BoundaryTrace(ops, attr_marker=[top_attr])
+
+    # -- QP-level residual densities --------------------------------------
+
+    def _qp_residual(self, Tq, gTq, pq, gpq, T_old_q, p_old_q, X_old, dt):
+        """Residual densities at QPs.
+
+        Returns (r0T, r1T, r0p, r1p): test-value and test-gradient weights
+        for the energy and pressure equations (all (..., nq[, dim]))."""
+        mat = self.mat
+        X = mat.solve_reaction_extents(Tq, dt, X_old)
+        solid = mat.solid_props(Tq, pq, X, extent_old=X_old, dt=dt)
+        gas = mat.gas_props(Tq, pq)
+        solid_old = mat.solid_props(T_old_q, p_old_q, X_old)
+        gas_old = mat.gas_props(T_old_q, p_old_q)
+
+        mu = jnp.maximum(gas["mu"], MU_FLOOR)
+        darcy = solid["K"] / mu
+        rho_darcy = gas["rho"] * darcy
+        rho2_darcy = gas["rho"] * rho_darcy
+        h_rho_darcy = gas["h"] * rho_darcy
+        h_rho2_darcy = gas["h"] * rho2_darcy
+
+        storage_p = (solid["eps_g"] * gas["rho"]
+                     - solid_old["eps_g"] * gas_old["rho"]) / dt
+        source_p = solid["pi_total"]
+        solid_storage = solid["rho_s"] * solid["cp"] * (Tq - T_old_q) / dt
+        gas_storage = (solid["eps_g"] * (gas["rho"] * gas["h"] - pq)
+                       - solid_old["eps_g"] * (gas_old["rho"] * gas_old["h"]
+                                               - p_old_q)) / dt
+
+        g = self.gravity
+        r0p = storage_p - source_p
+        r1p = rho_darcy[..., None] * gpq - rho2_darcy[..., None] * g
+        r0T = solid_storage + gas_storage - solid["pyrolysis_heat_sink"]
+        r1T = (solid["k"][..., None] * gTq
+               + h_rho_darcy[..., None] * gpq
+               - h_rho2_darcy[..., None] * g)
+        return r0T, r1T, r0p, r1p
+
+    # -- global residual ---------------------------------------------------
+
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None):
+        """Global block residual (R_T, R_p) for dof vectors T, p (n,)."""
+        ops = self.ops
+        gf = gf or ops.gf
+        T_e = jnp.asarray(T)[ops.eldofs]
+        p_e = jnp.asarray(p)[ops.eldofs]
+        Tq = jnp.einsum("qn,en->eq", ops.B, T_e)
+        pq = jnp.einsum("qn,en->eq", ops.B, p_e)
+        gT = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
+                        jnp.einsum("qnr,en->eqr", ops.G, T_e))
+        gp = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
+                        jnp.einsum("qnr,en->eqr", ops.G, p_e))
+        r0T, r1T, r0p, r1p = self._qp_residual(
+            Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt)
+
+        def scatter_pair(r0, r1):
+            y_e = jnp.einsum("qn,eq->en", ops.B, r0 * gf.wdetJ)
+            r1ref = jnp.einsum("eqrd,eqd->eqr", gf.invJ, r1)
+            y_e = y_e + jnp.einsum("qnr,eqr->en", ops.G,
+                                   r1ref * gf.wdetJ[..., None])
+            return ops.scatter(y_e)
+
+        return scatter_pair(r0T, r1T), scatter_pair(r0p, r1p)
+
+    # -- element Jacobian blocks ------------------------------------------
+
+    def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None):
+        """(ne, 2, nd, 2, nd) Jacobian blocks d(rT,rp)/d(elT,elp) by AD."""
+        ops = self.ops
+        gf = gf or ops.gf
+
+        def elem_res(elT, elp, invJ, wdetJ, To, po, Xo):
+            Tq = jnp.einsum("qn,n->q", ops.B, elT)[None]
+            pq = jnp.einsum("qn,n->q", ops.B, elp)[None]
+            gT = jnp.einsum("qrd,qr->qd", invJ,
+                            jnp.einsum("qnr,n->qr", ops.G, elT))[None]
+            gp = jnp.einsum("qrd,qr->qd", invJ,
+                            jnp.einsum("qnr,n->qr", ops.G, elp))[None]
+            r0T, r1T, r0p, r1p = self._qp_residual(
+                Tq, gT, pq, gp, To[None], po[None], Xo[None], dt)
+
+            def pair(r0, r1):
+                y = jnp.einsum("qn,q->n", ops.B, r0[0] * wdetJ)
+                r1ref = jnp.einsum("qrd,qd->qr", invJ, r1[0])
+                return y + jnp.einsum("qnr,qr->n", ops.G,
+                                      r1ref * wdetJ[:, None])
+
+            return pair(r0T, r1T), pair(r0p, r1p)
+
+        T_e = jnp.asarray(T)[ops.eldofs]
+        p_e = jnp.asarray(p)[ops.eldofs]
+        jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)),
+                       in_axes=(0, 0, 0, 0, 0, 0, 0))
+        (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, gf.invJ, gf.wdetJ,
+                                     T_old_q, p_old_q, X_old)
+        return JTT, JTp, JpT, Jpp
+
+    # -- state advance + diagnostics --------------------------------------
+
+    def advance_state(self, state: AblationState, T, p, dt) -> AblationState:
+        """Commit per-QP extents after a converged step and refresh the
+        element-average diagnostics (AdvanceInternalStates :821-921)."""
+        ops = self.ops
+        mat = self.mat
+        Tq = ops.values_at_qp(T)
+        pq = ops.values_at_qp(p)
+        X_old = state.extent
+        X = mat.solve_reaction_extents(Tq, dt, X_old)
+        solid = mat.solid_props(Tq, pq, X, extent_old=X_old, dt=dt)
+
+        tau_e = np.asarray(jnp.mean(solid["tau"], axis=1))
+        rho_e = np.asarray(jnp.mean(solid["rho_s"], axis=1))
+        pi_e = np.asarray(jnp.mean(solid["pi_total"], axis=1))
+        mdot_e = np.asarray(jnp.mean(solid["m_dot_g"], axis=1))
+        extent_e = np.asarray(jnp.mean(X, axis=1)).T  # (nr, ne)
+        degree_char = np.clip(1.0 - tau_e, 0.0, 1.0)
+        rho_v = mat.initial_solid_density()
+        rho_c = mat.char_solid_density()
+        den = rho_v - rho_c
+        cdf = np.clip((rho_v - rho_e) / den, 0.0, 1.0) if abs(den) > 1e-14 \
+            else np.zeros_like(rho_e)
+
+        return AblationState(
+            extent=X, tau_elem=tau_e, rho_elem=rho_e, pi_elem=pi_e,
+            mdot_elem=mdot_e, extent_elem=extent_e,
+            degree_char_elem=degree_char, char_density_fraction_elem=cdf,
+        )
+
+    def top_boundary_mass_flux(self, T, p, state: AblationState,
+                               vertices=None):
+        """Area-averaged outward Darcy mass flux on the top boundary
+        (ComputeTopBoundaryMassFlux :634-746).  Uses the adjacent element's
+        first-QP reaction state as representative (:706-708)."""
+        tr = self.trace
+        Tq = tr.values(T)
+        pq = tr.values(p)
+        gp = tr.grads(p, vertices)
+        Xrep = state.extent[tr.elem, 0]  # (nbf, nr)
+        Xf = jnp.broadcast_to(Xrep[:, None, :],
+                              (tr.nbf, tr.quad.nqp, Xrep.shape[-1]))
+        solid = self.mat.solid_props(Tq, pq, Xf)
+        gas = self.mat.gas_props(Tq, pq)
+        mu = jnp.maximum(gas["mu"], MU_FLOOR)
+        rho_darcy = gas["rho"] * solid["K"] / mu
+        rho2_darcy = gas["rho"] * rho_darcy
+        mflux = (-rho_darcy[..., None] * gp
+                 + rho2_darcy[..., None] * self.gravity)
+        ff = tr.face_factors(vertices)
+        flux_int = jnp.sum(jnp.einsum("fqd,fqd->fq", mflux, ff.normal)
+                           * ff.wdS)
+        area = jnp.sum(ff.wdS)
+        return jnp.where(area > 0, flux_int / area, jnp.nan)

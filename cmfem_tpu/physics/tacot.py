@@ -174,11 +174,13 @@ class PropertyTable:
 def _make_extent_solver(mat: "TacotMaterial"):
     """Build the custom_jvp'ed implicit extent solver with the material's
     reaction constants closed over as static arrays."""
-    A = jnp.asarray(mat.A)
-    E = jnp.asarray(mat.E)
-    m_exp = jnp.asarray(mat.m_exp)
-    n_exp = jnp.asarray(mat.n_exp)
-    T_thr = jnp.asarray(mat.T_thr)
+    # numpy constants: re-materialized per trace (jnp constants captured in
+    # a closure built inside a trace would leak tracers across jits)
+    A = np.asarray(mat.A)
+    E = np.asarray(mat.E)
+    m_exp = np.asarray(mat.m_exp)
+    n_exp = np.asarray(mat.n_exp)
+    T_thr = np.asarray(mat.T_thr)
     R = mat.R
     iters = mat.newton_iters
 

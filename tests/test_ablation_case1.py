@@ -1,0 +1,61 @@
+"""Ablation case 1: coupled (T,p) pyrolysis driver (short smoke)."""
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/myapps/convection_diffusion"
+
+
+@pytest.fixture(scope="module")
+def case1_out(tmp_path_factory):
+    from cmfem_tpu.apps.ablation_case1 import run
+
+    out_dir = tmp_path_factory.mktemp("case1")
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case1.yaml",
+        "order": 1,
+        "dt": 0.05,
+        "t_final": 0.15,
+        "newton_print_level": 0,
+        "output_path": str(out_dir),
+        "save_paraview": False,
+        "output_every": 100,
+    }
+    return run(cfg), out_dir
+
+
+def test_case1_runs_and_heats(case1_out):
+    out, out_dir = case1_out
+    T = out["T"]
+    # wall at 1644 K ramps by t=0.1; top boundary dofs should be heated
+    assert T.max() > 1600.0
+    # bottom stays cold
+    assert abs(T.min() - 300.0) < 1.0
+    assert np.isfinite(out["p"]).all()
+    assert (out["p"] > 0).all()
+
+
+def test_case1_state_physical(case1_out):
+    out, _ = case1_out
+    st = out["state"]
+    assert (st.tau_elem <= 1.0 + 1e-12).all()
+    assert (st.tau_elem >= 0.0).all()
+    # some charring near the hot wall
+    assert st.tau_elem.min() < 0.999
+    # density between char and virgin bounds
+    assert st.rho_elem.min() >= 220.0 - 1e-9
+    assert st.rho_elem.max() <= 280.0 + 1e-9
+
+
+def test_case1_csv_outputs(case1_out):
+    _, out_dir = case1_out
+    probes = (out_dir / "temperature_probes.csv").read_text().splitlines()
+    assert probes[0] == "time,wall,TC1,TC2,TC3,TC4,TC5,TC6,TC7"
+    assert len(probes) == 5  # header + t=0 + 3 steps
+    mass = (out_dir / "mass_metrics.csv").read_text().splitlines()
+    assert mass[0] == "time,m_dot_g_surf,m_dot_c,front_98_virgin,front_2_char,recession"
+    last = [float(v) for v in mass[-1].split(",")]
+    assert last[1] > 0.0  # outgassing at the heated wall
+    tol = (out_dir / "fiat_error_tolerances.csv").read_text()
+    assert "temperature_rmse_max,150" in tol
