@@ -56,14 +56,30 @@ def main():
     assert grid.ndofs == ndofs
     setup_s = time.perf_counter() - t0
 
-    def timeit(apply_jit, u, iters=50):
-        y = apply_jit(u)
+    ITERS = 50
+
+    def make_loop(fn):
+        """Time a fully-jitted loop of applies: per-call dispatch through the
+        axon relay is ~60ms, so eager ops between applies would swamp the
+        measurement.  The normalization keeps values bounded and defeats CSE."""
+
+        @jax.jit
+        def many(u, *extra):
+            def body(_, u):
+                y = fn(u, *extra)
+                return y / (1.0 + jnp.max(jnp.abs(y)))
+
+            return jax.lax.fori_loop(0, ITERS, body, u)
+
+        return many
+
+    def timeit(many, u, *extra):
+        y = many(u, *extra)
         jax.block_until_ready(y)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            y = apply_jit(y / (1.0 + jnp.max(jnp.abs(y))))
+        y = many(u, *extra)
         jax.block_until_ready(y)
-        return (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / ITERS
 
     candidates = [("structured-xla",
                    lambda: StructuredPAOperator(ops, data, grid,
@@ -84,8 +100,8 @@ def main():
             op = make_op()
             bound = op.bind()
             fn, extra = bound[0], bound[1:]
-            apply_jit = jax.jit(fn)
-            dt = timeit(lambda u: apply_jit(u, *extra), u0)
+            many = make_loop(fn)
+            dt = timeit(many, u0, *extra)
             results[name] = ndofs / dt / 1e6
             if results[name] >= max(results.values()):
                 best_bound = (fn, extra)

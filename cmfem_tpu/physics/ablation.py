@@ -201,6 +201,123 @@ class AblationSystem:
             degree_char_elem=degree_char, char_density_fraction_elem=cdf,
         )
 
+    # -- surface energy balance (case 2.1+) --------------------------------
+
+    def _seb_face_qp(self, Tw, pw, gpw, Xrep, normal, bc, branch, model,
+                     bprime, count_clamps=False):
+        """Flux terms at face QPs given trace values (batched (nbf, nqf))."""
+        from .seb import surface_flux
+
+        mat = self.mat
+        nqf = Tw.shape[-1]
+        Xf = jnp.broadcast_to(Xrep[:, None, :],
+                              Tw.shape + (Xrep.shape[-1],))
+        solid = mat.solid_props(Tw, pw, Xf)
+        gas = mat.gas_props(Tw, pw)
+        mu = jnp.maximum(gas["mu"], MU_FLOOR)
+        rho_darcy = gas["rho"] * solid["K"] / mu
+        rho2_darcy = gas["rho"] * rho_darcy
+        mflux = (-rho_darcy[..., None] * gpw
+                 + rho2_darcy[..., None] * self.gravity)
+        m_dot_g_w = jnp.einsum("fqd,fqd->fq", mflux, normal)
+        emissivity = jnp.full_like(Tw, model.emissivity_override) \
+            if model.use_emissivity_override else solid["emissivity"]
+        absorptivity = jnp.full_like(Tw, model.absorptivity_override) \
+            if model.use_absorptivity_override else solid["absorptivity"]
+        terms = surface_flux(m_dot_g_w, gas["h"], Tw, emissivity,
+                             absorptivity, solid["reflectivity"], bc, branch,
+                             model, bprime, count_clamps=count_clamps)
+        terms["m_dot_g_w"] = m_dot_g_w
+        return terms
+
+    def seb_face_residual(self, T, p, extent, bc, branch,
+                          model, bprime, vertices=None):
+        """R_T contribution of the SEB boundary integrator:
+        R_T[i] -= int q_surf psi_i ds over the top boundary
+        (ComputeFaceResidual, ablation_test_case2_1_2D.cpp:2109-2217)."""
+        tr = self.trace
+        Tw = tr.values(T)
+        pw = tr.values(p)
+        gpw = tr.grads(p, vertices)
+        ff = tr.face_factors(vertices)
+        Xrep = jnp.asarray(extent)[tr.elem, 0]
+        terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
+                                  model, bprime)
+        return -tr.scatter(terms["q_surf"] * ff.wdS)
+
+    def seb_face_jacobians(self, T, p, extent, bc, branch,
+                           model, bprime, vertices=None):
+        """(nbf, nd, nd) x2 face Jacobian blocks d(rT_face)/d(elT, elp)."""
+        tr = self.trace
+        ff = tr.face_factors(vertices)
+        invJ = tr.element_invJ(vertices)
+        Btab = tr.Btab[tr._combo_j]
+        Gtab = tr.Gtab[tr._combo_j]
+        Xrep = jnp.asarray(extent)[tr.elem, 0]
+        T_e = jnp.asarray(T)[tr.eldofs]
+        p_e = jnp.asarray(p)[tr.eldofs]
+
+        def face_res(elT, elp, B, G, iJ, nrm, wdS, Xr):
+            Tw = jnp.einsum("qn,n->q", B, elT)[None]
+            pw = jnp.einsum("qn,n->q", B, elp)[None]
+            gref = jnp.einsum("qnr,n->qr", G, elp)
+            gpw = jnp.einsum("qrd,qr->qd", iJ, gref)[None]
+            terms = self._seb_face_qp(Tw, pw, gpw, Xr[None], nrm[None], bc,
+                                      branch, model, bprime)
+            return -jnp.einsum("qn,q->n", B, terms["q_surf"][0] * wdS)
+
+        jacf = jax.vmap(jax.jacfwd(face_res, argnums=(0, 1)),
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        JT, Jp = jacf(T_e, p_e, Btab, Gtab, invJ, ff.normal, ff.wdS, Xrep)
+        return JT, Jp
+
+    def top_boundary_diagnostics(self, T, p, state: AblationState, bc,
+                                 branch, model, bprime,
+                                 compute_surface_terms=True, vertices=None,
+                                 count_clamps=True):
+        """Area-averaged surface diagnostics (ComputeTopBoundaryDiagnostics,
+        :2257-2468): 13 quantities + m_dot_g_surf."""
+        tr = self.trace
+        Tw = tr.values(T)
+        pw = tr.values(p)
+        gpw = tr.grads(p, vertices)
+        ff = tr.face_factors(vertices)
+        Xrep = state.extent[tr.elem, 0]
+        area = float(jnp.sum(ff.wdS))
+        if area <= 0:
+            return {k: float("nan") for k in (
+                "m_dot_g_surf", "BprimeG_surf", "BprimeC_surf", "h_w_surf",
+                "emissivity_surf", "absorptivity_surf", "reflectivity_surf",
+                "blowing_correction_surf", "q_conv_surf", "q_adv_pyro_surf",
+                "q_rad_emit_surf", "q_rad_abs_surf", "q_surf")}
+        terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
+                                  model, bprime, count_clamps=count_clamps)
+        avg = lambda x: float(jnp.sum(x * ff.wdS)) / area
+        out = {"m_dot_g_surf": avg(terms["m_dot_g_w"])}
+        if not compute_surface_terms:
+            for k in ("BprimeG_surf", "BprimeC_surf", "h_w_surf",
+                      "emissivity_surf", "absorptivity_surf",
+                      "reflectivity_surf", "blowing_correction_surf",
+                      "q_conv_surf", "q_adv_pyro_surf", "q_rad_emit_surf",
+                      "q_rad_abs_surf", "q_surf"):
+                out[k] = float("nan")
+            return out
+        out.update({
+            "BprimeG_surf": avg(terms["BprimeG"]),
+            "BprimeC_surf": avg(terms["BprimeC"]),
+            "h_w_surf": avg(terms["h_w"]),
+            "emissivity_surf": avg(terms["emissivity"]),
+            "absorptivity_surf": avg(terms["absorptivity"]),
+            "reflectivity_surf": avg(terms["reflectivity"]),
+            "blowing_correction_surf": avg(terms["blowing_correction"]),
+            "q_conv_surf": avg(terms["q_conv"]),
+            "q_adv_pyro_surf": avg(terms["q_adv_pyro"]),
+            "q_rad_emit_surf": avg(terms["q_rad_emit"]),
+            "q_rad_abs_surf": avg(terms["q_rad_abs"]),
+            "q_surf": avg(terms["q_surf"]),
+        })
+        return out
+
     def top_boundary_mass_flux(self, T, p, state: AblationState,
                                vertices=None):
         """Area-averaged outward Darcy mass flux on the top boundary

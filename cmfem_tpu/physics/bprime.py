@@ -1,0 +1,221 @@
+"""B' surface-thermochemistry table: 3-axis (p, B'g, T) lookup.
+
+Clean-room re-implementation of the reference's ``BPrimeTable``
+(/root/reference/myapps/convection_diffusion/bprime_table.{hpp,cpp}):
+whitespace table parsing grouping p -> B'g -> (T, B'c, h_w) rows
+(LoadFromFile :147-251), natural cubic splines in T per (p, B'g) level,
+linear interpolation in B'g, **log-linear in p** (:469-478), derivatives
+d/dB'g and d/dT with clamp and non-smoothness flags, and mutable clamp
+statistics (ClampStats).
+
+JAX port: all levels share padded (Lp, Lbg, nT) arrays (true for the PATO
+decks), lookups are batched jnp ops differentiable in (B'g, T).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from .tacot import natural_spline_y2, spline_eval
+
+
+@dataclass
+class ClampStats:
+    p: int = 0
+    bg: int = 0
+    t: int = 0
+
+
+@dataclass
+class BPrimeTable:
+    p_levels: np.ndarray       # (Lp,)
+    bg_levels: np.ndarray      # (Lbg,) shared across p levels
+    T: np.ndarray              # (nT,) shared grid
+    bc: np.ndarray             # (Lp, Lbg, nT)
+    hw: np.ndarray             # (Lp, Lbg, nT)
+    bc2: np.ndarray            # spline second derivatives
+    hw2: np.ndarray
+    clamp_stats: ClampStats = field(default_factory=ClampStats)
+
+    @classmethod
+    def load_file(cls, path: str) -> "BPrimeTable":
+        """Parse the whitespace PATO format: p bg bc T hw per row, //-comments."""
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.split("//")[0]
+                parts = line.split()
+                if len(parts) < 5:
+                    continue
+                try:
+                    vals = [float(v) for v in parts[:5]]
+                except ValueError:
+                    continue
+                rows.append(vals)
+        if not rows:
+            raise ValueError(f"B-prime table contains no readable data: {path}")
+        arr = np.asarray(rows)  # columns: p, bg, bc, T, hw
+        return cls.from_rows(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4])
+
+    @classmethod
+    def from_rows(cls, p, bg, bc, T, hw) -> "BPrimeTable":
+        p = np.asarray(p); bg = np.asarray(bg)
+        bc = np.asarray(bc); T = np.asarray(T); hw = np.asarray(hw)
+        ps = np.unique(p)
+        bgs = np.unique(bg)
+        Ts = np.unique(T)
+        nT = len(Ts)
+        bc_t = np.zeros((len(ps), len(bgs), nT))
+        hw_t = np.zeros((len(ps), len(bgs), nT))
+        filled = np.zeros((len(ps), len(bgs)), dtype=bool)
+        for i, pv in enumerate(ps):
+            for j, bgv in enumerate(bgs):
+                sel = (p == pv) & (bg == bgv)
+                if not sel.any():
+                    continue
+                Tsel = T[sel]
+                order = np.argsort(Tsel)
+                Tu, idx = np.unique(Tsel[order], return_index=True)
+                if len(Tu) != nT or not np.allclose(Tu, Ts):
+                    raise NotImplementedError(
+                        "B' table T grids must match across (p, B'g) levels")
+                bc_t[i, j] = bc[sel][order][idx]
+                hw_t[i, j] = hw[sel][order][idx]
+                filled[i, j] = True
+        if not filled.all():
+            raise NotImplementedError(
+                "B' table must have every (p, B'g) combination")
+        return cls(ps, bgs, Ts, bc_t, hw_t,
+                   natural_spline_y2(Ts, bc_t), natural_spline_y2(Ts, hw_t))
+
+    @classmethod
+    def synthetic_tacot(cls) -> "BPrimeTable":
+        """A physically-shaped synthetic TACOT-in-air B' table for testing
+        when the PATO data deck is unavailable (the reference points at an
+        author-local absolute path).  B'c ramps smoothly from the
+        oxidation plateau (~0.17) to the sublimation regime above ~3000 K,
+        decreasing with B'g dilution; h_w grows roughly like hot-gas
+        enthalpy.  NOT validation data — shapes only."""
+        ps = np.array([1013.25, 10132.5, 101325.0])
+        bgs = np.array([1e-4, 1e-3, 1e-2, 1e-1, 1.0, 10.0])
+        Ts = np.linspace(200.0, 4000.0, 96)
+        bc = np.zeros((len(ps), len(bgs), len(Ts)))
+        hw = np.zeros_like(bc)
+        for i, p in enumerate(ps):
+            for j, bg in enumerate(bgs):
+                T_ox = 1200.0 + 60.0 * np.log10(p / 101325.0 + 1e-12)
+                plateau = 0.17 / (1.0 + bg)
+                subl_T = 3200.0 + 80.0 * np.log10(p / 1013.25)
+                ox = plateau / (1.0 + np.exp(-(Ts - T_ox) / 80.0))
+                subl = 2.0 / (1.0 + np.exp(-(Ts - subl_T) / 60.0))
+                bc[i, j] = ox + subl
+                hw[i, j] = 1.1e3 * (Ts - 298.0) + 0.12 * (Ts - 298.0) ** 2 \
+                    - 4.0e5 * bg / (1.0 + bg)
+        P, BG, TT = np.meshgrid(ps, bgs, Ts, indexing="ij")
+        return cls.from_rows(P.ravel(), BG.ravel(), bc.ravel(),
+                             TT.ravel(), hw.ravel())
+
+    # -- lookup ------------------------------------------------------------
+
+    def lookup(self, p, bg, T, count_clamps: bool = False):
+        """Batched lookup.
+
+        Returns dict(bc, hw, dbc_dbg, dbc_dT, dhw_dbg, dhw_dT, clamped_p,
+        clamped_bg, clamped_t, nonsmooth_bg); all jnp arrays broadcast
+        from (p, bg, T)."""
+        ps = self.p_levels
+        bgs = self.bg_levels
+        Lp, Lbg = len(ps), len(bgs)
+        p = jnp.asarray(p)
+        bg = jnp.asarray(bg)
+        T = jnp.asarray(T)
+
+        # evaluate splines at all (p, bg) levels: (Lp, Lbg, ...)
+        def eval_all(y, y2):
+            vals = []
+            ders = []
+            cls_ = []
+            for i in range(Lp):
+                vi, di, ci = [], [], []
+                for j in range(Lbg):
+                    v, d, c = spline_eval(self.T, jnp.asarray(y[i, j]),
+                                          jnp.asarray(y2[i, j]), T)
+                    vi.append(v); di.append(d); ci.append(c)
+                vals.append(jnp.stack(vi)); ders.append(jnp.stack(di))
+                cls_.append(jnp.stack(ci))
+            return jnp.stack(vals), jnp.stack(ders), jnp.stack(cls_)
+
+        bc_v, bc_d, bc_c = eval_all(self.bc, self.bc2)
+        hw_v, hw_d, hw_c = eval_all(self.hw, self.hw2)
+
+        # B'g axis: clamp + linear
+        bg_min, bg_max = bgs[0], bgs[-1]
+        bg_q = jnp.clip(bg, bg_min, bg_max)
+        clamped_bg = (bg < bg_min) | (bg > bg_max)
+        hj = jnp.clip(jnp.searchsorted(jnp.asarray(bgs), bg_q, side="left"),
+                      1, Lbg - 1)
+        lj = hj - 1
+        bg0 = jnp.asarray(bgs)[lj]
+        bg1 = jnp.asarray(bgs)[hj]
+        wbg = (bg_q - bg0) / (bg1 - bg0)
+        on_node = (jnp.abs(bg_q - bg0) <= 1e-12 * jnp.maximum(1.0, jnp.abs(bg_q))) | \
+                  (jnp.abs(bg_q - bg1) <= 1e-12 * jnp.maximum(1.0, jnp.abs(bg_q)))
+        nonsmooth_bg = clamped_bg | on_node
+
+        def interp_bg(vals, ders):
+            # vals (Lp, Lbg, ...) -> per p-level (Lp, ...)
+            v0 = jnp.take_along_axis(vals, lj[None, None], axis=1)[:, 0]
+            v1 = jnp.take_along_axis(vals, hj[None, None], axis=1)[:, 0]
+            d0 = jnp.take_along_axis(ders, lj[None, None], axis=1)[:, 0]
+            d1 = jnp.take_along_axis(ders, hj[None, None], axis=1)[:, 0]
+            val = (1 - wbg) * v0 + wbg * v1
+            dT = (1 - wbg) * d0 + wbg * d1
+            dbg = jnp.where(clamped_bg, 0.0, (v1 - v0) / (bg1 - bg0))
+            return val, dT, dbg
+
+        bc_p, bc_dT_p, bc_dbg_p = interp_bg(bc_v, bc_d)
+        hw_p, hw_dT_p, hw_dbg_p = interp_bg(hw_v, hw_d)
+        clamped_t = jnp.any(bc_c | hw_c, axis=(0, 1))
+
+        # pressure axis: clamp + log-linear
+        p_min, p_max = ps[0], ps[-1]
+        p_q = jnp.clip(p, p_min, p_max)
+        clamped_p = (p < p_min) | (p > p_max)
+        if Lp == 1:
+            out_sel = lambda a: a[0]
+            bc_o, hw_o = out_sel(bc_p), out_sel(hw_p)
+            bc_dT, hw_dT = out_sel(bc_dT_p), out_sel(hw_dT_p)
+            bc_dbg, hw_dbg = out_sel(bc_dbg_p), out_sel(hw_dbg_p)
+        else:
+            hi = jnp.clip(jnp.searchsorted(jnp.asarray(ps), p_q, side="left"),
+                          1, Lp - 1)
+            lo = hi - 1
+            lp0 = jnp.log(jnp.maximum(jnp.asarray(ps)[lo], 1e-30))
+            lp1 = jnp.log(jnp.maximum(jnp.asarray(ps)[hi], 1e-30))
+            lpq = jnp.log(jnp.maximum(p_q, 1e-30))
+            w = (lpq - lp0) / (lp1 - lp0)
+
+            def mix(a):
+                a0 = jnp.take_along_axis(a, lo[None], axis=0)[0]
+                a1 = jnp.take_along_axis(a, hi[None], axis=0)[0]
+                return (1 - w) * a0 + w * a1
+
+            bc_o, hw_o = mix(bc_p), mix(hw_p)
+            bc_dT, hw_dT = mix(bc_dT_p), mix(hw_dT_p)
+            bc_dbg, hw_dbg = mix(bc_dbg_p), mix(hw_dbg_p)
+
+        if count_clamps:
+            self.clamp_stats.p += int(np.sum(np.asarray(clamped_p)))
+            self.clamp_stats.bg += int(np.sum(np.asarray(clamped_bg)))
+            self.clamp_stats.t += int(np.sum(np.asarray(clamped_t)))
+
+        return {
+            "bc": bc_o, "hw": hw_o,
+            "dbc_dbg": bc_dbg, "dbc_dT": bc_dT,
+            "dhw_dbg": hw_dbg, "dhw_dT": hw_dT,
+            "clamped_p": clamped_p, "clamped_bg": clamped_bg,
+            "clamped_t": clamped_t, "nonsmooth_bg": nonsmooth_bg,
+        }

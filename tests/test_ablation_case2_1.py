@@ -1,0 +1,158 @@
+"""Case 2.1: B' table, surface schedule, SEB fluxes, driver + restart."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REF = "/root/reference/myapps/convection_diffusion"
+
+
+def test_bprime_synthetic_lookup_shapes_and_derivs():
+    from cmfem_tpu.physics.bprime import BPrimeTable
+
+    bt = BPrimeTable.synthetic_tacot()
+    T = jnp.asarray([500.0, 1500.0, 3000.0])
+    p = jnp.full(3, 101325.0)
+    bg = jnp.full(3, 0.1)
+    out = bt.lookup(p, bg, T)
+    assert out["bc"].shape == (3,)
+    # B'c increases with T at fixed B'g
+    v = np.asarray(out["bc"])
+    assert v[2] > v[1] > v[0] - 1e-12
+    # dbc_dT consistent with FD
+    eps = 1e-3
+    vp = np.asarray(bt.lookup(p, bg, T + eps)["bc"])
+    vm = np.asarray(bt.lookup(p, bg, T - eps)["bc"])
+    np.testing.assert_allclose(np.asarray(out["dbc_dT"]), (vp - vm) / (2 * eps),
+                               rtol=1e-4, atol=1e-9)
+    # clamped outside
+    out2 = bt.lookup(jnp.asarray([1.0]), jnp.asarray([100.0]), jnp.asarray([5000.0]))
+    assert bool(out2["clamped_p"][0]) and bool(out2["clamped_bg"][0])
+    assert bool(out2["clamped_t"][0])
+
+
+def test_surface_schedule_parsing_and_chemistry_toggle():
+    from cmfem_tpu.physics.surface_bc import SurfaceBCSchedule
+
+    s = SurfaceBCSchedule.load_file(
+        f"{REF}/Input/boundary_conditions_ablation_case2_1.dat")
+    b0 = s.eval(0.05)
+    assert b0.chemistryOn == 1
+    assert abs(b0.rhoeUeCH - 0.15) < 1e-12  # linear between 0 and 0.3
+    b1 = s.eval(30.0)
+    assert abs(b1.rhoeUeCH - 0.3) < 1e-12 and abs(b1.h_r - 1.5e6) < 1e-6
+    # chemistry toggles OFF (left-constant) after 60.1
+    b2 = s.eval(60.05)
+    assert b2.chemistryOn == 1  # row at 60.0 is still on
+    b3 = s.eval(61.0)
+    assert b3.chemistryOn == 0
+
+
+def test_blowing_correction_properties():
+    from cmfem_tpu.physics.seb import blowing_correction, solve_blowing
+
+    Bg = jnp.asarray([0.0, 1e-12, 0.01, 0.1, 1.0, 10.0])
+    phi = np.asarray(blowing_correction(Bg, 0.5))
+    assert abs(phi[0] - 1.0) < 1e-12
+    assert np.all(np.diff(phi) < 0)  # strictly decreasing
+    # fixed point: Bg ~= mdot / (rhoeUeCH * phi(Bg)) after the reference's
+    # 3 fixed iterations (:647)
+    m = jnp.asarray([0.01])
+    Bg_s, phi_s = solve_blowing(m, 0.3, 0.5, True)
+    resid = float(Bg_s[0] - m[0] / (0.3 * phi_s[0]))
+    assert abs(resid) < 1e-5
+
+
+def test_seb_flux_branches():
+    from cmfem_tpu.physics.seb import (
+        SurfaceFluxModel, classify_branch, surface_flux,
+        BRANCH_CHEMISTRY_BLOWING, BRANCH_COOLING_STANDARD,
+        BRANCH_COOLING_EXACT,
+    )
+    from cmfem_tpu.physics.surface_bc import BoundaryState
+    from cmfem_tpu.physics.bprime import BPrimeTable
+
+    bt = BPrimeTable.synthetic_tacot()
+    model = SurfaceFluxModel()
+    bc_hot = BoundaryState(101325.0, 0.3, 1.5e6, chemistryOn=1)
+    bc_cool = BoundaryState(101325.0, 0.0, 0.0, chemistryOn=0)
+    assert classify_branch(bc_hot, model) == BRANCH_CHEMISTRY_BLOWING
+    assert classify_branch(bc_cool, model) == BRANCH_COOLING_STANDARD
+    model_ce = SurfaceFluxModel(pato_compat_mode="cooling_exact")
+    assert classify_branch(bc_cool, model_ce) == BRANCH_COOLING_EXACT
+
+    T = jnp.asarray([[1000.0]])
+    z = jnp.zeros((1, 1))
+    terms = surface_flux(z + 0.01, z + 1e6, T, z + 0.85, z + 0.85, z + 0.15,
+                         bc_hot, BRANCH_CHEMISTRY_BLOWING, model, bt)
+    # heating: q_conv dominates at 1000 K wall
+    assert float(terms["q_conv"][0, 0]) > 1e5
+    assert float(terms["q_rad_emit"][0, 0]) < 0
+    # cooling-exact at same state: no chemistry terms
+    terms2 = surface_flux(z + 0.01, z + 1e6, T, z + 0.85, z + 0.85, z + 0.15,
+                          bc_cool, BRANCH_COOLING_EXACT, model_ce, bt)
+    assert float(terms2["h_w"][0, 0]) == 0.0
+    assert float(terms2["q_adv_pyro"][0, 0]) == pytest.approx(-0.01 * 1e6)
+
+
+@pytest.fixture(scope="module")
+def case21_out(tmp_path_factory):
+    from cmfem_tpu.apps.ablation_case2_1 import run
+
+    out_dir = tmp_path_factory.mktemp("case21")
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_1.yaml",
+        "boundary_conditions_file": f"{REF}/Input/boundary_conditions_ablation_case2_1.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "newton_print_level": 0,
+        "output_path": str(out_dir),
+        "save_paraview": False,
+        "restart_write_file": str(out_dir / "restart.chk"),
+        "restart_write_at_time": 0.2,
+    }
+    return run(cfg), out_dir, cfg
+
+
+def test_case21_runs_with_seb(case21_out):
+    out, out_dir, _ = case21_out
+    # SEB heats the wall above ambient within 0.3 s
+    assert out["T"].max() > 320.0
+    assert np.isfinite(out["p"]).all()
+    bdr = (out_dir / "boundary_diagnostics.csv").read_text().splitlines()
+    assert bdr[0].startswith("time,m_dot_g_surf,BprimeG_surf")
+    last = [float(v) for v in bdr[-1].split(",")]
+    assert last[9] > 0  # q_conv heating
+    assert last[11] < 0  # q_rad_emit cooling
+
+
+def test_case21_restart_roundtrip(case21_out):
+    from cmfem_tpu.apps.ablation_case2_1 import run
+
+    out, out_dir, cfg = case21_out
+    # restart from the t=0.2 checkpoint and continue to 0.3
+    cfg2 = dict(cfg)
+    cfg2["restart_read_file"] = str(out_dir / "restart.chk.npz")
+    cfg2["restart_write_file"] = ""
+    cfg2["output_path"] = str(out_dir / "resumed")
+    out2 = run(cfg2)
+    assert abs(out2["time"] - 0.3) < 1e-10
+    # resumed solution matches the straight-through run closely
+    np.testing.assert_allclose(out2["T"], out["T"], rtol=0, atol=2e-5)
+    np.testing.assert_allclose(out2["p"], out["p"], rtol=1e-7)
+
+
+def test_case21_restart_validation(tmp_path):
+    from cmfem_tpu.apps.ablation_case2_1 import save_restart, load_restart
+
+    path = str(tmp_path / "c.npz")
+    save_restart(path, 5, 1.25, np.zeros(10), np.ones(10), np.zeros((4, 3, 2)))
+    step, t, T, p, X = load_restart(path, 10, 4, 3, 2)
+    assert step == 5 and t == 1.25
+    with pytest.raises(ValueError, match="size mismatch"):
+        load_restart(path, 11, 4, 3, 2)
+    with pytest.raises(ValueError, match="world size"):
+        load_restart(path, 10, 4, 3, 2, world_size=2)
