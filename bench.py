@@ -81,14 +81,18 @@ def main():
         jax.block_until_ready(y)
         return (time.perf_counter() - t0) / ITERS
 
-    candidates = [("structured-xla",
-                   lambda: StructuredPAOperator(ops, data, grid,
-                                                use_pallas=False))]
-    if platform == "tpu":
-        candidates.insert(0, ("structured-pallas",
-                              lambda: StructuredPAOperator(ops, data, grid,
-                                                           use_pallas=True)))
-    if os.environ.get("BENCH_UNSTRUCTURED", "0") == "1":
+    from cmfem_tpu.ops.sumfact import SumFactoredOperator
+
+    candidates = [("sumfact",
+                   lambda: SumFactoredOperator(ops, data, n, n, n, order))]
+    if os.environ.get("BENCH_ALL_PATHS", "0") == "1":
+        candidates.append(("structured-xla",
+                           lambda: StructuredPAOperator(ops, data, grid,
+                                                        use_pallas=False)))
+        if platform == "tpu":
+            candidates.append(("structured-pallas",
+                               lambda: StructuredPAOperator(ops, data, grid,
+                                                            use_pallas=True)))
         candidates.append(("unstructured-xla",
                            lambda: PAOperator(ops, data)))
 

@@ -129,7 +129,20 @@ class VTUCollection:
             f.write('<PointData>\n')
             for name, u in fields.items():
                 u = np.asarray(u)
-                if u.ndim == 1 and len(u) == self.fes.nscalar:
+                if u.ndim == 2 and u.shape[0] == self.fes.nscalar:
+                    # (nscalar, ncomp) explicit vector field
+                    comps = [
+                        np.einsum("qn,en->eq", self._B,
+                                  u[:, c][self.fes.element_dofs]).reshape(-1)
+                        for c in range(u.shape[1])
+                    ]
+                    while len(comps) < 3:
+                        comps.append(np.zeros_like(comps[0]))
+                    vals = np.stack(comps, axis=1)
+                    f.write(f'<DataArray type="Float64" Name="{name}" '
+                            f'NumberOfComponents="3" format="ascii">\n')
+                    np.savetxt(f, vals, fmt="%.16g")
+                elif u.ndim == 1 and len(u) == self.fes.nscalar:
                     vals = np.einsum("qn,en->eq", self._B,
                                      u[self.fes.element_dofs]).reshape(-1)
                     f.write(f'<DataArray type="Float64" Name="{name}" format="ascii">\n')

@@ -203,6 +203,21 @@ class BilinearForm:
         self._parts.append(build)
         return self
 
+    def add_diffusion_matrix(self, mat_fn, time=None):
+        """(M(x) grad u, grad v) with a matrix coefficient: mat_fn(x[, t])
+        -> (..., dim, dim).  Used by the ALE pulled-back diffusion metric
+        (AleMetricTensorCoefficient, diffusion_mms_ale.cpp:474-502)."""
+
+        def build(gf: GeometricFactors):
+            flat = gf.xq.reshape(-1, gf.xq.shape[-1])
+            M = mat_fn(flat) if time is None else mat_fn(flat, time)
+            M = jnp.asarray(M).reshape(gf.xq.shape[:-1] + M.shape[-2:])
+            K = jnp.einsum("aqrd,aqdc,aqsc->aqrs", gf.invJ, M, gf.invJ)
+            return OperatorData(d11=K * gf.wdetJ[..., None, None])
+
+        self._parts.append(build)
+        return self
+
     def add_convection(self, beta, alpha=1.0, time=None):
         """alpha (beta . grad u, v) — ConvectionIntegrator."""
 
@@ -367,6 +382,21 @@ def l2_norm_fn(ops: SpaceOps, fn, time=None, quad_order=None,
     gf = gf or hi.gf
     ex = eval_coefficient(fn, gf.xq, time)
     return jnp.sqrt(jnp.sum(ex**2 * gf.wdetJ))
+
+
+def weighted_l2_error(ops: SpaceOps, u, exact, weight, time=None,
+                      quad_order=None):
+    """|| u_h - exact ||_L2 with a positive weight (e.g. the ALE Jacobian
+    J for physical-domain norms, ComputeLpError with a weight coefficient,
+    diffusion_mms_ale.cpp:915-924)."""
+    fes = ops.fes
+    qorder = quad_order or max(4, 2 * fes.order + 6)
+    hi = SpaceOps(fes, qorder) if qorder != ops.quad.order else ops
+    gf = hi.gf
+    uq = hi.values_at_qp(u)
+    ex = eval_coefficient(exact, gf.xq, time)
+    w = eval_coefficient(weight, gf.xq, time)
+    return jnp.sqrt(jnp.sum(w * (uq - ex) ** 2 * gf.wdetJ))
 
 
 def linf_error(fes: FESpace, u, exact, time=None):
