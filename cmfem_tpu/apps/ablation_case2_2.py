@@ -1,0 +1,370 @@
+"""Ablation test case 2.2: surface recession with a moving mesh.
+
+Mirrors /root/reference/myapps/convection_diffusion/ablation_test_case2_2_2D.cpp:
+case 2.1 plus char consumption m_dot_c = rho_e u_e C_H B'c phi_blow with
+the coupled B'g+B'c blowing fixed point, recession velocity lumped to the
+top boundary, PATO-like step ordering (recession BEFORE the solve):
+
+  assemble v_rec -> PrepareAdvance (Laplacian mesh velocity) ->
+  RemapExtentsALE -> CommitAdvance (move mesh + quality guard) -> Newton
+
+and the ALE advective terms +(eps_g rho)(w . grad psi),
++(rho_s cp T + eps_g(rho h - p))(w . grad psi) in the residual weighted by
+the committed mesh velocity.  Geometric factors are recomputed from the
+moving vertices inside the jitted residual each step; mass CSV carries the
+real m_dot_c and total recession.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time as _time
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from .common import (
+    parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
+    ensure_outdir,
+)
+from ..utils.yamlcfg import load_yaml, resolve_path
+from ..io import CsvWriter, VTUCollection
+from .ablation_case2_1 import (
+    save_restart, load_restart, RESTART_TIME_TOL,
+)
+
+
+def run(cfg: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import FESpace
+    from ..ops import SpaceOps
+    from ..core.pointlocate import sample_h1, front_depth
+    from ..physics.tacot import TacotMaterial
+    from ..physics.bprime import BPrimeTable
+    from ..physics.surface_bc import SurfaceBCSchedule
+    from ..physics.seb import SurfaceFluxModel, classify_branch
+    from ..physics.ablation import AblationSystem, AblationState
+    from ..motion.recession import MeshRecessionHandler
+    from ..motion.remap import remap_extents_ale
+    from ..solvers import NewtonConfig
+
+    material_file = resolve_path(cfg, cfg.get(
+        "material_file", "Input/material_tacot_case2_2.yaml"))
+    order = int(cfg.get("order", 1))
+    dt_cfg = float(cfg.get("dt", 1.0e-2))
+    t_final = float(cfg.get("t_final", 120.0))
+    newton_cfg = NewtonConfig(
+        abs_tol=float(cfg.get("newton_abs_tol", 1e-8)),
+        rel_tol=float(cfg.get("newton_rel_tol", 1e-6)),
+        max_iter=int(cfg.get("newton_max_iter", 20)),
+    )
+    newton_print_level = int(cfg.get("newton_print_level", 1))
+    output_every = int(cfg.get("output_every", 10))
+    output_path = cfg.get("output_path", "ParaView/ablation_case2_2")
+    collection_name = cfg.get("collection_name", "ablation_test_case2_2_2D")
+    save_paraview = bool(cfg.get("save_paraview", True))
+    bdr_top = int(cfg.get("bdr_attr_top", 1))
+    bdr_bottom = int(cfg.get("bdr_attr_bottom", 2))
+    gravity = (float(cfg.get("gravity_x", 0.0)), float(cfg.get("gravity_y", 0.0)))
+    probe_x = float(cfg.get("probe_x", 0.005))
+    probe_y = [float(v) for v in cfg.get(
+        "probe_y", [0.05, 0.049, 0.048, 0.046, 0.042, 0.038, 0.034, 0.026, 0.0])]
+    recession_density_mode = cfg.get("recession_density_mode", "char_surface")
+    recession_density_constant = float(cfg.get("recession_density_constant", 1200.0))
+    max_step_recession = float(cfg.get("max_step_recession", float("inf")))
+    min_quality_ratio = float(cfg.get("min_quality_ratio", 0.05))
+    recession_enabled = bool(cfg.get("recession_enabled", True))
+
+    model = SurfaceFluxModel(
+        lam=float(cfg.get("lambda", 0.5)),
+        q_rad=float(cfg.get("q_rad", 0.0)),
+        T_background=float(cfg.get("T_background", 300.0)),
+        T_edge=float(cfg.get("T_edge", 300.0)),
+        hconv=float(cfg.get("hconv", 0.0)),
+        emissivity_override=float(cfg.get("emissivity", float("nan"))),
+        absorptivity_override=float(cfg.get("absorptivity", float("nan"))),
+        stefan_boltzmann=float(cfg.get("stefan_boltzmann", 5.670374419e-8)),
+        strict_case2_2=bool(cfg.get("strict_case2_2", False)),
+        pato_compat_mode=("off" if cfg.get("pato_compat_mode", "off") is False
+                          else str(cfg.get("pato_compat_mode", "off")).lower()),
+        case22=True,
+    )
+
+    mat = TacotMaterial.load_yaml(material_file)
+    bprime_cfg = cfg.get("bprime_table_file", "")
+    bprime_path = resolve_path(cfg, bprime_cfg) if bprime_cfg else ""
+    if bprime_path and os.path.isfile(bprime_path):
+        bprime = BPrimeTable.load_file(bprime_path)
+    else:
+        print(f"B' table not found ({bprime_path!r}); using synthetic "
+              f"TACOT-shaped table (NOT validation data).")
+        bprime = BPrimeTable.synthetic_tacot()
+    schedule = SurfaceBCSchedule.load_file(resolve_path(cfg, cfg.get(
+        "boundary_conditions_file",
+        "Input/boundary_conditions_ablation_case2_2.dat")))
+
+    mesh = load_mesh_from_cfg(cfg)
+    fes = FESpace(mesh, order)
+    n = fes.nscalar
+    print(f"Global true dofs (T+p): {2 * n}")
+    quad_order = max(2, 2 * order + 2)
+    ops = SpaceOps(fes, quad_order=quad_order)
+    sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    ne, nq = sys_.ne, sys_.nq
+    nr = mat.num_reactions
+    state = AblationState.initial(ne, nq, mat)
+
+    rec = MeshRecessionHandler(mesh, fes, bdr_attr_top=bdr_top,
+                               bdr_attr_bottom=bdr_bottom,
+                               max_step_recession=max_step_recession,
+                               min_quality_ratio=min_quality_ratio) \
+        if recession_enabled else None
+
+    ess = np.asarray(fes.boundary_dofs([bdr_top]))
+    ess2 = ess + n  # pressure essential at top; T has SEB
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess2] = True
+    mask2_j = jnp.asarray(mask2)
+
+    ed = np.asarray(fes.element_dofs, dtype=np.int64)
+    nd = ed.shape[1]
+    rows_b = np.repeat(ed, nd, axis=1).reshape(-1)
+    cols_b = np.tile(ed, (1, nd)).reshape(-1)
+    rows_all = np.concatenate([rows_b, rows_b, rows_b + n, rows_b + n])
+    cols_all = np.concatenate([cols_b, cols_b + n, cols_b, cols_b + n])
+    fed = np.asarray(sys_.trace.eldofs, dtype=np.int64)
+    frows = np.repeat(fed, nd, axis=1).reshape(-1)
+    fcols = np.tile(fed, (1, nd)).reshape(-1)
+    frows_all = np.concatenate([frows, frows])
+    fcols_all = np.concatenate([fcols, fcols + n])
+
+    bc0 = schedule.eval(0.0)
+    T = jnp.full(n, 300.0)
+    p = jnp.full(n, bc0.p_w)
+    p = p.at[jnp.asarray(ess)].set(bc0.p_w)
+
+    @partial(jax.jit, static_argnames=("branch",))
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq):
+        gf = ops.geometric_factors(verts)
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt, gf=gf, wq=wq)
+        RT = RT + sys_.seb_face_residual(T, p, X_old, bc, branch, model,
+                                         bprime, vertices=verts)
+        R = jnp.concatenate([RT, Rp])
+        return jnp.where(mask2_j, 0.0, R)
+
+    @partial(jax.jit, static_argnames=("branch",))
+    def jacobian_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq):
+        gf = ops.geometric_factors(verts)
+        blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt,
+                                        gf=gf, wq=wq)
+        face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model,
+                                       bprime, vertices=verts)
+        return blocks, face
+
+    def solve_linear(R, args):
+        (JTT, JTp, JpT, Jpp), (FJT, FJp) = jacobian_fn(*args)
+        vals = [np.asarray(b).reshape(-1)
+                for b in (JTT, JTp, JpT, Jpp, FJT, FJp)]
+        J = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate([rows_all, frows_all]),
+              np.concatenate([cols_all, fcols_all]))),
+            shape=(2 * n, 2 * n)).tocsr()
+        keep = ~mask2
+        d = sp.diags(keep.astype(np.float64))
+        J = d @ J @ d + sp.diags(mask2.astype(np.float64))
+        return spla.spsolve(J.tocsc(), -np.asarray(R))
+
+    ensure_outdir(output_path)
+    probes_csv = CsvWriter(
+        os.path.join(output_path, cfg.get("probes_csv", "temperature_probes.csv")),
+        ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))])
+    mass_csv = CsvWriter(
+        os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
+        ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin", "front_2_char",
+         "recession"])
+    boundary_csv = CsvWriter(
+        os.path.join(output_path, cfg.get("boundary_csv", "boundary_diagnostics.csv")),
+        ["time", "m_dot_g_surf", "m_dot_c_surf", "rho_s_surf", "BprimeG_surf",
+         "BprimeC_surf", "h_w_surf", "emissivity_surf", "absorptivity_surf",
+         "reflectivity_surf", "blowing_correction_surf", "q_conv_surf",
+         "q_adv_pyro_surf", "q_rad_emit_surf", "q_rad_abs_surf", "q_surf"])
+    newton_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("newton_csv", "newton_history_ablation_case2_2_2D.csv")),
+        ["step", "time", "iter", "residual", "residual0", "rel_residual",
+         "update_norm", "update0", "rel_update", "converged"])
+
+    dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
+        if save_paraview else None
+    probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
+
+    verts = lambda: (rec.vertices if rec else np.asarray(mesh.vertices))
+    recession_total = 0.0
+
+    def write_outputs(stepno, tnow):
+        nonlocal recession_total
+        v = verts()
+        lo = v.min(axis=0)
+        hi = v.max(axis=0)
+        xmid = 0.5 * (lo[0] + hi[0])
+        bc = schedule.eval(tnow)
+        branch = classify_branch(bc, model)
+        # receding-wall-aware: the wall probe tracks the current surface
+        wallT = float(sample_h1(fes, np.asarray(T),
+                                np.array([[probe_x,
+                                           min(probe_y[0], hi[1] - 1e-9)]]),
+                                vertices=v)[0])
+        probe_vals = sample_h1(fes, np.asarray(T), probe_pts, vertices=v)
+        bdiag = sys_.top_boundary_diagnostics(T, p, state, bc, branch, model,
+                                              bprime, vertices=jnp.asarray(v))
+        f98 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.98,
+                          vertices=v)
+        f2 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.02,
+                         vertices=v)
+        probes_csv.writerow([tnow, wallT] + [float(x) for x in probe_vals])
+        mass_csv.writerow([tnow, bdiag["m_dot_g_surf"], bdiag["m_dot_c_surf"],
+                           f98, f2, recession_total])
+        boundary_csv.writerow([tnow] + [bdiag[k] for k in (
+            "m_dot_g_surf", "m_dot_c_surf", "rho_s_surf", "BprimeG_surf",
+            "BprimeC_surf", "h_w_surf", "emissivity_surf", "absorptivity_surf",
+            "reflectivity_surf", "blowing_correction_surf", "q_conv_surf",
+            "q_adv_pyro_surf", "q_rad_emit_surf", "q_rad_abs_surf", "q_surf")])
+        if dc is not None and stepno % output_every == 0:
+            fields = {
+                "temperature": np.asarray(T), "pressure": np.asarray(p),
+                "tau": state.tau_elem, "rho_s": state.rho_elem,
+                "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
+                "degree_char": state.degree_char_elem,
+                "char_density_fraction": state.char_density_fraction_elem,
+            }
+            for r in range(nr):
+                fields[f"X{r + 1}"] = state.extent_elem[r]
+            if rec is not None:
+                fields["mesh_velocity"] = rec.mesh_velocity
+                fields["recession"] = np.full(n, recession_total)
+            dc.save(stepno, tnow, fields, vertices=v)
+        return bdiag
+
+    write_outputs(0, 0.0)
+    step = 0
+    t = 0.0
+    steps_executed = 0
+    while t < t_final - RESTART_TIME_TOL:
+        step += 1
+        steps_executed += 1
+        t_next = min(t_final, t + dt_cfg)
+        dt_step = t_next - t
+        t = t_next
+
+        bc = schedule.eval(t)
+        branch = classify_branch(bc, model)
+
+        # -- recession phase (PATO ordering: before the solve) --------------
+        wq = jnp.zeros((ne, nq, mesh.dim))
+        if rec is not None:
+            v_top = np.asarray(sys_.top_boundary_recession_velocity(
+                T, p, state, bc, branch, model, bprime,
+                recession_density_mode=recession_density_mode,
+                recession_density_constant=recession_density_constant,
+                vertices=jnp.asarray(rec.vertices)))
+            rec.prepare_advance(v_top, dt_step)
+            new_extent = remap_extents_ale(
+                mesh, ops, state.extent, rec.mesh_velocity_at_qp(ops),
+                dt_step, rec.vertices)
+            state = AblationState(
+                extent=jnp.asarray(new_extent), tau_elem=state.tau_elem,
+                rho_elem=state.rho_elem, pi_elem=state.pi_elem,
+                mdot_elem=state.mdot_elem, extent_elem=state.extent_elem,
+                degree_char_elem=state.degree_char_elem,
+                char_density_fraction_elem=state.char_density_fraction_elem)
+            out = rec.commit_advance()
+            recession_total = out["total_recession"]
+            wq = rec.mesh_velocity_at_qp(ops)
+
+        v_now = jnp.asarray(verts())
+        gf_now = ops.geometric_factors(v_now)
+        T_old_q = jnp.einsum("qn,en->eq", ops.B, T[ops.eldofs])
+        p_old_q = jnp.einsum("qn,en->eq", ops.B, p[ops.eldofs])
+        X_old = state.extent
+
+        p = p.at[jnp.asarray(ess)].set(bc.p_w)
+
+        converged = False
+        r0 = du0 = 1.0
+        final_res = np.inf
+        iters = 0
+        for it in range(newton_cfg.max_iter):
+            R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc,
+                            branch, v_now, wq)
+            res_norm = float(jnp.linalg.norm(R))
+            if it == 0:
+                r0 = max(1.0, res_norm)
+            rel_res = res_norm / r0
+            final_res = res_norm
+            if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol:
+                converged = True
+                iters = it
+                newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                                     0.0, du0, 0.0, 1])
+                break
+            dx = solve_linear(R, (T, p, T_old_q, p_old_q, X_old, dt_step,
+                                  bc, branch, v_now, wq))
+            un = float(np.linalg.norm(dx))
+            if it == 0:
+                du0 = max(1.0, un)
+            T = T + jnp.asarray(dx[:n])
+            p = p + jnp.asarray(dx[n:])
+            p = p.at[jnp.asarray(ess)].set(bc.p_w)
+            newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                                 un, du0, un / du0, 0])
+            if newton_print_level > 0:
+                print(f"NR iteration {it}: |R|/|R0|= {rel_res} |R|= {res_norm}")
+        if not converged:
+            raise RuntimeError(
+                f"Newton did not converge at step {step}, final residual="
+                f"{final_res}")
+
+        state = sys_.advance_state(state, T, p, dt_step)
+        write_outputs(step, t)
+        if step <= 5 or step % 50 == 0:
+            print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
+                  f"Tmax={float(jnp.max(T)):.1f} recession={recession_total:.3e}")
+
+    probes_csv.close()
+    mass_csv.close()
+    boundary_csv.close()
+    newton_csv.close()
+    # acceptance tolerances echo
+    acc = cfg.get("acceptance", {})
+    with CsvWriter(os.path.join(output_path, "amaryllis_error_tolerances.csv"),
+                   ["signal", "tolerance"]) as w:
+        for key, default in (
+                ("temperature_rmse_max", 300.0), ("temperature_max_abs_max", 650.0),
+                ("m_dot_g_rmse_max", 0.025), ("m_dot_g_max_abs_max", 0.08),
+                ("m_dot_c_rmse_max", 0.01), ("m_dot_c_peak_rel_error_max", 0.35),
+                ("recession_rmse_max", 0.0015),
+                ("recession_final_rel_error_max", 0.12)):
+            w.writerow([key, float(acc.get(key, default))])
+    return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
+            "fes": fes, "mesh": mesh, "recession_total": recession_total,
+            "vertices": verts(), "time": t,
+            "handler": rec}
+
+
+def main(argv=None):
+    setup_cpu_if_requested()
+    args = parse_args("Input/input_ablation_case2_2.yaml", argv)
+    cfg = load_yaml(args.input)
+    echo_config({k: v for k, v in cfg.items() if not k.startswith("_")})
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

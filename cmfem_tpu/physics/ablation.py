@@ -75,11 +75,16 @@ class AblationSystem:
 
     # -- QP-level residual densities --------------------------------------
 
-    def _qp_residual(self, Tq, gTq, pq, gpq, T_old_q, p_old_q, X_old, dt):
+    def _qp_residual(self, Tq, gTq, pq, gpq, T_old_q, p_old_q, X_old, dt,
+                     wq=None):
         """Residual densities at QPs.
 
         Returns (r0T, r1T, r0p, r1p): test-value and test-gradient weights
-        for the energy and pressure equations (all (..., nq[, dim]))."""
+        for the energy and pressure equations (all (..., nq[, dim])).
+        With a mesh velocity wq (..., nq, dim) the case-2.2 ALE advective
+        terms +(eps_g rho)(w . grad psi) and
+        +(rho_s cp T + eps_g(rho h - p))(w . grad psi) are added
+        (ablation_test_case2_2_2D.cpp:1884-1927)."""
         mat = self.mat
         X = mat.solve_reaction_extents(Tq, dt, X_old)
         solid = mat.solid_props(Tq, pq, X, extent_old=X_old, dt=dt)
@@ -109,11 +114,17 @@ class AblationSystem:
         r1T = (solid["k"][..., None] * gTq
                + h_rho_darcy[..., None] * gpq
                - h_rho2_darcy[..., None] * g)
+        if wq is not None:
+            ale_mass = solid["eps_g"] * gas["rho"]
+            ale_energy = (solid["rho_s"] * solid["cp"] * Tq
+                          + solid["eps_g"] * (gas["rho"] * gas["h"] - pq))
+            r1p = r1p + ale_mass[..., None] * wq
+            r1T = r1T + ale_energy[..., None] * wq
         return r0T, r1T, r0p, r1p
 
     # -- global residual ---------------------------------------------------
 
-    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None):
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None, wq=None):
         """Global block residual (R_T, R_p) for dof vectors T, p (n,)."""
         ops = self.ops
         gf = gf or ops.gf
@@ -126,7 +137,7 @@ class AblationSystem:
         gp = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
                         jnp.einsum("qnr,en->eqr", ops.G, p_e))
         r0T, r1T, r0p, r1p = self._qp_residual(
-            Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt)
+            Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt, wq=wq)
 
         def scatter_pair(r0, r1):
             y_e = jnp.einsum("qn,eq->en", ops.B, r0 * gf.wdetJ)
@@ -139,12 +150,16 @@ class AblationSystem:
 
     # -- element Jacobian blocks ------------------------------------------
 
-    def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None):
+    def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None,
+                          wq=None):
         """(ne, 2, nd, 2, nd) Jacobian blocks d(rT,rp)/d(elT,elp) by AD."""
         ops = self.ops
         gf = gf or ops.gf
+        if wq is None:
+            import jax.numpy as _jnp
+            wq = _jnp.zeros(gf.wdetJ.shape + (gf.xq.shape[-1],))
 
-        def elem_res(elT, elp, invJ, wdetJ, To, po, Xo):
+        def elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe):
             Tq = jnp.einsum("qn,n->q", ops.B, elT)[None]
             pq = jnp.einsum("qn,n->q", ops.B, elp)[None]
             gT = jnp.einsum("qrd,qr->qd", invJ,
@@ -152,7 +167,8 @@ class AblationSystem:
             gp = jnp.einsum("qrd,qr->qd", invJ,
                             jnp.einsum("qnr,n->qr", ops.G, elp))[None]
             r0T, r1T, r0p, r1p = self._qp_residual(
-                Tq, gT, pq, gp, To[None], po[None], Xo[None], dt)
+                Tq, gT, pq, gp, To[None], po[None], Xo[None], dt,
+                wq=wqe[None])
 
             def pair(r0, r1):
                 y = jnp.einsum("qn,q->n", ops.B, r0[0] * wdetJ)
@@ -165,9 +181,9 @@ class AblationSystem:
         T_e = jnp.asarray(T)[ops.eldofs]
         p_e = jnp.asarray(p)[ops.eldofs]
         jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)),
-                       in_axes=(0, 0, 0, 0, 0, 0, 0))
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
         (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, gf.invJ, gf.wdetJ,
-                                     T_old_q, p_old_q, X_old)
+                                     T_old_q, p_old_q, X_old, wq)
         return JTT, JTp, JpT, Jpp
 
     # -- state advance + diagnostics --------------------------------------
@@ -228,6 +244,7 @@ class AblationSystem:
                              absorptivity, solid["reflectivity"], bc, branch,
                              model, bprime, count_clamps=count_clamps)
         terms["m_dot_g_w"] = m_dot_g_w
+        terms["rho_s"] = solid["rho_s"]
         return terms
 
     def seb_face_residual(self, T, p, extent, bc, branch,
@@ -303,6 +320,8 @@ class AblationSystem:
                 out[k] = float("nan")
             return out
         out.update({
+            "m_dot_c_surf": avg(terms["m_dot_c"]),
+            "rho_s_surf": avg(terms["rho_s"]),
             "BprimeG_surf": avg(terms["BprimeG"]),
             "BprimeC_surf": avg(terms["BprimeC"]),
             "h_w_surf": avg(terms["h_w"]),
@@ -317,6 +336,39 @@ class AblationSystem:
             "q_surf": avg(terms["q_surf"]),
         })
         return out
+
+    def top_boundary_recession_velocity(self, T, p, state: AblationState,
+                                        bc, branch, model, bprime,
+                                        recession_density_mode="char_surface",
+                                        recession_density_constant=1200.0,
+                                        vertices=None):
+        """Lumped top-boundary recession velocity (n,) at scalar DOFs:
+        v_rec = max(0, m_dot_c)/rho_rec averaged with ds psi weights
+        (AssembleTopBoundaryRecessionVelocity,
+        ablation_test_case2_2_2D.cpp:2740-2953).  Uses the element
+        QP-average extents as the representative state (:2454-2500)."""
+        tr = self.trace
+        Tw = tr.values(T)
+        pw = tr.values(p)
+        gpw = tr.grads(p, vertices)
+        ff = tr.face_factors(vertices)
+        Xrep = jnp.mean(state.extent, axis=1)[tr.elem]  # (nbf, nr)
+        terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
+                                  model, bprime)
+        rho_rec = terms["rho_s"] if recession_density_mode == "char_surface"             else jnp.full_like(Tw, recession_density_constant)
+        rho_rec = jnp.maximum(rho_rec, 1e-8)
+        v_rec = jnp.maximum(0.0, terms["m_dot_c"]) / rho_rec
+        B = tr.Btab[tr._combo_j]
+        num = tr.scatter(v_rec * ff.wdS)
+        den = jax.ops.segment_sum(
+            jnp.einsum("fqn,fq->fn", B, ff.wdS).reshape(-1),
+            tr.eldofs.reshape(-1), num_segments=self.n)
+        v = jnp.where(den > 1e-16, num / jnp.maximum(den, 1e-300), 0.0)
+        v = jnp.where(jnp.isfinite(v) & (v > 0), v, 0.0)
+        # restrict to top-boundary dofs
+        top_mask = np.zeros(self.n, dtype=bool)
+        top_mask[np.unique(np.asarray(tr.fes.bdr.dofs)[tr.face_ids])] = True
+        return jnp.where(jnp.asarray(top_mask), v, 0.0)
 
     def top_boundary_mass_flux(self, T, p, state: AblationState,
                                vertices=None):

@@ -42,7 +42,9 @@ class SurfaceFluxModel:
     absorptivity_override: float = float("nan")
     stefan_boltzmann: float = 5.670374419e-8
     strict_case2_1: bool = True
+    strict_case2_2: bool = False
     pato_compat_mode: str = "off"  # "off" | "cooling_exact"
+    case22: bool = False  # use the coupled B'g+B'c blowing solve (2.2)
 
     @property
     def use_emissivity_override(self) -> bool:
@@ -93,6 +95,32 @@ def solve_blowing(m_dot_g_w, rhoeUeCH, lam, enable: bool):
     return Bg, phi
 
 
+def solve_blowing_22(m_dot_g_w, rhoeUeCH, p_w, T_w, bprime: BPrimeTable,
+                     chemistry_on: bool, strict: bool, lam, enable: bool):
+    """Case-2.2 coupled fixed point: the blowing correction uses the TOTAL
+    B' = B'g + B'c with B'c looked up inside the loop
+    (SolveSurfaceBlowingState, ablation_test_case2_2_2D.cpp:724-795;
+    8 iterations).  Returns (BprimeG, BprimeC, phi)."""
+    z = jnp.zeros_like(jnp.asarray(m_dot_g_w))
+    if not enable:
+        return z, z, jnp.ones_like(z)
+    rhoeUeCH_eff = jnp.maximum(rhoeUeCH, 1e-12)
+    Bg = z
+    Bc = z
+    phi = jnp.ones_like(z)
+    for _ in range(8):
+        phi_eff = jnp.maximum(phi, 1e-12)
+        Bg = jnp.maximum(m_dot_g_w / (rhoeUeCH_eff * phi_eff), 0.0)
+        if chemistry_on and not strict:
+            lut = bprime.lookup(jnp.broadcast_to(jnp.asarray(p_w), Bg.shape),
+                                Bg, T_w)
+            Bc = lut["bc"]
+        else:
+            Bc = z
+        phi = blowing_correction(Bg + Bc, lam)
+    return Bg, Bc, phi
+
+
 def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
                  bc: BoundaryState, branch: str, model: SurfaceFluxModel,
                  bprime: Optional[BPrimeTable], count_clamps: bool = False):
@@ -110,7 +138,7 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
         "reflectivity": reflectivity,
         "BprimeG": zeros, "BprimeC": zeros, "h_w": zeros,
         "blowing_correction": jnp.ones_like(zeros),
-        "q_adv_char": zeros,
+        "q_adv_char": zeros, "m_dot_c": zeros,
     }
 
     if branch == BRANCH_COOLING_EXACT:
@@ -125,7 +153,13 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
     chemistry_on = bc.chemistryOn != 0
     rhoeUeCH = jnp.maximum(0.0, bc.rhoeUeCH)
     blowing_active = branch == BRANCH_CHEMISTRY_BLOWING
-    Bg, phi = solve_blowing(m_dot_g_w, rhoeUeCH, model.lam, blowing_active)
+    if model.case22:
+        Bg, Bc22, phi = solve_blowing_22(
+            m_dot_g_w, rhoeUeCH, bc.p_w, T_w, bprime, chemistry_on,
+            model.strict_case2_2, model.lam, blowing_active)
+    else:
+        Bg, phi = solve_blowing(m_dot_g_w, rhoeUeCH, model.lam, blowing_active)
+        Bc22 = None
 
     if bprime is not None:
         lut = bprime.lookup(jnp.full_like(zeros, bc.p_w), Bg, T_w,
@@ -136,11 +170,14 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
         h_w = zeros
         bc_val = zeros
 
+    strict = model.strict_case2_2 if model.case22 else model.strict_case2_1
     out["BprimeG"] = Bg
-    out["BprimeC"] = bc_val if (chemistry_on and not model.strict_case2_1) \
-        else zeros
+    out["BprimeC"] = bc_val if (chemistry_on and not strict) else zeros
     out["h_w"] = h_w
     out["blowing_correction"] = phi
+    # char consumption rate (2.2): m_dot_c = rhoeUeCH * B'c * phi  (:2876-2880)
+    out["m_dot_c"] = (rhoeUeCH * out["BprimeC"] * phi) if chemistry_on \
+        else zeros
     out["q_rad_emit"] = -emissivity * sigma * (T_w**4 - T_bg4)
     out["q_rad_abs"] = absorptivity * model.q_rad
     out["q_adv_pyro"] = -m_dot_g_w * h_w

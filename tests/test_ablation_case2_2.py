@@ -1,0 +1,145 @@
+"""Case 2.2: recession handler, ALE remap, coupled blowing, moving-mesh driver."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+
+REF = "/root/reference/myapps/convection_diffusion"
+
+
+def test_recession_handler_uniform_top_velocity():
+    """Uniform downward top velocity -> linear velocity profile in y
+    (Laplace solution) and exact recession bookkeeping."""
+    from cmfem_tpu.motion.recession import MeshRecessionHandler
+
+    m = make_cartesian_mesh_2d(4, 8)
+    fes = FESpace(m, 1)
+    # top attr=3, bottom attr=1 in make_cartesian_mesh_2d
+    h = MeshRecessionHandler(m, fes, bdr_attr_top=3, bdr_attr_bottom=1)
+    v_top = np.zeros(fes.nscalar)
+    v_top[np.asarray(fes.boundary_dofs([3]))] = 2.0e-3
+    dt = 0.1
+    h.prepare_advance(v_top, dt)
+    # velocity: vy = -v * y (linear in y), vx = 0
+    pts = fes.node_positions
+    np.testing.assert_allclose(h.mesh_velocity[:, 0], 0.0, atol=1e-10)
+    np.testing.assert_allclose(h.mesh_velocity[:, 1], -2.0e-3 * pts[:, 1],
+                               atol=1e-8)
+    out = h.commit_advance()
+    assert abs(out["delta_recession"] - 2.0e-3 * dt) < 1e-12
+    assert abs(h.total_recession - 2.0e-4) < 1e-12
+    # top moved down by v*dt
+    top = np.asarray(fes.boundary_dofs([3]))
+    np.testing.assert_allclose(h.vertices[top, 1], 1.0 - 2.0e-4, atol=1e-10)
+    assert out["min_quality"] > 0.99
+
+
+def test_recession_handler_clamp_and_quality_guard():
+    from cmfem_tpu.motion.recession import MeshRecessionHandler
+
+    m = make_cartesian_mesh_2d(2, 4)
+    fes = FESpace(m, 1)
+    h = MeshRecessionHandler(m, fes, bdr_attr_top=3, bdr_attr_bottom=1,
+                             max_step_recession=1e-4)
+    v_top = np.zeros(fes.nscalar)
+    v_top[np.asarray(fes.boundary_dofs([3]))] = 100.0  # huge
+    h.prepare_advance(v_top, 0.1)
+    # clamped to max_step/dt = 1e-3
+    assert abs(h._pending_mean_v - 1e-3) < 1e-12
+    h.commit_advance()
+    # negative velocities are zeroed
+    v_top[:] = -5.0
+    h.prepare_advance(v_top, 0.1)
+    assert h._pending_mean_v == 0.0
+
+    # quality guard trips when the mesh collapses
+    h2 = MeshRecessionHandler(m, fes, bdr_attr_top=3, bdr_attr_bottom=1,
+                              min_quality_ratio=0.5)
+    v_top2 = np.zeros(fes.nscalar)
+    v_top2[np.asarray(fes.boundary_dofs([3]))] = 6.0  # 0.6 of the height
+    h2.prepare_advance(v_top2, 0.1)
+    with pytest.raises(RuntimeError, match="quality"):
+        h2.commit_advance()
+
+
+def test_remap_extents_identity_when_static():
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.motion.remap import remap_extents_ale
+
+    m = make_cartesian_mesh_2d(3, 3)
+    fes = FESpace(m, 1)
+    ops = SpaceOps(fes, quad_order=4)
+    ne, nq = np.asarray(ops.gf.wdetJ).shape
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (ne, nq, 2))
+    w = np.zeros((ne, nq, 2))
+    out = remap_extents_ale(m, ops, X, w, 0.1, m.vertices)
+    np.testing.assert_allclose(out, X, atol=1e-14)
+
+
+def test_remap_extents_advects_downward():
+    """With the mesh moving down, QPs adopt extents from the material above
+    them (larger y = more charred in this fixture)."""
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.motion.remap import remap_extents_ale
+
+    m = make_cartesian_mesh_2d(2, 10)
+    fes = FESpace(m, 1)
+    ops = SpaceOps(fes, quad_order=4)
+    gf = ops.gf
+    yq = np.asarray(gf.xq)[..., 1]  # (ne, nq)
+    X = np.repeat(yq[..., None], 2, axis=-1)  # extent == y coordinate
+    w = np.zeros(X.shape[:2] + (2,))
+    w[..., 1] = -0.05  # mesh moving down; target = y - 0.05*dt... use dt=1
+    out = remap_extents_ale(m, ops, X, w, 1.0, m.vertices)
+    # target y = yq - 0.05 -> donor extent ~ yq - 0.05 (within QP spacing)
+    interior = (yq > 0.1) & (yq < 0.9)
+    diff = out[..., 0] - (yq - 0.05)
+    assert np.abs(diff[interior]).max() < 0.06  # nearest-QP resolution
+
+
+def test_solve_blowing_22_couples_bc():
+    from cmfem_tpu.physics.seb import solve_blowing_22, blowing_correction
+    from cmfem_tpu.physics.bprime import BPrimeTable
+
+    bt = BPrimeTable.synthetic_tacot()
+    m = jnp.asarray([0.01])
+    T = jnp.asarray([2500.0])
+    Bg, Bc, phi = solve_blowing_22(m, 0.3, 101325.0, T, bt,
+                                   chemistry_on=True, strict=False,
+                                   lam=0.5, enable=True)
+    assert float(Bc[0]) > 0.01  # char oxidation active at 2500 K
+    # phi consistent with total B'
+    np.testing.assert_allclose(
+        float(phi[0]), float(blowing_correction(Bg + Bc, 0.5)[0]), rtol=1e-12)
+    # strict mode: B'c forced to zero
+    _, Bc0, _ = solve_blowing_22(m, 0.3, 101325.0, T, bt, True, True, 0.5, True)
+    assert float(Bc0[0]) == 0.0
+
+
+def test_case22_smoke(tmp_path):
+    from cmfem_tpu.apps.ablation_case2_2 import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file": f"{REF}/Input/boundary_conditions_ablation_case2_2.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "newton_print_level": 0,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+        "recession_density_mode": "char_surface",
+        "max_step_recession": 2.0e-4,
+    }
+    out = run(cfg)
+    assert out["T"].max() > 350.0  # SEB heating
+    assert np.isfinite(out["recession_total"])
+    mass = (tmp_path / "mass_metrics.csv").read_text().splitlines()
+    assert mass[0] == ("time,m_dot_g_surf,m_dot_c,front_98_virgin,"
+                      "front_2_char,recession")
+    bdr = (tmp_path / "boundary_diagnostics.csv").read_text().splitlines()
+    assert "m_dot_c_surf" in bdr[0] and "rho_s_surf" in bdr[0]
