@@ -230,6 +230,38 @@ class BilinearForm:
         self._parts.append(build)
         return self
 
+    def add_supg(self, beta, kappa, reaction=0.0, time=None):
+        """SUPG stabilization for steady convection-diffusion-reaction
+        (BASELINE config #3: convection-dominated high-Peclet regimes):
+
+          + sum_e tau_e ( beta.grad(u) + s u , beta.grad(psi) )_e
+
+        with tau = h/(2|beta|) (coth(Pe) - 1/Pe), Pe = |beta| h /(2 kappa),
+        h from the element volume (the second-derivative term vanishes for
+        the bi/tri-linear elements this path targets)."""
+
+        def build(gf: GeometricFactors):
+            b = _eval_vector(beta, gf.xq, time)  # (ne, nq, dim)
+            k = eval_coefficient(kappa, gf.xq, time)
+            s = eval_coefficient(reaction, gf.xq, time)
+            dim = gf.xq.shape[-1]
+            vol = jnp.sum(gf.wdetJ, axis=1, keepdims=True)  # (ne, 1)
+            h = vol ** (1.0 / dim)
+            bnorm = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)
+            Pe = bnorm * h / (2.0 * jnp.maximum(k, 1e-30))
+            # coth(Pe) - 1/Pe, series-safe for small Pe
+            xi = jnp.where(Pe < 1e-4, Pe / 3.0, 1.0 / jnp.tanh(Pe) - 1.0 / Pe)
+            tau = h / (2.0 * bnorm) * xi
+            # beta in reference-gradient space: br[r] = sum_d beta_d invJ[r,d]
+            br = jnp.einsum("eqd,eqrd->eqr", b, gf.invJ)
+            w = tau * gf.wdetJ
+            d11 = jnp.einsum("eq,eqr,eqs->eqrs", w, br, br)
+            d10 = (w * s)[..., None] * br
+            return OperatorData(d10=d10, d11=d11)
+
+        self._parts.append(build)
+        return self
+
     def add_qpdata(self, build):
         """Custom integrator: build(gf) -> OperatorData."""
         self._parts.append(build)
@@ -352,6 +384,26 @@ def boundary_lf(ops: SpaceOps, g, attr_marker=None, time=None, vertices=None):
     return jax.ops.segment_sum(
         b_f.reshape(-1), f["dofs"].reshape(-1), num_segments=ops.fes.nscalar
     )
+
+
+def supg_lf(ops: SpaceOps, f, beta, kappa, time=None,
+            gf: GeometricFactors | None = None):
+    """SUPG-consistent RHS: sum_e tau_e (f, beta.grad(psi))_e."""
+    gf = gf or ops.gf
+    fq = eval_coefficient(f, gf.xq, time)
+    b = _eval_vector(beta, gf.xq, time)
+    k = eval_coefficient(kappa, gf.xq, time)
+    dim = gf.xq.shape[-1]
+    vol = jnp.sum(gf.wdetJ, axis=1, keepdims=True)
+    h = vol ** (1.0 / dim)
+    bnorm = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)
+    Pe = bnorm * h / (2.0 * jnp.maximum(k, 1e-30))
+    xi = jnp.where(Pe < 1e-4, Pe / 3.0, 1.0 / jnp.tanh(Pe) - 1.0 / Pe)
+    tau = h / (2.0 * bnorm) * xi
+    br = jnp.einsum("eqd,eqrd->eqr", b, gf.invJ)
+    b_e = jnp.einsum("qnr,eqr->en", ops.G,
+                     (tau * fq * gf.wdetJ)[..., None] * br)
+    return ops.scatter(b_e)
 
 
 # -- error norms ------------------------------------------------------------

@@ -1,0 +1,136 @@
+"""Shared pieces of the code-to-code validation harnesses.
+
+The drivers emit probe/mass/boundary CSVs; these harnesses compare them
+against FIAT (case 1) and Amaryllis (cases 2.1/2.2) reference histories
+with tolerances stored in the driver input YAML `acceptance:` block
+(SURVEY.md §4.2).  Outputs are machine-readable PASS bits per signal plus
+an overall PASS row, and comparison PNGs.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import numpy as np
+
+
+def rmse(a, b):
+    d = np.asarray(a) - np.asarray(b)
+    return float(np.sqrt(np.mean(d * d)))
+
+
+def max_abs(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def segmented_rmse_max(t, a, b, t0, t1, valid_mask=None):
+    """RMSE/max-abs restricted to a time window (compare_ablation_case2_2.py
+    segmented_rmse_max)."""
+    mask = (t >= t0) & (t <= t1)
+    if valid_mask is not None:
+        mask = mask & valid_mask
+    if not np.any(mask):
+        return float("nan"), float("nan")
+    return rmse(a[mask], b[mask]), max_abs(a[mask], b[mask])
+
+
+def load_acceptance_from_yaml(path, defaults):
+    """Parse the acceptance: block of a driver input YAML (text scan, like
+    the reference — survives non-YAML-strict files)."""
+    vals = dict(defaults)
+    path = Path(path)
+    if not path.exists():
+        return vals
+    in_block = False
+    for raw in path.read_text().splitlines():
+        line = raw.rstrip()
+        stripped = line.strip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        if stripped == "acceptance:":
+            in_block = True
+            continue
+        if in_block and not line.startswith(" "):
+            break
+        if in_block and ":" in stripped:
+            k, v = stripped.split(":", 1)
+            try:
+                vals[k.strip()] = float(v.strip())
+            except ValueError:
+                pass
+    return vals
+
+
+def load_probe_depths_from_yaml(path):
+    """Probe depths measured from the hot surface (first probe_y entry)."""
+    path = Path(path)
+    if not path.exists():
+        return []
+    probe_y = []
+    in_block = False
+    for raw in path.read_text().splitlines():
+        line = raw.rstrip()
+        stripped = line.strip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        if stripped == "probe_y:":
+            in_block = True
+            continue
+        if in_block:
+            if line.startswith("  -"):
+                try:
+                    probe_y.append(float(line.split("-", 1)[1].strip()))
+                except ValueError:
+                    pass
+                continue
+            if not line.startswith(" "):
+                break
+    if not probe_y:
+        return []
+    y_wall = probe_y[0]
+    return [abs(y_wall - y) for y in probe_y]
+
+
+def temperature_by_depth_from_probes(probes, probe_depths):
+    """[(depth, name, signal)] sorted by depth, from a driver probes CSV
+    (wall at depth 0, TC<i> at probe_depths[i])."""
+    items = []
+    for name in probes.dtype.names:
+        if name == "time":
+            continue
+        if name == "wall":
+            depth = 0.0
+        elif name.startswith("TC") and name[2:].isdigit():
+            idx = int(name[2:])
+            depth = probe_depths[idx] if idx < len(probe_depths) else float(idx)
+        else:
+            continue
+        items.append((depth, name, probes[name]))
+    items.sort(key=lambda x: x[0])
+    return items
+
+
+def temperature_by_depth_from_reference(ref_T, probe_depths):
+    """Same layout from a reference table (col 0 = time, col i+1 = signal)."""
+    items = []
+    for i in range(ref_T.shape[1] - 1):
+        name = "wall" if i == 0 else f"TC{i}"
+        depth = probe_depths[i] if i < len(probe_depths) else float(i)
+        items.append((depth, name, ref_T[:, i + 1]))
+    items.sort(key=lambda x: x[0])
+    return items
+
+
+def write_metrics_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["category", "signal", "rmse", "max_abs", "metric",
+                    "value", "tolerance", "pass"])
+        for r in rows:
+            w.writerow(r)
+
+
+def ensure_2d(a):
+    a = np.asarray(a)
+    return a[None, :] if a.ndim == 1 else a
