@@ -79,6 +79,13 @@ def run(cfg: dict) -> dict:
     max_step_recession = float(cfg.get("max_step_recession", float("inf")))
     min_quality_ratio = float(cfg.get("min_quality_ratio", 0.05))
     recession_enabled = bool(cfg.get("recession_enabled", True))
+    # per-term ALE toggles + GCL storage (the _test ablation-study variant,
+    # ablation_test_case2_2_2D_test.cpp:120-123, :1678-1775)
+    ale_toggles = (bool(cfg.get("ale_mass_enabled", True)),
+                   bool(cfg.get("ale_energy_solid_enabled", True)),
+                   bool(cfg.get("ale_energy_gas_enabled", True)))
+    gcl_enabled = bool(cfg.get("gcl_storage_enabled", False))
+    amaryllis_mass_file = cfg.get("amaryllis_mass_file", "")
 
     model = SurfaceFluxModel(
         lam=float(cfg.get("lambda", 0.5)),
@@ -149,19 +156,23 @@ def run(cfg: dict) -> dict:
     p = p.at[jnp.asarray(ess)].set(bc0.p_w)
 
     @partial(jax.jit, static_argnames=("branch",))
-    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq):
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq,
+                    gcl):
         gf = ops.geometric_factors(verts)
-        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt, gf=gf, wq=wq)
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt, gf=gf,
+                               wq=wq, gcl=gcl, ale_toggles=ale_toggles)
         RT = RT + sys_.seb_face_residual(T, p, X_old, bc, branch, model,
                                          bprime, vertices=verts)
         R = jnp.concatenate([RT, Rp])
         return jnp.where(mask2_j, 0.0, R)
 
     @partial(jax.jit, static_argnames=("branch",))
-    def jacobian_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq):
+    def jacobian_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq,
+                    gcl):
         gf = ops.geometric_factors(verts)
         blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt,
-                                        gf=gf, wq=wq)
+                                        gf=gf, wq=wq, gcl=gcl,
+                                        ale_toggles=ale_toggles)
         face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model,
                                        bprime, vertices=verts)
         return blocks, face
@@ -252,6 +263,7 @@ def run(cfg: dict) -> dict:
         return bdiag
 
     write_outputs(0, 0.0)
+    recession_history = [(0.0, 0.0)]
     step = 0
     t = 0.0
     steps_executed = 0
@@ -267,6 +279,8 @@ def run(cfg: dict) -> dict:
 
         # -- recession phase (PATO ordering: before the solve) --------------
         wq = jnp.zeros((ne, nq, mesh.dim))
+        J_old_q = jnp.asarray(ops.geometric_factors(
+            jnp.asarray(verts())).detJ) if gcl_enabled else None
         if rec is not None:
             v_top = np.asarray(sys_.top_boundary_recession_velocity(
                 T, p, state, bc, branch, model, bprime,
@@ -289,6 +303,7 @@ def run(cfg: dict) -> dict:
 
         v_now = jnp.asarray(verts())
         gf_now = ops.geometric_factors(v_now)
+        gcl = (J_old_q, gf_now.detJ) if gcl_enabled else None
         T_old_q = jnp.einsum("qn,en->eq", ops.B, T[ops.eldofs])
         p_old_q = jnp.einsum("qn,en->eq", ops.B, p[ops.eldofs])
         X_old = state.extent
@@ -301,7 +316,7 @@ def run(cfg: dict) -> dict:
         iters = 0
         for it in range(newton_cfg.max_iter):
             R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc,
-                            branch, v_now, wq)
+                            branch, v_now, wq, gcl)
             res_norm = float(jnp.linalg.norm(R))
             if it == 0:
                 r0 = max(1.0, res_norm)
@@ -314,7 +329,7 @@ def run(cfg: dict) -> dict:
                                      0.0, du0, 0.0, 1])
                 break
             dx = solve_linear(R, (T, p, T_old_q, p_old_q, X_old, dt_step,
-                                  bc, branch, v_now, wq))
+                                  bc, branch, v_now, wq, gcl))
             un = float(np.linalg.norm(dx))
             if it == 0:
                 du0 = max(1.0, un)
@@ -332,6 +347,7 @@ def run(cfg: dict) -> dict:
 
         state = sys_.advance_state(state, T, p, dt_step)
         write_outputs(step, t)
+        recession_history.append((t, recession_total))
         if step <= 5 or step % 50 == 0:
             print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
                   f"Tmax={float(jnp.max(T)):.1f} recession={recession_total:.3e}")
@@ -340,6 +356,35 @@ def run(cfg: dict) -> dict:
     mass_csv.close()
     boundary_csv.close()
     newton_csv.close()
+
+    # in-driver recession comparison vs the Amaryllis mass history
+    # (AmaryllisRecessionHistory + recession error metrics,
+    #  ablation_test_case2_2_2D_test.cpp:302-460)
+    recession_metrics = None
+    am_path = resolve_path(cfg, amaryllis_mass_file) if amaryllis_mass_file \
+        else ""
+    if am_path and os.path.isfile(am_path):
+        am = np.loadtxt(am_path, comments="//", ndmin=2)
+        if am.shape[1] >= 6 and len(am):
+            th = np.array([r[0] for r in recession_history])
+            rh = np.array([r[1] for r in recession_history])
+            ref_r = np.maximum(0.0, np.interp(th, am[:, 0], am[:, 5]))
+            err = rh - ref_r
+            recession_metrics = {
+                "rmse": float(np.sqrt(np.mean(err ** 2))),
+                "max_abs": float(np.abs(err).max()),
+                "final_abs": float(abs(err[-1])),
+                "final_rel": float(abs(err[-1])
+                                   / max(abs(ref_r[-1]), 1e-12)),
+            }
+            with CsvWriter(os.path.join(output_path,
+                                        "recession_error_metrics.csv"),
+                           ["metric", "value"]) as w:
+                for k, v in recession_metrics.items():
+                    w.writerow([k, v])
+            print(f"Recession vs Amaryllis: rmse={recession_metrics['rmse']:.4e}"
+                  f" final_rel={recession_metrics['final_rel']:.4e}")
+
     # acceptance tolerances echo
     acc = cfg.get("acceptance", {})
     with CsvWriter(os.path.join(output_path, "amaryllis_error_tolerances.csv"),
@@ -353,8 +398,9 @@ def run(cfg: dict) -> dict:
             w.writerow([key, float(acc.get(key, default))])
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
             "fes": fes, "mesh": mesh, "recession_total": recession_total,
-            "vertices": verts(), "time": t,
-            "handler": rec}
+            "vertices": verts(), "time": t, "handler": rec,
+            "recession_history": recession_history,
+            "recession_metrics": recession_metrics}
 
 
 def main(argv=None):

@@ -89,9 +89,32 @@ class Mesh:
         return replace(self, vertices=np.asarray(vertices, dtype=np.float64))
 
 
-def load_gmsh(path_or_str, keep_z: bool = False) -> Mesh:
+def load_gmsh(path_or_str, keep_z: bool = False,
+              use_native: bool = True) -> Mesh:
     """Read a GMSH v2.2 ASCII mesh (the format of all reference assets,
-    e.g. /root/reference/myapps/convection_diffusion/Mesh/unit_square.msh)."""
+    e.g. /root/reference/myapps/convection_diffusion/Mesh/unit_square.msh).
+
+    Uses the native C++ parser (native/cmfem_native.cpp) when built,
+    falling back to the pure-Python reader."""
+    if use_native and isinstance(path_or_str, str) \
+            and "$MeshFormat" not in path_or_str:
+        try:
+            from ..native import gmsh_parse_native
+
+            out = gmsh_parse_native(path_or_str)
+        except Exception:
+            out = None
+        if out is not None:
+            dim, xyz, elem_conn, elem_attr, bdr_conn, bdr_attr = out
+            ncorner = elem_conn.shape[1]
+            geom = {(1, 2): SEGMENT, (2, 3): TRIANGLE, (2, 4): QUAD,
+                    (3, 4): TETRAHEDRON, (3, 8): HEXAHEDRON}[(dim, ncorner)]
+            bg = {1: None, 2: SEGMENT, 3: TRIANGLE if bdr_conn.shape[1] == 3
+                  else QUAD}[dim] if len(bdr_attr) else None
+            verts = xyz[:, :dim] if not keep_z else xyz
+            return _finalize_mesh(dim, geom, verts, elem_conn, elem_attr,
+                                  bg, bdr_conn, bdr_attr)
+
     if isinstance(path_or_str, str) and "$MeshFormat" in path_or_str:
         f = io.StringIO(path_or_str)
     else:
@@ -176,7 +199,12 @@ def load_gmsh(path_or_str, keep_z: bool = False) -> Mesh:
         bdr_attr = np.zeros((0,), dtype=np.int32)
 
     verts = xyz[:, :dim] if not keep_z else xyz
+    return _finalize_mesh(dim, geom, verts, elem_conn, elem_attr, bg,
+                          bdr_conn, bdr_attr)
 
+
+def _finalize_mesh(dim, geom, verts, elem_conn, elem_attr, bg, bdr_conn,
+                   bdr_attr) -> Mesh:
     # Drop nodes not referenced by any element (gmsh sometimes emits extras)
     used = np.zeros(len(verts), dtype=bool)
     used[elem_conn.ravel()] = True
@@ -190,7 +218,10 @@ def load_gmsh(path_or_str, keep_z: bool = False) -> Mesh:
         if len(bdr_conn):
             bdr_conn = remap[bdr_conn].astype(np.int32)
 
-    return Mesh(dim, geom, verts, elem_conn, elem_attr, bg, bdr_conn, bdr_attr)
+    return Mesh(dim, geom, verts, np.asarray(elem_conn, dtype=np.int32),
+                np.asarray(elem_attr, dtype=np.int32), bg,
+                np.asarray(bdr_conn, dtype=np.int32),
+                np.asarray(bdr_attr, dtype=np.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,8 @@ class AblationSystem:
     # -- QP-level residual densities --------------------------------------
 
     def _qp_residual(self, Tq, gTq, pq, gpq, T_old_q, p_old_q, X_old, dt,
-                     wq=None):
+                     wq=None, gcl=None,
+                     ale_toggles=(True, True, True)):
         """Residual densities at QPs.
 
         Returns (r0T, r1T, r0p, r1p): test-value and test-gradient weights
@@ -99,13 +100,40 @@ class AblationSystem:
         h_rho_darcy = gas["h"] * rho_darcy
         h_rho2_darcy = gas["h"] * rho2_darcy
 
-        storage_p = (solid["eps_g"] * gas["rho"]
-                     - solid_old["eps_g"] * gas_old["rho"]) / dt
-        source_p = solid["pi_total"]
+        ale_mass_on, ale_es_on, ale_eg_on = ale_toggles
+        e_m_new = solid["eps_g"] * gas["rho"]
+        e_m_old = solid_old["eps_g"] * gas_old["rho"]
+        e_s_new = solid["rho_s"] * solid["cp"] * Tq
+        e_s_old = solid_old["rho_s"] * solid_old["cp"] * T_old_q
+        e_g_new = solid["eps_g"] * (gas["rho"] * gas["h"] - pq)
+        e_g_old = solid_old["eps_g"] * (gas_old["rho"] * gas_old["h"]
+                                        - p_old_q)
+        # plain backward-Euler storage (the solid term uses NEW properties
+        # with the temperature difference, matching the reference's
+        # solid.rho_s*solid.cp*(T - T_old)/dt)
+        storage_p = (e_m_new - e_m_old) / dt
         solid_storage = solid["rho_s"] * solid["cp"] * (Tq - T_old_q) / dt
-        gas_storage = (solid["eps_g"] * (gas["rho"] * gas["h"] - pq)
-                       - solid_old["eps_g"] * (gas_old["rho"] * gas_old["h"]
-                                               - p_old_q)) / dt
+        gas_storage = (e_g_new - e_g_old) / dt
+        if gcl is not None:
+            # Jacobian-weighted geometric-conservation storage
+            # (ablation_test_case2_2_2D_test.cpp EvaluateQPCoeffs :1678-1775)
+            J_old, J_new = gcl
+            ok = (J_old > 0) & (J_new > 0)
+            Jn = jnp.where(ok, J_new, 1.0)
+            Jo = jnp.where(ok, J_old, 1.0)
+
+            def gcl_storage(enabled, enew, eold, plain):
+                if not enabled:
+                    return plain
+                return jnp.where(ok, (Jn * enew - Jo * eold) / (Jn * dt),
+                                 plain)
+
+            storage_p = gcl_storage(ale_mass_on, e_m_new, e_m_old, storage_p)
+            solid_storage = gcl_storage(ale_es_on, e_s_new, e_s_old,
+                                        solid_storage)
+            gas_storage = gcl_storage(ale_eg_on, e_g_new, e_g_old,
+                                      gas_storage)
+        source_p = solid["pi_total"]
 
         g = self.gravity
         r0p = storage_p - source_p
@@ -115,16 +143,18 @@ class AblationSystem:
                + h_rho_darcy[..., None] * gpq
                - h_rho2_darcy[..., None] * g)
         if wq is not None:
-            ale_mass = solid["eps_g"] * gas["rho"]
-            ale_energy = (solid["rho_s"] * solid["cp"] * Tq
-                          + solid["eps_g"] * (gas["rho"] * gas["h"] - pq))
+            ale_mass = e_m_new if ale_mass_on else jnp.zeros_like(e_m_new)
+            ale_energy = ((e_s_new if ale_es_on else 0.0)
+                          + (e_g_new if ale_eg_on else 0.0))
             r1p = r1p + ale_mass[..., None] * wq
-            r1T = r1T + ale_energy[..., None] * wq
+            if ale_es_on or ale_eg_on:
+                r1T = r1T + ale_energy[..., None] * wq
         return r0T, r1T, r0p, r1p
 
     # -- global residual ---------------------------------------------------
 
-    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None, wq=None):
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None, wq=None,
+                 gcl=None, ale_toggles=(True, True, True)):
         """Global block residual (R_T, R_p) for dof vectors T, p (n,)."""
         ops = self.ops
         gf = gf or ops.gf
@@ -137,7 +167,8 @@ class AblationSystem:
         gp = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
                         jnp.einsum("qnr,en->eqr", ops.G, p_e))
         r0T, r1T, r0p, r1p = self._qp_residual(
-            Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt, wq=wq)
+            Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt, wq=wq, gcl=gcl,
+            ale_toggles=ale_toggles)
 
         def scatter_pair(r0, r1):
             y_e = jnp.einsum("qn,eq->en", ops.B, r0 * gf.wdetJ)
@@ -151,7 +182,7 @@ class AblationSystem:
     # -- element Jacobian blocks ------------------------------------------
 
     def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None,
-                          wq=None):
+                          wq=None, gcl=None, ale_toggles=(True, True, True)):
         """(ne, 2, nd, 2, nd) Jacobian blocks d(rT,rp)/d(elT,elp) by AD."""
         ops = self.ops
         gf = gf or ops.gf
@@ -159,7 +190,14 @@ class AblationSystem:
             import jax.numpy as _jnp
             wq = _jnp.zeros(gf.wdetJ.shape + (gf.xq.shape[-1],))
 
-        def elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe):
+        if gcl is None:
+            import jax.numpy as _jnp
+            gcl_arrs = (_jnp.full(gf.wdetJ.shape, -1.0),
+                        _jnp.full(gf.wdetJ.shape, -1.0))
+        else:
+            gcl_arrs = gcl
+
+        def elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe, Jo, Jn):
             Tq = jnp.einsum("qn,n->q", ops.B, elT)[None]
             pq = jnp.einsum("qn,n->q", ops.B, elp)[None]
             gT = jnp.einsum("qrd,qr->qd", invJ,
@@ -168,7 +206,9 @@ class AblationSystem:
                             jnp.einsum("qnr,n->qr", ops.G, elp))[None]
             r0T, r1T, r0p, r1p = self._qp_residual(
                 Tq, gT, pq, gp, To[None], po[None], Xo[None], dt,
-                wq=wqe[None])
+                wq=wqe[None],
+                gcl=None if gcl is None else (Jo[None], Jn[None]),
+                ale_toggles=ale_toggles)
 
             def pair(r0, r1):
                 y = jnp.einsum("qn,q->n", ops.B, r0[0] * wdetJ)
@@ -181,9 +221,9 @@ class AblationSystem:
         T_e = jnp.asarray(T)[ops.eldofs]
         p_e = jnp.asarray(p)[ops.eldofs]
         jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)),
-                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
         (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, gf.invJ, gf.wdetJ,
-                                     T_old_q, p_old_q, X_old, wq)
+                                     T_old_q, p_old_q, X_old, wq, *gcl_arrs)
         return JTT, JTp, JpT, Jpp
 
     # -- state advance + diagnostics --------------------------------------

@@ -143,3 +143,44 @@ def test_case22_smoke(tmp_path):
                       "front_2_char,recession")
     bdr = (tmp_path / "boundary_diagnostics.csv").read_text().splitlines()
     assert "m_dot_c_surf" in bdr[0] and "rho_s_surf" in bdr[0]
+
+
+def test_case22_test_variant_gcl_and_metrics(tmp_path):
+    """The self-checking variant: GCL storage on, a synthetic Amaryllis mass
+    history, in-driver recession metrics; and toggling all ALE terms off
+    changes nothing when the mesh is static."""
+    from cmfem_tpu.apps.ablation_case2_2_test import run
+
+    # synthetic Amaryllis mass file: time mdot_g mdot_c f98 f2 recession
+    am = tmp_path / "amaryllis_mass.txt"
+    am.write_text("\n".join(
+        f"{t} 0.001 0.0003 0 0 {2e-7*t}" for t in
+        [0.0, 0.1, 0.2, 0.3, 0.5, 1.0]))
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file": f"{REF}/Input/boundary_conditions_ablation_case2_2.dat",
+        "order": 1, "dt": 0.1, "t_final": 0.2,
+        "newton_print_level": 0, "save_paraview": False,
+        "amaryllis_mass_file": str(am),
+    }
+    out = run({**base, "output_path": str(tmp_path / "a")})
+    assert out["recession_metrics"] is not None
+    assert (tmp_path / "a" / "recession_error_metrics.csv").exists()
+    assert np.isfinite(out["recession_metrics"]["rmse"])
+
+    # ALE toggles off + static mesh (recession disabled): identical to the
+    # production path with no ALE terms
+    out2 = run({**base, "output_path": str(tmp_path / "b"),
+                "recession_enabled": False,
+                "ale_mass_enabled": False,
+                "ale_energy_solid_enabled": False,
+                "ale_energy_gas_enabled": False,
+                "gcl_storage_enabled": False,
+                "amaryllis_mass_file": ""})
+    from cmfem_tpu.apps.ablation_case2_2 import run as run_prod
+    out3 = run_prod({**base, "output_path": str(tmp_path / "c"),
+                     "recession_enabled": False,
+                     "amaryllis_mass_file": ""})
+    np.testing.assert_allclose(out2["T"], out3["T"], rtol=0, atol=1e-8)

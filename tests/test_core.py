@@ -209,3 +209,35 @@ def test_boundary_face_normals_outward():
     d = np.einsum("fqd,fqd->fq", np.asarray(ff.normal),
                   np.asarray(ff.xq) - ctr)
     assert (d > 0).all()
+
+
+def test_native_gmsh_matches_python_reader():
+    """Native C++ parser produces the same mesh as the Python reader."""
+    from cmfem_tpu.core.mesh import load_gmsh
+
+    for name in ("unit_square", "ablation_strip", "unit_circle"):
+        path = f"{MESH_DIR}/{name}.msh"
+        m_py = load_gmsh(path, use_native=False)
+        m_nat = load_gmsh(path, use_native=True)
+        assert m_py.geom == m_nat.geom
+        np.testing.assert_array_equal(m_py.elem_conn, m_nat.elem_conn)
+        np.testing.assert_allclose(m_py.vertices, m_nat.vertices, atol=0)
+        np.testing.assert_array_equal(m_py.bdr_attr, m_nat.bdr_attr)
+
+
+def test_rcb_partition_balanced_and_local():
+    from cmfem_tpu.core.mesh import load_gmsh
+    from cmfem_tpu.parallel.partition import partition_elements
+
+    m = load_gmsh(f"{MESH_DIR}/unit_square.msh")
+    for nparts in (4, 8):
+        parts = partition_elements(m, nparts)
+        counts = np.bincount(parts, minlength=nparts)
+        assert counts.min() >= m.num_elements // nparts - 1
+        assert counts.max() <= m.num_elements // nparts + 2
+        # locality: each part's bbox area well below the domain area
+        cents = m.vertices[m.elem_conn].mean(axis=1)
+        for k in range(nparts):
+            c = cents[parts == k]
+            area = np.prod(c.max(axis=0) - c.min(axis=0))
+            assert area < 2.0 / nparts
