@@ -63,6 +63,10 @@ def run(cfg: dict) -> dict:
         max_iter=int(cfg.get("newton_max_iter", 20)),
     )
     newton_print_level = int(cfg.get("newton_print_level", 1))
+    jacobian_rebuild_freq = max(1, int(cfg.get("newton_jacobian_rebuild_freq", 1)))
+    jacobian_check = bool(cfg.get("jacobian_check", False))
+    jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
+    jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
     output_path = cfg.get("output_path", "ParaView/ablation_case1")
     collection_name = cfg.get("collection_name", "ablation_test_case1_2D")
@@ -129,7 +133,7 @@ def run(cfg: dict) -> dict:
     def jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt):
         return sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
 
-    def solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt):
+    def factorize(T, p, T_old_q, p_old_q, X_old, dt):
         JTT, JTp, JpT, Jpp = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
         vals = np.concatenate([np.asarray(b).reshape(-1)
                                for b in (JTT, JTp, JpT, Jpp)])
@@ -139,8 +143,7 @@ def run(cfg: dict) -> dict:
         keep = ~mask2
         d = sp.diags(keep.astype(np.float64))
         J = d @ J @ d + sp.diags(mask2.astype(np.float64))
-        dx = spla.spsolve(J.tocsc(), -np.asarray(R))
-        return dx
+        return spla.splu(J.tocsc())
 
     ensure_outdir(output_path)
     probes_csv = CsvWriter(os.path.join(output_path,
@@ -221,13 +224,20 @@ def run(cfg: dict) -> dict:
         p = p.at[jnp.asarray(ess)].set(top_pressure)
         bc_sec = _time.perf_counter() - bc_t0
 
-        # Newton loop
+        if jacobian_check and step == 1:
+            rel = sys_.jacobian_check(T, p, T_old_q, p_old_q, X_old,
+                                      dt_step, abs_tol=jc_abs, rel_tol=jc_rel)
+            print(f"jacobian_check passed (max rel err {rel:.3e})")
+
+        # Newton loop (Jacobian refactorized every jacobian_rebuild_freq
+        # iterations, newton_petsc_solver.hpp:224)
         newton_t0 = _time.perf_counter()
         nres = njac = nlin = nupd = 0.0
         r0 = du0 = 1.0
         converged = False
         iters = 0
         final_res = np.inf
+        lu = None
         for it in range(newton_cfg.max_iter):
             tt = _time.perf_counter()
             R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step)
@@ -245,7 +255,11 @@ def run(cfg: dict) -> dict:
                                      0.0, du0, 0.0, 1])
                 break
             tt = _time.perf_counter()
-            dx = solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt_step)
+            if lu is None or it % jacobian_rebuild_freq == 0:
+                lu = factorize(T, p, T_old_q, p_old_q, X_old, dt_step)
+                njac += _time.perf_counter() - tt
+                tt = _time.perf_counter()
+            dx = lu.solve(-np.asarray(R))
             nlin += _time.perf_counter() - tt
             tt = _time.perf_counter()
             un = float(np.linalg.norm(dx))

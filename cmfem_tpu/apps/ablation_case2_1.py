@@ -91,6 +91,10 @@ def run(cfg: dict) -> dict:
         max_iter=int(cfg.get("newton_max_iter", 20)),
     )
     newton_print_level = int(cfg.get("newton_print_level", 1))
+    jacobian_rebuild_freq = max(1, int(cfg.get("newton_jacobian_rebuild_freq", 1)))
+    jacobian_check = bool(cfg.get("jacobian_check", False))
+    jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
+    jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
     output_path = cfg.get("output_path", "ParaView/ablation_case2_1")
     collection_name = cfg.get("collection_name", "ablation_test_case2_1_2D")
@@ -209,7 +213,7 @@ def run(cfg: dict) -> dict:
         face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model, bprime)
         return blocks, face
 
-    def solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt, bc, branch):
+    def factorize(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
         (JTT, JTp, JpT, Jpp), face = jacobian_fn(
             T, p, T_old_q, p_old_q, X_old, dt, bc, branch)
         vals = [np.asarray(b).reshape(-1) for b in (JTT, JTp, JpT, Jpp)]
@@ -225,7 +229,7 @@ def run(cfg: dict) -> dict:
         keep = ~mask2
         d = sp.diags(keep.astype(np.float64))
         J = d @ J @ d + sp.diags(mask2.astype(np.float64))
-        return spla.spsolve(J.tocsc(), -np.asarray(R))
+        return spla.splu(J.tocsc())
 
     ensure_outdir(output_path)
     probes_csv = CsvWriter(
@@ -340,12 +344,19 @@ def run(cfg: dict) -> dict:
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
         bc_sec = _time.perf_counter() - bc_t0
 
+        if jacobian_check and step == 1 and not use_dirichlet:
+            rel = sys_.jacobian_check(T, p, T_old_q, p_old_q, X_old, dt_step,
+                                      abs_tol=jc_abs, rel_tol=jc_rel)
+            print(f"jacobian_check (domain blocks) passed "
+                  f"(max rel err {rel:.3e})")
+
         newton_t0 = _time.perf_counter()
         nres = nlin = nupd = 0.0
         r0 = du0 = 1.0
         converged = False
         iters = 0
         final_res = np.inf
+        lu = None
         for it in range(newton_cfg.max_iter):
             tt = _time.perf_counter()
             R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc, branch)
@@ -363,8 +374,10 @@ def run(cfg: dict) -> dict:
                                      0.0, du0, 0.0, 1])
                 break
             tt = _time.perf_counter()
-            dx = solve_linear(T, p, R, T_old_q, p_old_q, X_old, dt_step,
-                              bc, branch)
+            if lu is None or it % jacobian_rebuild_freq == 0:
+                lu = factorize(T, p, T_old_q, p_old_q, X_old, dt_step,
+                               bc, branch)
+            dx = lu.solve(-np.asarray(R))
             nlin += _time.perf_counter() - tt
             tt = _time.perf_counter()
             un = float(np.linalg.norm(dx))

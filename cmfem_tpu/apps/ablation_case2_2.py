@@ -64,6 +64,10 @@ def run(cfg: dict) -> dict:
         max_iter=int(cfg.get("newton_max_iter", 20)),
     )
     newton_print_level = int(cfg.get("newton_print_level", 1))
+    jacobian_rebuild_freq = max(1, int(cfg.get("newton_jacobian_rebuild_freq", 1)))
+    jacobian_check = bool(cfg.get("jacobian_check", False))
+    jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
+    jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
     output_path = cfg.get("output_path", "ParaView/ablation_case2_2")
     collection_name = cfg.get("collection_name", "ablation_test_case2_2_2D")
@@ -177,7 +181,7 @@ def run(cfg: dict) -> dict:
                                        bprime, vertices=verts)
         return blocks, face
 
-    def solve_linear(R, args):
+    def factorize(args):
         (JTT, JTp, JpT, Jpp), (FJT, FJp) = jacobian_fn(*args)
         vals = [np.asarray(b).reshape(-1)
                 for b in (JTT, JTp, JpT, Jpp, FJT, FJp)]
@@ -189,7 +193,7 @@ def run(cfg: dict) -> dict:
         keep = ~mask2
         d = sp.diags(keep.astype(np.float64))
         J = d @ J @ d + sp.diags(mask2.astype(np.float64))
-        return spla.spsolve(J.tocsc(), -np.asarray(R))
+        return spla.splu(J.tocsc())
 
     ensure_outdir(output_path)
     probes_csv = CsvWriter(
@@ -210,6 +214,17 @@ def run(cfg: dict) -> dict:
                      cfg.get("newton_csv", "newton_history_ablation_case2_2_2D.csv")),
         ["step", "time", "iter", "residual", "residual0", "rel_residual",
          "update_norm", "update0", "rel_update", "converged"])
+    # extra study CSVs (the _test variant's pressure-probe and
+    # mesh-diagnostics streams)
+    pressure_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("pressure_csv", "pressure_probes.csv")),
+        ["time", "wall"] + [f"PC{i}" for i in range(1, len(probe_y))])
+    meshdiag_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("mesh_csv", "mesh_diagnostics.csv")),
+        ["time", "y_top", "min_quality_ratio", "max_node_disp",
+         "total_recession"])
 
     dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
         if save_paraview else None
@@ -239,6 +254,16 @@ def run(cfg: dict) -> dict:
         f2 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.02,
                          vertices=v)
         probes_csv.writerow([tnow, wallT] + [float(x) for x in probe_vals])
+        p_wall = float(sample_h1(fes, np.asarray(p),
+                                 np.array([[probe_x,
+                                            min(probe_y[0], hi[1] - 1e-9)]]),
+                                 vertices=v)[0])
+        p_vals = sample_h1(fes, np.asarray(p), probe_pts, vertices=v)
+        pressure_csv.writerow([tnow, p_wall] + [float(x) for x in p_vals])
+        meshdiag_csv.writerow([
+            tnow, float(hi[1]),
+            (rec._min_quality() / rec.initial_min_quality) if rec else 1.0,
+            0.0, recession_total])
         mass_csv.writerow([tnow, bdiag["m_dot_g_surf"], bdiag["m_dot_c_surf"],
                            f98, f2, recession_total])
         boundary_csv.writerow([tnow] + [bdiag[k] for k in (
@@ -310,10 +335,19 @@ def run(cfg: dict) -> dict:
 
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
 
+        if jacobian_check and step == 1:
+            rel = sys_.jacobian_check(
+                T, p, T_old_q, p_old_q, X_old, dt_step, abs_tol=jc_abs,
+                rel_tol=jc_rel, gf=gf_now, wq=wq, gcl=gcl,
+                ale_toggles=ale_toggles)
+            print(f"jacobian_check (domain blocks) passed "
+                  f"(max rel err {rel:.3e})")
+
         converged = False
         r0 = du0 = 1.0
         final_res = np.inf
         iters = 0
+        lu = None
         for it in range(newton_cfg.max_iter):
             R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc,
                             branch, v_now, wq, gcl)
@@ -328,8 +362,10 @@ def run(cfg: dict) -> dict:
                 newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
                                      0.0, du0, 0.0, 1])
                 break
-            dx = solve_linear(R, (T, p, T_old_q, p_old_q, X_old, dt_step,
-                                  bc, branch, v_now, wq, gcl))
+            if lu is None or it % jacobian_rebuild_freq == 0:
+                lu = factorize((T, p, T_old_q, p_old_q, X_old, dt_step,
+                                bc, branch, v_now, wq, gcl))
+            dx = lu.solve(-np.asarray(R))
             un = float(np.linalg.norm(dx))
             if it == 0:
                 du0 = max(1.0, un)
@@ -356,6 +392,8 @@ def run(cfg: dict) -> dict:
     mass_csv.close()
     boundary_csv.close()
     newton_csv.close()
+    pressure_csv.close()
+    meshdiag_csv.close()
 
     # in-driver recession comparison vs the Amaryllis mass history
     # (AmaryllisRecessionHistory + recession error metrics,

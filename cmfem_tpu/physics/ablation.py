@@ -228,6 +228,59 @@ class AblationSystem:
 
     # -- state advance + diagnostics --------------------------------------
 
+    def jacobian_check(self, T, p, T_old_q, p_old_q, X_old, dt,
+                       abs_tol=1e-6, rel_tol=1e-4, n_dirs=3, fd_eps=1e-7,
+                       gf=None, wq=None, gcl=None,
+                       ale_toggles=(True, True, True), seed=0):
+        """AD-vs-FD Jacobian consistency check (the reference's opt-in
+        jacobian_check, ablation_test_case2_1_2D.cpp:1016-1046,
+        :1287-1302): the element-block-assembled Jacobian action J v is
+        compared against a finite-difference directional derivative of the
+        global residual for n_dirs random directions.  Raises with the
+        argmax row on mismatch; returns the max relative error."""
+        import numpy as _np
+        import scipy.sparse as _sp
+
+        blocks = self.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt,
+                                        gf=gf, wq=wq, gcl=gcl,
+                                        ale_toggles=ale_toggles)
+        n = self.n
+        ed = _np.asarray(self.ops.fes.element_dofs, dtype=_np.int64)
+        nd = ed.shape[1]
+        rows_b = _np.repeat(ed, nd, axis=1).reshape(-1)
+        cols_b = _np.tile(ed, (1, nd)).reshape(-1)
+        rows = _np.concatenate([rows_b, rows_b, rows_b + n, rows_b + n])
+        cols = _np.concatenate([cols_b, cols_b + n, cols_b, cols_b + n])
+        vals = _np.concatenate([_np.asarray(b).reshape(-1) for b in blocks])
+        J = _sp.coo_matrix((vals, (rows, cols)), shape=(2 * n, 2 * n)).tocsr()
+
+        def R(x):
+            RT, Rp = self.residual(x[:n], x[n:], T_old_q, p_old_q, X_old, dt,
+                                   gf=gf, wq=wq, gcl=gcl,
+                                   ale_toggles=ale_toggles)
+            return _np.concatenate([_np.asarray(RT), _np.asarray(Rp)])
+
+        x0 = _np.concatenate([_np.asarray(T), _np.asarray(p)])
+        rng = _np.random.default_rng(seed)
+        max_rel = 0.0
+        for _ in range(n_dirs):
+            v = rng.standard_normal(2 * n)
+            v *= _np.maximum(1.0, _np.abs(x0)) / _np.linalg.norm(v)
+            h = fd_eps
+            fd = (R(x0 + h * v) - R(x0 - h * v)) / (2 * h)
+            jv = J @ v
+            err = _np.abs(jv - fd)
+            scale = max(float(_np.abs(fd).max()), 1.0)
+            rel = float(err.max()) / scale
+            max_rel = max(max_rel, rel)
+            if err.max() > abs_tol * scale + rel_tol * scale:
+                i = int(err.argmax())
+                raise RuntimeError(
+                    f"Jacobian check failed at row {i}: "
+                    f"AD(Jv)={jv[i]:.6e} FD={fd[i]:.6e} "
+                    f"(abs err {err[i]:.3e}, scale {scale:.3e})")
+        return max_rel
+
     def advance_state(self, state: AblationState, T, p, dt) -> AblationState:
         """Commit per-QP extents after a converged step and refresh the
         element-average diagnostics (AdvanceInternalStates :821-921)."""
