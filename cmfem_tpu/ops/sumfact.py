@@ -87,10 +87,33 @@ class SumFactoredOperator:
         self.DAz = jnp.asarray(DAz, dtype)
 
         # permute D blocks from (m*m, nq, ne) [q z-major, e (k,j,i)-major]
-        # to the QP lattice (Kz, Ky, Kx) with K* = n* x q1
+        # to the QP lattice (Kz, Ky, Kx) with K* = n* x q1.
+        # Structure-aware compression: when the grad-grad block is symmetric
+        # and there is no grad-test/value-trial coupling (true for
+        # mass+diffusion+convection), only 10 of the 16 planes are stored —
+        # D traffic is the bandwidth floor of this operator.
         Dflat, _ = pack_qp_blocks_T(ops, data, dtype)
         mm, nq, ne = Dflat.shape
         self.m = int(round(np.sqrt(mm)))
+        m = self.m
+        Dnp = np.asarray(Dflat)
+        sym = all(
+            np.allclose(Dnp[r * m + s_], Dnp[s_ * m + r], rtol=1e-12, atol=0)
+            for r in range(1, m) for s_ in range(r + 1, m))
+        no_d10 = all(not np.any(Dnp[r * m]) for r in range(1, m))
+        self.compressed = bool(sym and no_d10)
+        if self.compressed:
+            # plane order: D00, D0x, D0y, D0z, Dxx, Dxy, Dxz, Dyy, Dyz, Dzz
+            planes = [Dnp[0]]
+            planes += [Dnp[s_] for s_ in range(1, m)]
+            self._pairs = []
+            for r in range(1, m):
+                for s_ in range(r, m):
+                    planes.append(Dnp[(r) * m + s_])
+                    self._pairs.append((r, s_))
+            Dnp = np.stack(planes, axis=0)
+            mm = Dnp.shape[0]
+            Dflat = jnp.asarray(Dnp)
         qz, qy, qx = np.meshgrid(np.arange(q1), np.arange(q1), np.arange(q1),
                                  indexing="ij")
         k, j, i = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
@@ -139,13 +162,29 @@ class SumFactoredOperator:
                 fwd(u3, Ax, DAy, Az),    # d/dxi_y
                 fwd(u3, Ax, Ay, DAz),    # d/dxi_z
             ]
-            W = []
-            for r in range(m):
-                acc = None
-                for s in range(m):
-                    t = D[r * m + s] * V[s]
-                    acc = t if acc is None else acc + t
-                W.append(acc)
+            if self.compressed:
+                # planes: [D00, D0x.., upper-tri Dss]; d10 = 0; Dss symmetric
+                W = [D[0] * V[0]]
+                for s in range(1, m):
+                    W[0] = W[0] + D[s] * V[s]
+                Wg = [None] * (m - 1)
+                for k, (r, s) in enumerate(self._pairs):
+                    plane = D[m + k]
+                    t = plane * V[s]
+                    Wg[r - 1] = t if Wg[r - 1] is None else Wg[r - 1] + t
+                    if s != r:
+                        t2 = plane * V[r]
+                        Wg[s - 1] = t2 if Wg[s - 1] is None \
+                            else Wg[s - 1] + t2
+                W += Wg
+            else:
+                W = []
+                for r in range(m):
+                    acc = None
+                    for s in range(m):
+                        t = D[r * m + s] * V[s]
+                        acc = t if acc is None else acc + t
+                    W.append(acc)
             y3 = bwd(W[0], Ax, Ay, Az)
             y3 = y3 + bwd(W[1], DAx, Ay, Az)
             y3 = y3 + bwd(W[2], Ax, DAy, Az)
