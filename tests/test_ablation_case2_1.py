@@ -117,6 +117,7 @@ def case21_out(tmp_path_factory):
     return run(cfg), out_dir, cfg
 
 
+@pytest.mark.slow
 def test_case21_runs_with_seb(case21_out):
     out, out_dir, _ = case21_out
     # SEB heats the wall above ambient within 0.3 s
@@ -129,6 +130,7 @@ def test_case21_runs_with_seb(case21_out):
     assert last[11] < 0  # q_rad_emit cooling
 
 
+@pytest.mark.slow
 def test_case21_restart_roundtrip(case21_out):
     from cmfem_tpu.apps.ablation_case2_1 import run
 

@@ -119,6 +119,7 @@ def test_solve_blowing_22_couples_bc():
     assert float(Bc0[0]) == 0.0
 
 
+@pytest.mark.slow
 def test_case22_smoke(tmp_path):
     from cmfem_tpu.apps.ablation_case2_2 import run
 
@@ -145,6 +146,7 @@ def test_case22_smoke(tmp_path):
     assert "m_dot_c_surf" in bdr[0] and "rho_s_surf" in bdr[0]
 
 
+@pytest.mark.slow
 def test_case22_test_variant_gcl_and_metrics(tmp_path):
     """The self-checking variant: GCL storage on, a synthetic Amaryllis mass
     history, in-driver recession metrics; and toggling all ALE terms off

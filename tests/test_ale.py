@@ -74,6 +74,7 @@ def test_boundary_stays_on_boundary():
     assert abs(mapped[3, 1] - 1.0) < 1e-14
 
 
+@pytest.mark.slow
 def test_ale_identity_matches_static(tmp_path):
     """The reference's explicit A/B fixture (diffusion_mms_ale.cpp:21):
     ale_map=identity reproduces the static MMS driver."""
@@ -88,6 +89,7 @@ def test_ale_identity_matches_static(tmp_path):
     assert np.abs(oa["u"] - os_["u"]).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_ale_moving_map_accuracy(tmp_path):
     from cmfem_tpu.apps.diffusion_mms_ale import run as run_ale
 

@@ -85,6 +85,7 @@ def test_diffusion_mms_short(tmp_path):
     assert out["final_l2"] < 5e-4
 
 
+@pytest.mark.slow
 def test_nonlinear_diffusion_short(tmp_path):
     from cmfem_tpu.apps.nonlinear_diffusion import run
 

@@ -113,3 +113,31 @@ def test_sumfact_matches_reference_apply(order):
     y_lat = np.asarray(sfop(jnp.asarray(u_lat)))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_lat[lat] / scale, y_ref / scale, atol=1e-13)
+
+
+def test_sumfact_pallas_fused_matches_xla():
+    """The VMEM-fused pallas z-chain (interpret mode on CPU) is exact vs
+    the plain XLA sum-factorized path."""
+    from cmfem_tpu.ops.sumfact import SumFactoredOperator
+
+    n, order = 4, 2
+    mesh = make_cartesian_mesh_3d(n, n, n)
+    fes = FESpace(mesh, order)
+    ops = SpaceOps(fes, quad_order=2 * order)
+    form = (BilinearForm(ops)
+            .add_diffusion(0.3)
+            .add_convection(np.array([1.0, -2.0, 0.5]))
+            .add_mass(1.0))
+    data = form.assemble()
+    sfop = SumFactoredOperator(ops, data, n, n, n, order, dtype=jnp.float64)
+    assert sfop.compressed
+
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal(sfop.ndofs))
+    fn, D = sfop.bind()
+    y_ref = np.asarray(fn(u, D))
+    # Ky*Kx = 144 here; tile must divide it
+    fnp, Dp = sfop.bind(use_pallas=True, tile=72, interpret=True)
+    y_pl = np.asarray(fnp(u, Dp))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pl / scale, y_ref / scale, atol=1e-13)
