@@ -267,6 +267,10 @@ def run(cfg: dict) -> dict:
     restart_write_at = cfg.get("restart_write_at_time", None)
     restart_write_at = float(restart_write_at) if restart_write_at is not None \
         else float("nan")
+    # the reference always rewrites the checkpoint at run end
+    # (ablation_test_case2_1_2D.cpp:3531-3540), clobbering any at-time
+    # snapshot at the same path; disable to keep a mid-run checkpoint
+    restart_write_at_end = bool(cfg.get("restart_write_at_end", True))
 
     step = 0
     t = 0.0
@@ -428,7 +432,7 @@ def run(cfg: dict) -> dict:
             print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
                   f"Tmax={float(jnp.max(T)):.1f}")
 
-    if restart_write:
+    if restart_write and restart_write_at_end:
         save_restart(restart_write, step, t, T, p, state.extent)
 
     acc = cfg.get("acceptance", {})

@@ -33,8 +33,55 @@ from .common import (
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
 from .ablation_case2_1 import (
-    save_restart, load_restart, RESTART_TIME_TOL,
+    RESTART_MAGIC, RESTART_TIME_TOL,
 )
+
+# ALE checkpoints carry the receded mesh; the reference's restart format
+# does NOT (mesh coordinates are absent from SaveRestartCheckpoint,
+# ablation_test_case2_1_2D.cpp:2666-2779, so a 2.2 resume would run on the
+# initial mesh).  Version 2 fixes that: vertices, cumulative recession, and
+# the recession history all round-trip.
+RESTART_VERSION_ALE = 2
+
+
+def save_restart_ale(path, step, time, T, p, extent, vertices,
+                     recession_total, recession_history, world_size=1):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, magic=np.uint64(RESTART_MAGIC),
+             version=np.uint32(RESTART_VERSION_ALE),
+             world_size=np.int32(world_size),
+             step=np.int64(step), time=np.float64(time),
+             T=np.asarray(T), p=np.asarray(p), extent=np.asarray(extent),
+             vertices=np.asarray(vertices, dtype=np.float64),
+             recession_total=np.float64(recession_total),
+             recession_history=np.asarray(recession_history,
+                                          dtype=np.float64).reshape(-1, 2))
+
+
+def load_restart_ale(path, n, ne, nq, nr, nverts, dim, world_size=1):
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path) as d:
+        if int(d["magic"]) != RESTART_MAGIC:
+            raise ValueError(f"Invalid restart checkpoint magic in: {path}")
+        if int(d["version"]) != RESTART_VERSION_ALE:
+            raise ValueError(
+                f"Unsupported ALE restart checkpoint version in: {path} "
+                f"(file={int(d['version'])}, expected {RESTART_VERSION_ALE}).")
+        if int(d["world_size"]) != world_size:
+            raise ValueError(
+                f"Restart checkpoint world size mismatch for {path} "
+                f"(file={int(d['world_size'])}, run={world_size}).")
+        T = d["T"]; p = d["p"]; X = d["extent"]; V = d["vertices"]
+        if len(T) != n or len(p) != n:
+            raise ValueError(f"Restart true-dof size mismatch in: {path}")
+        if X.shape != (ne, nq, nr):
+            raise ValueError(f"Restart reaction-state shape mismatch in: {path}")
+        if V.shape != (nverts, dim):
+            raise ValueError(f"Restart mesh vertex shape mismatch in: {path}")
+        return (int(d["step"]), float(d["time"]), T, p, X, V,
+                float(d["recession_total"]),
+                [(float(a), float(b)) for a, b in d["recession_history"]])
 
 
 def run(cfg: dict) -> dict:
@@ -233,6 +280,43 @@ def run(cfg: dict) -> dict:
     verts = lambda: (rec.vertices if rec else np.asarray(mesh.vertices))
     recession_total = 0.0
 
+    restart_read = cfg.get("restart_read_file", "")
+    restart_write = cfg.get("restart_write_file", "")
+    restart_write_every = int(cfg.get("restart_write_every", 0))
+    restart_write_at = cfg.get("restart_write_at_time", None)
+    restart_write_at = float(restart_write_at) if restart_write_at is not None \
+        else float("nan")
+    # end-of-run rewrite clobbers an at-time snapshot at the same path
+    # (reference semantics); disable to keep a mid-run checkpoint
+    restart_write_at_end = bool(cfg.get("restart_write_at_end", True))
+
+    step = 0
+    t = 0.0
+    recession_history = [(0.0, 0.0)]
+    if restart_read:
+        (step, t, T_np, p_np, X_np, V_np, recession_total,
+         recession_history) = load_restart_ale(
+            resolve_path(cfg, restart_read), n, ne, nq, nr,
+            mesh.vertices.shape[0], mesh.dim)
+        T = jnp.asarray(T_np)
+        p = jnp.asarray(p_np)
+        st0 = AblationState.initial(ne, nq, mat)
+        state = AblationState(
+            extent=jnp.asarray(X_np), tau_elem=st0.tau_elem,
+            rho_elem=st0.rho_elem, pi_elem=st0.pi_elem,
+            mdot_elem=st0.mdot_elem, extent_elem=st0.extent_elem,
+            degree_char_elem=st0.degree_char_elem,
+            char_density_fraction_elem=st0.char_density_fraction_elem)
+        state = sys_.advance_state(state, T, p, 0.0)
+        if rec is not None:
+            rec.restore(V_np, recession_total)
+        print(f"Loaded ALE restart from {restart_read} at step {step}, "
+              f"time {t} s (recession {recession_total:.3e} m).")
+
+    def write_checkpoint():
+        save_restart_ale(restart_write, step, t, T, p, state.extent,
+                         verts(), recession_total, recession_history)
+
     def write_outputs(stepno, tnow):
         nonlocal recession_total
         v = verts()
@@ -287,14 +371,14 @@ def run(cfg: dict) -> dict:
             dc.save(stepno, tnow, fields, vertices=v)
         return bdiag
 
-    write_outputs(0, 0.0)
-    recession_history = [(0.0, 0.0)]
-    step = 0
-    t = 0.0
+    write_outputs(step, t)
     steps_executed = 0
+    restart_at_done = (not np.isfinite(restart_write_at)) or \
+        (t >= restart_write_at - RESTART_TIME_TOL)
     while t < t_final - RESTART_TIME_TOL:
         step += 1
         steps_executed += 1
+        t_prev = t
         t_next = min(t_final, t + dt_cfg)
         dt_step = t_next - t
         t = t_next
@@ -384,9 +468,22 @@ def run(cfg: dict) -> dict:
         state = sys_.advance_state(state, T, p, dt_step)
         write_outputs(step, t)
         recession_history.append((t, recession_total))
+        if restart_write:
+            write_now = restart_write_every > 0 and \
+                step % restart_write_every == 0
+            if (not restart_at_done and np.isfinite(restart_write_at)
+                    and t_prev < restart_write_at - RESTART_TIME_TOL
+                    and t >= restart_write_at - RESTART_TIME_TOL):
+                write_now = True
+                restart_at_done = True
+            if write_now:
+                write_checkpoint()
         if step <= 5 or step % 50 == 0:
             print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
                   f"Tmax={float(jnp.max(T)):.1f} recession={recession_total:.3e}")
+
+    if restart_write and restart_write_at_end:
+        write_checkpoint()
 
     probes_csv.close()
     mass_csv.close()

@@ -64,6 +64,37 @@ def exact_concentration(x, t, pe):
     return np.where(np.isfinite(c), c, 0.0)
 
 
+def exp_times_erfc_jax(a, b):
+    """jit-friendly exp(a)*erfc(b) with the same b>26 asymptotics."""
+    import jax.numpy as jnp
+    from jax.scipy.special import erfc
+
+    big = b > 26.0
+    inv_b = 1.0 / jnp.where(big, b, 1.0)
+    inv_b2 = inv_b * inv_b
+    erfc_asym = inv_b / jnp.sqrt(jnp.pi) * (1.0 - 0.5 * inv_b2
+                                            + 0.75 * inv_b2**2)
+    asym = jnp.exp(jnp.clip(a - b * b, -745.0, 709.0)) * erfc_asym
+    direct = jnp.exp(jnp.clip(a, max=709.0)) * erfc(b)
+    return jnp.where(big, asym, direct)
+
+
+def exact_concentration_jax(x, t, pe):
+    """On-device erfc solution for the lax.scan stepping path (t > 0)."""
+    import jax.numpy as jnp
+    from jax.scipy.special import erfc
+
+    diff = t / pe
+    root = jnp.sqrt(diff)
+    arg1 = (x - t) / (2.0 * root)
+    arg2 = (x + t) / (2.0 * root)
+    gauss = -((x - t) ** 2) / (4.0 * diff)
+    c = (0.5 * erfc(arg1)
+         + jnp.sqrt(t * pe / jnp.pi) * jnp.exp(gauss)
+         - 0.5 * (1.0 + pe * x + pe * t) * exp_times_erfc_jax(pe * x, arg2))
+    return jnp.where(jnp.isfinite(c), c, 0.0)
+
+
 def run(cfg: dict) -> dict:
     import jax
     import jax.numpy as jnp
@@ -174,12 +205,53 @@ def run(cfg: dict) -> dict:
     save_fields(0, 0.0)
 
     last = None
-    for step in range(1, nsteps + 1):
-        t = step * dt
-        bdr_vals = np.stack([exact_concentration(ess_x, t, pe) for pe in peclet])
-        cs = step_all(cs, jnp.asarray(bdr_vals))
-        last = write_errors(step, t)
-        save_fields(step, t)
+    if bool(cfg.get("scan_stepping", False)) and nsteps > 0:
+        # Fully-on-device time loop: one jitted lax.scan covers every BE
+        # step INCLUDING the Dirichlet schedule and the per-step L2 errors
+        # (the erfc solution evaluated with jax.scipy.special.erfc), so the
+        # host touches the device once per run instead of once per step —
+        # the TPU-idiomatic form of the reference's stepping loop
+        # (linear_convection_diffusion_1D.cpp:537-576).
+        hi = SpaceOps(fes, max(2, 2 * order + 3))
+        xq_x = jnp.asarray(hi.gf.xq[..., 0])
+        wdetJ_hi = jnp.asarray(hi.gf.wdetJ)
+        B_hi = jnp.asarray(hi.B)
+        eldofs = jnp.asarray(hi.eldofs)
+        ess_x_j = jnp.asarray(ess_x)
+
+        def body(cs, i):
+            t = (i + 1.0) * dt
+            bdr = jnp.stack([exact_concentration_jax(ess_x_j, t, pe)
+                             for pe in peclet])
+            cs = step_all(cs, bdr)
+            errs = []
+            for k, pe in enumerate(peclet):
+                uq = jnp.einsum("qn,en->eq", B_hi, cs[k][eldofs])
+                ex = exact_concentration_jax(xq_x, t, pe)
+                abs_l2 = jnp.sqrt(jnp.sum((uq - ex) ** 2 * wdetJ_hi))
+                nrm = jnp.sqrt(jnp.sum(ex**2 * wdetJ_hi))
+                errs += [abs_l2, jnp.where(nrm > 1e-14, abs_l2 / nrm, 0.0)]
+            return cs, jnp.stack(errs)
+
+        @jax.jit
+        def run_all(cs):
+            return jax.lax.scan(body, cs, jnp.arange(nsteps))
+
+        cs, hist = run_all(cs)
+        hist = np.asarray(hist)
+        for step in range(1, nsteps + 1):
+            row = [step, step * dt] + [float(v) for v in hist[step - 1]]
+            csv.writerow(row)
+            last = row
+        save_fields(nsteps, nsteps * dt)
+    else:
+        for step in range(1, nsteps + 1):
+            t = step * dt
+            bdr_vals = np.stack([exact_concentration(ess_x, t, pe)
+                                 for pe in peclet])
+            cs = step_all(cs, jnp.asarray(bdr_vals))
+            last = write_errors(step, t)
+            save_fields(step, t)
 
     csv.close()
     return {"final_errors": last, "c": np.asarray(cs), "fes": fes}

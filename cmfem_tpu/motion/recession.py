@@ -66,6 +66,23 @@ class MeshRecessionHandler:
         ess = np.unique(np.concatenate([self.top_dofs, self.bottom_dofs]))
         self._bc = EssentialBC(self.n, ess)
 
+    def restore(self, vertices, total_recession: float):
+        """Resume from a checkpoint: set the receded node positions and the
+        cumulative recession.  The quality baseline stays the pristine mesh
+        (same as a straight-through run).  Raises if the restored mesh
+        violates the quality guard."""
+        vertices = np.asarray(vertices, dtype=np.float64)
+        if vertices.shape != self.vertices.shape:
+            raise ValueError(
+                f"Restored vertex shape {vertices.shape} != mesh "
+                f"{self.vertices.shape}")
+        self.vertices = vertices.copy()
+        self.total_recession = float(total_recession)
+        q = self._min_quality()
+        if q <= 0 or q / self.initial_min_quality < self.min_quality_ratio:
+            raise RuntimeError(
+                "Restored mesh violates the quality guard.")
+
     def _min_quality(self) -> float:
         Bg, Gg, w, conn = self._qual
         coords_e = jnp.asarray(self.vertices)[conn]

@@ -113,6 +113,9 @@ def case21_out(tmp_path_factory):
         "save_paraview": False,
         "restart_write_file": str(out_dir / "restart.chk"),
         "restart_write_at_time": 0.2,
+        # keep the t=0.2 snapshot so the resume genuinely re-runs 0.2->0.3
+        # (the default end-of-run rewrite would clobber it)
+        "restart_write_at_end": False,
     }
     return run(cfg), out_dir, cfg
 
@@ -135,6 +138,9 @@ def test_case21_restart_roundtrip(case21_out):
     from cmfem_tpu.apps.ablation_case2_1 import run
 
     out, out_dir, cfg = case21_out
+    # the checkpoint on disk really is the mid-run t=0.2 snapshot
+    with np.load(out_dir / "restart.chk.npz") as d:
+        assert abs(float(d["time"]) - 0.2) < 1e-10
     # restart from the t=0.2 checkpoint and continue to 0.3
     cfg2 = dict(cfg)
     cfg2["restart_read_file"] = str(out_dir / "restart.chk.npz")

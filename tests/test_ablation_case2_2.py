@@ -147,6 +147,69 @@ def test_case22_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_case22_restart_roundtrip_with_mesh(tmp_path):
+    """ALE restart checkpoints the RECEDED mesh (the reference's format
+    omits mesh coordinates, SURVEY §5.4): resuming mid-recession continues
+    from the moved vertices and matches the straight-through run."""
+    from cmfem_tpu.apps.ablation_case2_2 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file": f"{REF}/Input/boundary_conditions_ablation_case2_2.dat",
+        "order": 1, "dt": 0.1, "t_final": 0.4,
+        "newton_print_level": 0, "save_paraview": False,
+        "recession_density_mode": "constant",
+        "recession_density_constant": 5.0,  # fast fake recession
+        "max_step_recession": 2.0e-4,
+    }
+    out = run({**base, "output_path": str(tmp_path / "full"),
+               "restart_write_file": str(tmp_path / "r.chk"),
+               "restart_write_at_time": 0.2,
+               # keep the t=0.2 snapshot (the end-of-run rewrite would
+               # clobber it and make the resume a 0-step no-op)
+               "restart_write_at_end": False})
+    assert out["recession_total"] > 0.0  # mesh actually moved
+    import numpy as _np
+    with _np.load(tmp_path / "r.chk.npz") as d:
+        assert abs(float(d["time"]) - 0.2) < 1e-10  # mid-run snapshot kept
+        mid_recession = float(d["recession_total"])
+    assert 0.0 < mid_recession < out["recession_total"]
+
+    out2 = run({**base, "output_path": str(tmp_path / "resumed"),
+                "restart_read_file": str(tmp_path / "r.chk.npz")})
+    assert abs(out2["time"] - 0.4) < 1e-10
+    np.testing.assert_allclose(out2["recession_total"],
+                               out["recession_total"], rtol=1e-10)
+    np.testing.assert_allclose(out2["vertices"], out["vertices"],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out2["T"], out["T"], rtol=0, atol=2e-5)
+    np.testing.assert_allclose(out2["p"], out["p"], rtol=1e-6)
+
+
+def test_case22_restart_ale_validation(tmp_path):
+    from cmfem_tpu.apps.ablation_case2_2 import (
+        save_restart_ale, load_restart_ale)
+
+    path = str(tmp_path / "c.npz")
+    V = np.random.default_rng(0).uniform(size=(12, 2))
+    save_restart_ale(path, 7, 2.5, np.zeros(10), np.ones(10),
+                     np.zeros((4, 3, 2)), V, 1.5e-4, [(0.0, 0.0), (2.5, 1.5e-4)])
+    step, t, T, p, X, V2, rtot, hist = load_restart_ale(path, 10, 4, 3, 2, 12, 2)
+    assert step == 7 and t == 2.5 and rtot == 1.5e-4
+    np.testing.assert_allclose(V2, V)
+    assert hist == [(0.0, 0.0), (2.5, 0.00015)]
+    with pytest.raises(ValueError, match="vertex shape"):
+        load_restart_ale(path, 10, 4, 3, 2, 13, 2)
+    # a 2.1 (version-1) checkpoint is refused by the ALE loader
+    from cmfem_tpu.apps.ablation_case2_1 import save_restart
+    path1 = str(tmp_path / "v1.npz")
+    save_restart(path1, 1, 0.1, np.zeros(10), np.ones(10), np.zeros((4, 3, 2)))
+    with pytest.raises(ValueError, match="version"):
+        load_restart_ale(path1, 10, 4, 3, 2, 12, 2)
+
+
+@pytest.mark.slow
 def test_case22_test_variant_gcl_and_metrics(tmp_path):
     """The self-checking variant: GCL storage on, a synthetic Amaryllis mass
     history, in-driver recession metrics; and toggling all ALE terms off

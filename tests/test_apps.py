@@ -57,6 +57,30 @@ def test_transient_3pe_short(tmp_path):
     assert len(csv) == 7  # header + steps 0..5
 
 
+def test_transient_scan_stepping_matches_host_loop(tmp_path):
+    """The fully-on-device lax.scan time loop reproduces the host-stepped
+    driver: same solutions and same error-history CSV."""
+    from cmfem_tpu.apps.linear_cd_transient import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 1,
+        "dt": 0.02,
+        "t_final": 0.08,
+        "save_paraview": False,
+    }
+    oh = run({**base, "output_path": str(tmp_path / "host")})
+    osc = run({**base, "output_path": str(tmp_path / "scan"),
+               "scan_stepping": True})
+    np.testing.assert_allclose(osc["c"], oh["c"], rtol=0, atol=1e-10)
+    rh = np.asarray(oh["final_errors"], dtype=float)
+    rs = np.asarray(osc["final_errors"], dtype=float)
+    np.testing.assert_allclose(rs, rh, rtol=1e-6, atol=1e-12)
+    ch = (tmp_path / "host" / "error_history.csv").read_text().splitlines()
+    cs_ = (tmp_path / "scan" / "error_history.csv").read_text().splitlines()
+    assert len(ch) == len(cs_) and ch[0] == cs_[0]
+
+
 def test_transient_exact_solution_vectorized():
     """erfc solution matches scalar evaluation incl. asymptotic branch."""
     from cmfem_tpu.apps.linear_cd_transient import exact_concentration
