@@ -322,6 +322,51 @@ class FESpace:
                         dofs[:, col + k] = self._off_face + fid * fpe + canon_lin
                         k += 1
                 col += fpe
+        elif fgeom == TRIANGLE:
+            face_list = GEOM_FACES[TETRAHEDRON]
+            g = np.stack([mesh.elem_conn[:, list(f)] for f in face_list],
+                         1).astype(np.int64)
+            key = np.sort(g, axis=2)
+            kmax = int(mesh.elem_conn.max()) + 1
+            flat = (key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]
+            uniq = np.unique(flat.ravel())
+            bkey = np.sort(conn, axis=1)
+            bflat = (bkey[:, 0] * kmax + bkey[:, 1]) * kmax + bkey[:, 2]
+            fid = np.searchsorted(uniq, bflat)
+            if not (uniq[np.clip(fid, 0, len(uniq) - 1)] == bflat).all():
+                raise ValueError("Boundary face not found among element faces")
+            vol_edges = GEOM_EDGES[TETRAHEDRON]
+            a = np.stack([mesh.elem_conn[:, e[0]] for e in vol_edges],
+                         1).astype(np.int64)
+            b = np.stack([mesh.elem_conn[:, e[1]] for e in vol_edges],
+                         1).astype(np.int64)
+            ek = np.minimum(a, b) * kmax + np.maximum(a, b)
+            euniq = np.unique(ek.ravel())
+            face_edges = GEOM_EDGES[TRIANGLE]
+            fpe = (p - 1) * (p - 2) // 2
+            fref = get_reference_element(TRIANGLE, p)
+            nfdof = fref.ndof
+            dofs = np.zeros((nbf, nfdof), dtype=np.int64)
+            dofs[:, :3] = conn
+            col = 3
+            for (la, lb) in face_edges:
+                ea, eb = conn[:, la], conn[:, lb]
+                bk = np.minimum(ea, eb) * kmax + np.maximum(ea, eb)
+                eid = np.searchsorted(euniq, bk)
+                if not (euniq[np.clip(eid, 0, len(euniq) - 1)] == bk).all():
+                    raise ValueError("Boundary face edge not found")
+                dirs = np.where(ea <= eb, 1, -1)
+                for k in range(epe):
+                    kk = np.where(dirs == 1, k, epe - 1 - k)
+                    dofs[:, col + k] = self._off_edge + eid * epe + kk
+                col += epe
+            if fpe == 1:
+                # the single p=3 interior node is the centroid: orientation-free
+                dofs[:, col] = self._off_face + fid
+            elif fpe > 1:
+                raise NotImplementedError(
+                    "triangle-face boundary dofs with multiple interior "
+                    "nodes (order >= 4 tets)")
         else:
             raise NotImplementedError(fgeom)
 
@@ -336,24 +381,22 @@ class FESpace:
         kmax = int(conn.max()) + 1
         from .reference_elements import GEOM_BOUNDARY
 
+        def pack(sorted_verts):
+            key = sorted_verts[..., 0]
+            for c in range(1, sorted_verts.shape[-1]):
+                key = key * kmax + sorted_verts[..., c]
+            return key
+
         flist = GEOM_BOUNDARY[mesh.geom]
         keys = []
         for f in flist:
-            gk = np.sort(conn[:, list(f)], axis=1)
-            if gk.shape[1] == 2:
-                keys.append(gk[:, 0] * kmax + gk[:, 1])
-            else:
-                keys.append(((gk[:, 0] * kmax + gk[:, 1]) * kmax + gk[:, 2]) * kmax + gk[:, 3])
+            keys.append(pack(np.sort(conn[:, list(f)], axis=1)))
         keys = np.stack(keys, axis=1)  # (ne, nlf)
         flat = keys.ravel()
         order_ = np.argsort(flat, kind="stable")
         sorted_keys = flat[order_]
         bconn = mesh.bdr_conn.astype(np.int64)
-        bk = np.sort(bconn, axis=1)
-        if bk.shape[1] == 2:
-            bkey = bk[:, 0] * kmax + bk[:, 1]
-        else:
-            bkey = ((bk[:, 0] * kmax + bk[:, 1]) * kmax + bk[:, 2]) * kmax + bk[:, 3]
+        bkey = pack(np.sort(bconn, axis=1))
         pos = np.searchsorted(sorted_keys, bkey)
         if not (sorted_keys[np.clip(pos, 0, len(sorted_keys) - 1)] == bkey).all():
             raise ValueError("Boundary face has no adjacent element")
@@ -366,8 +409,11 @@ class FESpace:
             t = mesh.vertices[bconn[:, 1]] - mesh.vertices[bconn[:, 0]]
             nrm = np.stack([t[:, 1], -t[:, 0]], axis=1)
         else:
+            # last cycle vertex: index 3 for quad faces, 2 for triangles —
+            # matches the order-1 face parametrization tangents d/ds, d/dt
             u = mesh.vertices[bconn[:, 1]] - mesh.vertices[bconn[:, 0]]
-            v = mesh.vertices[bconn[:, 3]] - mesh.vertices[bconn[:, 0]]
+            v = mesh.vertices[bconn[:, bconn.shape[1] - 1]] \
+                - mesh.vertices[bconn[:, 0]]
             nrm = np.cross(u, v)
         sign = np.where(np.einsum("fd,fd->f", nrm, fc - centroids) > 0, 1.0, -1.0)
         return elem, sign

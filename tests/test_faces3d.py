@@ -1,0 +1,119 @@
+"""3D boundary traces: hex quad faces and tet tri faces with orientations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
+from cmfem_tpu.core.mesh import Mesh
+from cmfem_tpu.ops import SpaceOps
+from cmfem_tpu.ops.faces import BoundaryTrace
+
+
+def _linear(pts):
+    return pts[..., 0] + 2.0 * pts[..., 1] + 3.0 * pts[..., 2]
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_hex_boundary_trace_values_grads_area(order):
+    m = make_cartesian_mesh_3d(2, 2, 2)
+    fes = FESpace(m, order)
+    ops = SpaceOps(fes, quad_order=2 * order)
+    tr = BoundaryTrace(ops)
+    u = fes.interpolate(_linear)
+
+    ff = tr.face_factors()
+    # surface area of the unit cube
+    assert abs(float(jnp.sum(ff.wdS)) - 6.0) < 1e-12
+    # traces of a linear field are exact at face QPs
+    np.testing.assert_allclose(np.asarray(tr.values(u)),
+                               _linear(np.asarray(ff.xq)), atol=1e-12)
+    g = np.asarray(tr.grads(u))
+    np.testing.assert_allclose(g[..., 0], 1.0, atol=1e-10)
+    np.testing.assert_allclose(g[..., 1], 2.0, atol=1e-10)
+    np.testing.assert_allclose(g[..., 2], 3.0, atol=1e-10)
+    # outward unit normals: n . (x - center) > 0 on a convex body
+    xq = np.asarray(ff.xq) - 0.5
+    assert (np.einsum("fqd,fqd->fq", np.asarray(ff.normal), xq) > 0).all()
+
+
+def test_hex_trace_orientation_invariance():
+    """Rolling or reversing the boundary-face vertex cycles must not change
+    trace values (the per-combo tabulation resolves the orientation)."""
+    m = make_cartesian_mesh_3d(2, 2, 2)
+    rng = np.random.default_rng(3)
+    conn = np.asarray(m.bdr_conn).copy()
+    for i in range(len(conn)):
+        r = int(rng.integers(0, 4))
+        conn[i] = np.roll(conn[i], r)
+        if rng.random() < 0.5:
+            conn[i] = conn[i][::-1]
+    m2 = Mesh(dim=m.dim, geom=m.geom, vertices=m.vertices,
+              elem_conn=m.elem_conn, elem_attr=m.elem_attr,
+              bdr_geom=m.bdr_geom, bdr_conn=conn.astype(np.int32),
+              bdr_attr=m.bdr_attr)
+    fes = FESpace(m2, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    tr = BoundaryTrace(ops)
+    u = fes.interpolate(_linear)
+    ff = tr.face_factors()
+    np.testing.assert_allclose(np.asarray(tr.values(u)),
+                               _linear(np.asarray(ff.xq)), atol=1e-12)
+    xq = np.asarray(ff.xq) - 0.5
+    assert (np.einsum("fqd,fqd->fq", np.asarray(ff.normal), xq) > 0).all()
+    assert abs(float(jnp.sum(ff.wdS)) - 6.0) < 1e-12
+
+
+def test_hex_trace_scatter_adjoint():
+    """scatter is the adjoint of values: r . values(u) == scatter(r) . u."""
+    m = make_cartesian_mesh_3d(2, 2, 2)
+    fes = FESpace(m, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    tr = BoundaryTrace(ops, attr_marker=[2])  # z=1 faces only
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(fes.nscalar))
+    r = jnp.asarray(rng.standard_normal((tr.nbf, len(tr.quad.weights))))
+    lhs = float(jnp.sum(r * tr.values(u)))
+    rhs = float(jnp.dot(tr.scatter(r), u))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def _single_tet_mesh(bdr_rolls=(0, 0, 0, 0), reverse=()):
+    from cmfem_tpu.core.reference_elements import (
+        GEOM_FACES, TETRAHEDRON, TRIANGLE,
+    )
+
+    verts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                      [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    faces = []
+    for i, f in enumerate(GEOM_FACES[TETRAHEDRON]):
+        c = np.roll(np.asarray(f), bdr_rolls[i])
+        if i in reverse:
+            c = c[::-1]
+        faces.append(c)
+    return Mesh(dim=3, geom=TETRAHEDRON, vertices=verts,
+                elem_conn=np.array([[0, 1, 2, 3]], dtype=np.int32),
+                elem_attr=np.ones(1, dtype=np.int32),
+                bdr_geom=TRIANGLE,
+                bdr_conn=np.asarray(faces, dtype=np.int32),
+                bdr_attr=np.arange(1, 5, dtype=np.int32))
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_tet_boundary_trace(order):
+    m = _single_tet_mesh(bdr_rolls=(0, 1, 2, 0), reverse=(1, 3))
+    fes = FESpace(m, order)
+    ops = SpaceOps(fes, quad_order=2 * order)
+    tr = BoundaryTrace(ops)
+    u = fes.interpolate(_linear)
+    ff = tr.face_factors()
+    # surface area: 3 right triangles (1/2) + sqrt(3)/2 hypotenuse face
+    area = float(jnp.sum(ff.wdS))
+    assert abs(area - (1.5 + np.sqrt(3.0) / 2.0)) < 1e-12
+    np.testing.assert_allclose(np.asarray(tr.values(u)),
+                               _linear(np.asarray(ff.xq)), atol=1e-12)
+    g = np.asarray(tr.grads(u))
+    np.testing.assert_allclose(g, np.broadcast_to([1.0, 2.0, 3.0], g.shape),
+                               atol=1e-10)
+    xq = np.asarray(ff.xq) - 0.2
+    assert (np.einsum("fqd,fqd->fq", np.asarray(ff.normal), xq) > 0).all()
