@@ -57,6 +57,18 @@ def _canonical_edges(conn: np.ndarray, edge_list):
     return edge_ids, edge_dirs, len(uniq)
 
 
+def _canonical_tri_faces(conn: np.ndarray, face_list):
+    """Unique triangle faces of tets: (face_ids (ne, 4), n_faces).
+    Ids follow the sorted-vertex-key unique ordering (matching the
+    boundary-face lookup in FESpace._build_boundary)."""
+    kmax = int(conn.max()) + 1
+    g = np.stack([conn[:, list(f)] for f in face_list], 1).astype(np.int64)
+    key = np.sort(g, axis=2)
+    flat = (key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]
+    uniq, inv = np.unique(flat.ravel(), return_inverse=True)
+    return inv.reshape(flat.shape), len(uniq)
+
+
 def _canonical_faces(conn: np.ndarray, face_list):
     """Unique quad faces of hexes.
 
@@ -147,11 +159,19 @@ class FESpace:
             fids, fs, fd, n_faces, face_corners = _canonical_faces(conn, face_list)
             fpe = (p - 1) ** 2
         elif mesh.geom == TETRAHEDRON:
-            if p > 2:
-                raise NotImplementedError("tet spaces only to order 2 for now")
             face_list = GEOM_FACES[TETRAHEDRON]
-            fids = fs = fd = face_corners = None
-            n_faces, fpe = 0, 0
+            fs = fd = face_corners = None
+            fpe = (p - 1) * (p - 2) // 2
+            if fpe == 0:
+                fids, n_faces = None, 0
+            elif fpe == 1:
+                # single p=3 face node at the centroid: orientation-free,
+                # only shared-face ids are needed
+                fids, n_faces = _canonical_tri_faces(conn, face_list)
+            else:
+                raise NotImplementedError(
+                    "tet spaces to order 3 (order-4 face-node orientation "
+                    "not implemented)")
         else:
             face_list = []
             fids = fs = fd = face_corners = None
@@ -205,6 +225,11 @@ class FESpace:
                         eldofs[:, col + k] = off_face + ids * fpe + canon_lin
                         k += 1
                 col += fpe
+        # tet face interiors (p=3: one centroid node per face)
+        if mesh.geom == TETRAHEDRON and fpe > 0:
+            for lf in range(len(face_list)):
+                eldofs[:, col] = off_face + fids[:, lf]
+                col += 1
         # interiors
         if n_int:
             eldofs[:, col:col + n_int] = (

@@ -99,6 +99,64 @@ def _single_tet_mesh(bdr_rolls=(0, 0, 0, 0), reverse=()):
                 bdr_attr=np.arange(1, 5, dtype=np.int32))
 
 
+def _two_tet_mesh():
+    from cmfem_tpu.core.reference_elements import (
+        GEOM_FACES, TETRAHEDRON, TRIANGLE,
+    )
+
+    verts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                      [0.0, 0.0, 1.0], [1.0, 1.0, 1.0]])
+    conn = np.array([[0, 1, 2, 3], [1, 2, 3, 4]], dtype=np.int32)
+    faces = []
+    for e in conn:
+        for f in GEOM_FACES[TETRAHEDRON]:
+            fv = tuple(int(e[i]) for i in f)
+            if set(fv) != {1, 2, 3}:  # interior shared face
+                faces.append(fv)
+    return Mesh(dim=3, geom=TETRAHEDRON, vertices=verts, elem_conn=conn,
+                elem_attr=np.ones(2, dtype=np.int32), bdr_geom=TRIANGLE,
+                bdr_conn=np.asarray(faces, dtype=np.int32),
+                bdr_attr=np.ones(len(faces), dtype=np.int32))
+
+
+def test_tet_order3_space_and_trace():
+    """Order-3 tets: shared-face centroid dofs, cubic exactness, and the
+    divergence theorem through the boundary trace."""
+    from cmfem_tpu.ops import l2_error
+
+    m = _two_tet_mesh()
+    fes = FESpace(m, 3)
+    # 5 verts + 9 edges * 2 + 7 faces * 1 centroid node
+    assert fes.nscalar == 5 + 18 + 7
+    ops = SpaceOps(fes, quad_order=6)
+
+    def cubic(x):
+        return (x[..., 0]**3 + 2 * x[..., 1]**2 * x[..., 2]
+                - x[..., 0] * x[..., 1] * x[..., 2] + 1.0)
+
+    u = jnp.asarray(fes.interpolate(cubic))
+    assert float(l2_error(ops, u, cubic)) < 1e-13
+
+    tr = BoundaryTrace(ops)
+    ff = tr.face_factors()
+    # flux of grad(x^2+y^2+z^2) = 6 * total volume (1/6 + 1/3)
+    q = jnp.asarray(fes.interpolate(
+        lambda x: x[..., 0]**2 + x[..., 1]**2 + x[..., 2]**2))
+    flux = float(jnp.sum(jnp.einsum("fqd,fqd->fq", tr.grads(q), ff.normal)
+                         * ff.wdS))
+    assert abs(flux - 3.0) < 1e-12
+    # traces of the cubic agree with pointwise evaluation (face QPs hit
+    # both orientations of the tabulation)
+    np.testing.assert_allclose(np.asarray(tr.values(u)),
+                               cubic(np.asarray(ff.xq)), atol=1e-12)
+
+
+def test_tet_order4_raises_clearly():
+    m = _two_tet_mesh()
+    with pytest.raises(NotImplementedError, match="order-4"):
+        FESpace(m, 4)
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_tet_boundary_trace(order):
     m = _single_tet_mesh(bdr_rolls=(0, 1, 2, 0), reverse=(1, 3))
