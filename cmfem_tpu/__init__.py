@@ -21,11 +21,19 @@ Layout (see SURVEY.md §7 for the blueprint):
 
 import os
 
+import jax
+
 # f64 is required for the 1e-8 relative-L2 parity targets (BASELINE.md).
 # Opt out with CMFEM_X64=0 (e.g. for bf16/f32 benchmark runs).
 if os.environ.get("CMFEM_X64", "1") == "1":
-    import jax
-
     jax.config.update("jax_enable_x64", True)
+
+# True-f32 matmuls everywhere: the TPU MXU's default precision truncates
+# inputs to bf16, which corrupts assembled geometric factors by O(10%) on
+# fine meshes (vertex spacings fall below bf16 resolution: measured 26%
+# error in D at 48^3).  The hot operator paths request HIGHEST explicitly;
+# this covers every assembly/geometry einsum by default.  Opt out per-call
+# with precision=... for kernels that genuinely tolerate bf16.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 __version__ = "0.1.0"

@@ -124,7 +124,8 @@ class SpaceOps:
         gf = gf or self.gf
         u_e = jnp.asarray(u)[self.eldofs]
         gref = jnp.einsum("qnr,en->eqr", self.G, u_e)
-        return jnp.einsum("eqrd,eqr->eqd", gf.invJ, gref)
+        # sum over r (dim<=3): elementwise, not a dot
+        return jnp.sum(gf.invJ * gref[..., :, None], axis=-2)
 
     def scatter(self, y_e):
         """(ne, ndof) element contributions -> global (n,) via segment_sum."""
@@ -197,7 +198,8 @@ class BilinearForm:
         def build(gf: GeometricFactors):
             c = eval_coefficient(coeff, gf.xq, time)
             # K[r,s] = c wdetJ sum_d invJ[r,d] invJ[s,d]
-            K = jnp.einsum("eqrd,eqsd->eqrs", gf.invJ, gf.invJ)
+            K = jnp.sum(gf.invJ[:, :, :, None, :] * gf.invJ[:, :, None, :, :],
+                        axis=-1)
             return OperatorData(d11=K * (c * gf.wdetJ)[..., None, None])
 
         self._parts.append(build)
@@ -212,7 +214,10 @@ class BilinearForm:
             flat = gf.xq.reshape(-1, gf.xq.shape[-1])
             M = mat_fn(flat) if time is None else mat_fn(flat, time)
             M = jnp.asarray(M).reshape(gf.xq.shape[:-1] + M.shape[-2:])
-            K = jnp.einsum("aqrd,aqdc,aqsc->aqrs", gf.invJ, M, gf.invJ)
+            t = jnp.sum(gf.invJ[..., :, :, None] * M[..., None, :, :],
+                        axis=-2)  # (a,q,r,c)
+            K = jnp.sum(t[..., :, None, :] * gf.invJ[..., None, :, :],
+                        axis=-1)
             return OperatorData(d11=K * gf.wdetJ[..., None, None])
 
         self._parts.append(build)
@@ -224,7 +229,7 @@ class BilinearForm:
         def build(gf: GeometricFactors):
             b = _eval_vector(beta, gf.xq, time)  # (ne, nq, dim)
             # d01[r] = alpha wdetJ sum_d beta_d invJ[r,d]
-            d01 = jnp.einsum("eqd,eqrd->eqr", b, gf.invJ)
+            d01 = jnp.sum(b[..., None, :] * gf.invJ, axis=-1)
             return OperatorData(d01=alpha * d01 * gf.wdetJ[..., None])
 
         self._parts.append(build)
@@ -253,7 +258,7 @@ class BilinearForm:
             xi = jnp.where(Pe < 1e-4, Pe / 3.0, 1.0 / jnp.tanh(Pe) - 1.0 / Pe)
             tau = h / (2.0 * bnorm) * xi
             # beta in reference-gradient space: br[r] = sum_d beta_d invJ[r,d]
-            br = jnp.einsum("eqd,eqrd->eqr", b, gf.invJ)
+            br = jnp.sum(b[..., None, :] * gf.invJ, axis=-1)
             w = tau * gf.wdetJ
             d11 = jnp.einsum("eq,eqr,eqs->eqrs", w, br, br)
             d10 = (w * s)[..., None] * br
@@ -287,12 +292,12 @@ class BilinearForm:
         if data.d00 is not None:
             bq = bq + data.d00 * uq
         if data.d01 is not None:
-            bq = bq + jnp.einsum("eqr,eqr->eq", data.d01, gq)
+            bq = bq + jnp.sum(data.d01 * gq, axis=-1)
         fq = None
         if data.d10 is not None:
             fq = data.d10 * uq[..., None]
         if data.d11 is not None:
-            t = jnp.einsum("eqrs,eqs->eqr", data.d11, gq)
+            t = jnp.sum(data.d11 * gq[..., None, :], axis=-1)
             fq = t if fq is None else fq + t
         y_e = jnp.einsum("qn,eq->en", ops.B, bq)
         if fq is not None:
@@ -400,7 +405,7 @@ def supg_lf(ops: SpaceOps, f, beta, kappa, time=None,
     Pe = bnorm * h / (2.0 * jnp.maximum(k, 1e-30))
     xi = jnp.where(Pe < 1e-4, Pe / 3.0, 1.0 / jnp.tanh(Pe) - 1.0 / Pe)
     tau = h / (2.0 * bnorm) * xi
-    br = jnp.einsum("eqd,eqrd->eqr", b, gf.invJ)
+    br = jnp.sum(b[..., None, :] * gf.invJ, axis=-1)
     b_e = jnp.einsum("qnr,eqr->en", ops.G,
                      (tau * fq * gf.wdetJ)[..., None] * br)
     return ops.scatter(b_e)

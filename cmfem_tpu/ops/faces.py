@@ -181,7 +181,7 @@ class BoundaryTrace:
         G = self.Gtab[self._combo_j]
         gref = jnp.einsum("fqnr,fn->fqr", G, u_e)
         invJ = self.element_invJ(vertices)
-        return jnp.einsum("fqrd,fqr->fqd", invJ, gref)
+        return jnp.sum(invJ * gref[..., :, None], axis=-2)
 
     def scatter(self, r_face):
         """Scatter (nbf, nqf) test-function-weighted face integrand into the

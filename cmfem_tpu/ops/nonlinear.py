@@ -41,14 +41,14 @@ class NonlinearForm:
         u_e = jnp.asarray(u)[ops.eldofs]
         uq = jnp.einsum("qn,en->eq", ops.B, u_e)
         gref = jnp.einsum("qnr,en->eqr", ops.G, u_e)
-        gq = jnp.einsum("eqrd,eqr->eqd", gf.invJ, gref)
+        gq = jnp.sum(gf.invJ * gref[..., :, None], axis=-2)
         r0, r1 = self.qp_residual(uq, gq, gf.xq, **aux)
         y_e = 0.0
         if r0 is not None:
             y_e = jnp.einsum("qn,eq->en", ops.B, r0 * gf.wdetJ)
         if r1 is not None:
             # pull physical gradient weight back to reference: G^T (invJ r1)
-            r1ref = jnp.einsum("eqrd,eqd->eqr", gf.invJ, r1)
+            r1ref = jnp.sum(gf.invJ * r1[..., None, :], axis=-1)
             y_e = y_e + jnp.einsum("qnr,eqr->en", ops.G, r1ref * gf.wdetJ[..., None])
         return ops.scatter(y_e)
 
@@ -84,13 +84,13 @@ class NonlinearForm:
                 el_aux[k] = v[None]
             uq = jnp.einsum("qn,n->q", ops.B, u_e)[None]
             gref = jnp.einsum("qnr,n->qr", ops.G, u_e)[None]
-            gq = jnp.einsum("qrd,qr->qd", invJ, gref[0])[None]
+            gq = jnp.sum(invJ * gref[0][..., :, None], axis=-2)[None]
             r0, r1 = self.qp_residual(uq, gq, xq[None], **el_aux)
             y = 0.0
             if r0 is not None:
                 y = jnp.einsum("qn,q->n", ops.B, r0[0] * wdetJ)
             if r1 is not None:
-                r1ref = jnp.einsum("qrd,qd->qr", invJ, r1[0])
+                r1ref = jnp.sum(invJ * r1[0][..., None, :], axis=-1)
                 y = y + jnp.einsum("qnr,qr->n", ops.G, r1ref * wdetJ[:, None])
             return y
 

@@ -76,7 +76,8 @@ class VectorBilinearForm:
             [jnp.asarray(u)[c * self.n:(c + 1) * self.n][ops.eldofs]
              for c in range(self.vdim)], axis=-1)  # (ne, nd, vdim)
         gref = jnp.einsum("qnr,env->eqvr", ops.G, u_e)
-        return jnp.einsum("eqrd,eqvr->eqvd", gf.invJ, gref)
+        return jnp.sum(gf.invJ[:, :, None, :, :] * gref[..., :, None],
+                       axis=-2)
 
     def apply(self, C, u, gf=None):
         """Matrix-free A u for the assembled QP stiffness C."""
@@ -85,7 +86,8 @@ class VectorBilinearForm:
         gu = self._grads(u, gf)  # (ne, nq, v, d)
         W = jnp.einsum("aqvdwe,aqwe->aqvd", C, gu)
         # pull back to reference gradients and scatter per component
-        Wref = jnp.einsum("eqrd,eqvd->eqvr", gf.invJ, W)
+        Wref = jnp.sum(gf.invJ[:, :, None, :, :] * W[:, :, :, None, :],
+                       axis=-1)
         y_e = jnp.einsum("qnr,eqvr->envq", ops.G, Wref).sum(axis=-1)
         outs = []
         for c in range(self.vdim):

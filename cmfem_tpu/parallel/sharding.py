@@ -106,13 +106,13 @@ class ShardedPoissonApply:
             if d00 is not None:
                 bq = d00 * uq
             if d01 is not None:
-                t = jnp.einsum("eqr,eqr->eq", d01, gq)
+                t = jnp.sum(d01 * gq, axis=-1)
                 bq = t if bq is None else bq + t
             fq = None
             if d10 is not None:
                 fq = d10 * uq[..., None]
             if d11 is not None:
-                t = jnp.einsum("eqrs,eqs->eqr", d11, gq)
+                t = jnp.sum(d11 * gq[..., None, :], axis=-1)
                 fq = t if fq is None else fq + t
             y_e = 0.0
             if bq is not None:

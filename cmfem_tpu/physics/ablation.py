@@ -162,17 +162,17 @@ class AblationSystem:
         p_e = jnp.asarray(p)[ops.eldofs]
         Tq = jnp.einsum("qn,en->eq", ops.B, T_e)
         pq = jnp.einsum("qn,en->eq", ops.B, p_e)
-        gT = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
-                        jnp.einsum("qnr,en->eqr", ops.G, T_e))
-        gp = jnp.einsum("eqrd,eqr->eqd", gf.invJ,
-                        jnp.einsum("qnr,en->eqr", ops.G, p_e))
+        gT = jnp.sum(gf.invJ * jnp.einsum(
+            "qnr,en->eqr", ops.G, T_e)[..., :, None], axis=-2)
+        gp = jnp.sum(gf.invJ * jnp.einsum(
+            "qnr,en->eqr", ops.G, p_e)[..., :, None], axis=-2)
         r0T, r1T, r0p, r1p = self._qp_residual(
             Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt, wq=wq, gcl=gcl,
             ale_toggles=ale_toggles)
 
         def scatter_pair(r0, r1):
             y_e = jnp.einsum("qn,eq->en", ops.B, r0 * gf.wdetJ)
-            r1ref = jnp.einsum("eqrd,eqd->eqr", gf.invJ, r1)
+            r1ref = jnp.sum(gf.invJ * r1[..., None, :], axis=-1)
             y_e = y_e + jnp.einsum("qnr,eqr->en", ops.G,
                                    r1ref * gf.wdetJ[..., None])
             return ops.scatter(y_e)
@@ -200,10 +200,10 @@ class AblationSystem:
         def elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe, Jo, Jn):
             Tq = jnp.einsum("qn,n->q", ops.B, elT)[None]
             pq = jnp.einsum("qn,n->q", ops.B, elp)[None]
-            gT = jnp.einsum("qrd,qr->qd", invJ,
-                            jnp.einsum("qnr,n->qr", ops.G, elT))[None]
-            gp = jnp.einsum("qrd,qr->qd", invJ,
-                            jnp.einsum("qnr,n->qr", ops.G, elp))[None]
+            gT = jnp.sum(invJ * jnp.einsum(
+                "qnr,n->qr", ops.G, elT)[..., :, None], axis=-2)[None]
+            gp = jnp.sum(invJ * jnp.einsum(
+                "qnr,n->qr", ops.G, elp)[..., :, None], axis=-2)[None]
             r0T, r1T, r0p, r1p = self._qp_residual(
                 Tq, gT, pq, gp, To[None], po[None], Xo[None], dt,
                 wq=wqe[None],
@@ -212,7 +212,7 @@ class AblationSystem:
 
             def pair(r0, r1):
                 y = jnp.einsum("qn,q->n", ops.B, r0[0] * wdetJ)
-                r1ref = jnp.einsum("qrd,qd->qr", invJ, r1[0])
+                r1ref = jnp.sum(invJ * r1[0][..., None, :], axis=-1)
                 return y + jnp.einsum("qnr,qr->n", ops.G,
                                       r1ref * wdetJ[:, None])
 
@@ -371,7 +371,7 @@ class AblationSystem:
             Tw = jnp.einsum("qn,n->q", B, elT)[None]
             pw = jnp.einsum("qn,n->q", B, elp)[None]
             gref = jnp.einsum("qnr,n->qr", G, elp)
-            gpw = jnp.einsum("qrd,qr->qd", iJ, gref)[None]
+            gpw = jnp.sum(iJ * gref[..., :, None], axis=-2)[None]
             terms = self._seb_face_qp(Tw, pw, gpw, Xr[None], nrm[None], bc,
                                       branch, model, bprime)
             return -jnp.einsum("qn,q->n", B, terms["q_surf"][0] * wdS)

@@ -241,3 +241,13 @@ def test_rcb_partition_balanced_and_local():
             c = cents[parts == k]
             area = np.prod(c.max(axis=0) - c.min(axis=0))
             assert area < 2.0 / nparts
+
+
+def test_default_matmul_precision_is_highest():
+    """Importing cmfem_tpu must pin true-f32 matmuls globally: the TPU MXU
+    default truncates operands to bf16, which corrupted assembled geometric
+    factors by 26% at 48^3 (vertex spacings below bf16 resolution)."""
+    import jax
+    import cmfem_tpu  # noqa: F401
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
