@@ -69,6 +69,39 @@ def _canonical_tri_faces(conn: np.ndarray, face_list):
     return inv.reshape(flat.shape), len(uniq)
 
 
+def _tri_face_node_bary(p: int):
+    """Barycentric integer exponents of the triangle face-interior nodes in
+    reference-element enumeration order: (p-i-j, i, j) for i in 1..p-1,
+    j in 1..p-i-1 (matches the tet node generation in
+    reference_elements.py)."""
+    return [(p - i - j, i, j) for i in range(1, p) for j in range(1, p - i)]
+
+
+def _tri_face_canonical_indices(corners: np.ndarray, p: int):
+    """For faces given by global corner ids (nf, 3) in a LOCAL ordering,
+    return (nf, fpe) canonical face-node indices: node t (barycentric bl in
+    local corner order) maps to the node whose barycentric tuple, expressed
+    in ascending-global-vertex (canonical) corner order, appears at that
+    enumeration position.  Orientation-free nodes (all exponents equal) map
+    to themselves."""
+    bary = _tri_face_node_bary(p)
+    lookup = {b: t for t, b in enumerate(bary)}
+    fpe = len(bary)
+    nf = len(corners)
+    out = np.zeros((nf, fpe), dtype=np.int64)
+    order = np.argsort(corners, axis=1)  # order[k] = local pos of k-th smallest
+    import itertools
+
+    for perm in itertools.permutations(range(3)):
+        mask = (order == np.asarray(perm)).all(axis=1)
+        if not mask.any():
+            continue
+        for t, bl in enumerate(bary):
+            bc = (bl[perm[0]], bl[perm[1]], bl[perm[2]])
+            out[mask, t] = lookup[bc]
+    return out
+
+
 def _canonical_faces(conn: np.ndarray, face_list):
     """Unique quad faces of hexes.
 
@@ -164,14 +197,12 @@ class FESpace:
             fpe = (p - 1) * (p - 2) // 2
             if fpe == 0:
                 fids, n_faces = None, 0
-            elif fpe == 1:
-                # single p=3 face node at the centroid: orientation-free,
-                # only shared-face ids are needed
-                fids, n_faces = _canonical_tri_faces(conn, face_list)
             else:
-                raise NotImplementedError(
-                    "tet spaces to order 3 (order-4 face-node orientation "
-                    "not implemented)")
+                # shared-face ids + per-(element, local face) canonical
+                # node indices (p=3's single centroid node is trivially
+                # orientation-free; p=4's three nodes permute with the
+                # corner ordering)
+                fids, n_faces = _canonical_tri_faces(conn, face_list)
         else:
             face_list = []
             fids = fs = fd = face_corners = None
@@ -225,11 +256,15 @@ class FESpace:
                         eldofs[:, col + k] = off_face + ids * fpe + canon_lin
                         k += 1
                 col += fpe
-        # tet face interiors (p=3: one centroid node per face)
+        # tet face interiors: canonical (sorted-vertex) barycentric ordering
         if mesh.geom == TETRAHEDRON and fpe > 0:
             for lf in range(len(face_list)):
-                eldofs[:, col] = off_face + fids[:, lf]
-                col += 1
+                corners = conn[:, list(face_list[lf])]
+                canon = _tri_face_canonical_indices(corners, p)  # (ne, fpe)
+                for t in range(fpe):
+                    eldofs[:, col + t] = off_face + fids[:, lf] * fpe + \
+                        canon[:, t]
+                col += fpe
         # interiors
         if n_int:
             eldofs[:, col:col + n_int] = (
@@ -385,13 +420,15 @@ class FESpace:
                     kk = np.where(dirs == 1, k, epe - 1 - k)
                     dofs[:, col + k] = self._off_edge + eid * epe + kk
                 col += epe
-            if fpe == 1:
-                # the single p=3 interior node is the centroid: orientation-free
-                dofs[:, col] = self._off_face + fid
-            elif fpe > 1:
-                raise NotImplementedError(
-                    "triangle-face boundary dofs with multiple interior "
-                    "nodes (order >= 4 tets)")
+            if fpe >= 1:
+                # face-interior nodes in canonical (sorted-vertex)
+                # barycentric order; the boundary element enumerates its
+                # nodes in bdr_conn corner order
+                canon = _tri_face_canonical_indices(conn, p)
+                for t in range(fpe):
+                    dofs[:, col + t] = self._off_face + fid * fpe + \
+                        canon[:, t]
+                col += fpe
         else:
             raise NotImplementedError(fgeom)
 

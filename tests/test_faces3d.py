@@ -151,10 +151,42 @@ def test_tet_order3_space_and_trace():
                                cubic(np.asarray(ff.xq)), atol=1e-12)
 
 
-def test_tet_order4_raises_clearly():
+def test_tet_order4_space():
+    """Order-4 tets: three orientation-dependent face nodes per shared
+    face, canonicalized by sorted-vertex barycentric permutation."""
+    from cmfem_tpu.ops import l2_error
+
     m = _two_tet_mesh()
-    with pytest.raises(NotImplementedError, match="order-4"):
-        FESpace(m, 4)
+    fes = FESpace(m, 4)
+    # 5 verts + 9 edges * 3 + 7 faces * 3 + 2 element interiors
+    assert fes.nscalar == 5 + 27 + 21 + 2
+    ops = SpaceOps(fes, quad_order=8)
+
+    def quartic(x):
+        return (x[..., 0]**4 + x[..., 1]**3 * x[..., 2]
+                - 2 * x[..., 0]**2 * x[..., 1] * x[..., 2]
+                + x[..., 2]**4 + 0.5)
+
+    u = jnp.asarray(fes.interpolate(quartic))
+    assert float(l2_error(ops, u, quartic)) < 1e-13
+    # continuity across the shared face with RANDOM coefficients: the two
+    # elements see the face corners in different local orders, so a wrong
+    # face-node permutation would show up as an O(1) jump
+    rng = np.random.default_rng(1)
+    uu = rng.standard_normal(fes.nscalar)
+    rv = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    pts_b = rng.dirichlet(np.ones(3), size=9)
+    B0, _ = fes.ref.eval(pts_b @ rv[[1, 2, 3]])
+    B1, _ = fes.ref.eval(pts_b @ rv[[0, 1, 2]])
+    u0 = B0 @ uu[fes.element_dofs[0]]
+    u1 = B1 @ uu[fes.element_dofs[1]]
+    assert np.abs(u0 - u1).max() < 1e-12
+    # boundary traces at p=4 resolve the face-node dofs too
+    tr = BoundaryTrace(ops)
+    ff = tr.face_factors()
+    uq = jnp.asarray(fes.interpolate(quartic))
+    np.testing.assert_allclose(np.asarray(tr.values(uq)),
+                               quartic(np.asarray(ff.xq)), atol=1e-12)
 
 
 @pytest.mark.parametrize("order", [1, 2])
