@@ -336,6 +336,8 @@ def _refine_once(m: Mesh) -> Mesh:
         return _refine_tri(m)
     if m.geom == HEXAHEDRON:
         return _refine_hex(m)
+    if m.geom == TETRAHEDRON:
+        return _refine_tet(m)
     raise NotImplementedError(f"uniform_refine for {m.geom}")
 
 
@@ -413,6 +415,68 @@ def _refine_tri(m: Mesh) -> Mesh:
             bdr_attr += [m.bdr_attr[bi]] * 2
     return Mesh(2, TRIANGLE, new_verts, np.asarray(conn_out, np.int32),
                 np.asarray(attr_out, np.int32), SEGMENT,
+                np.asarray(bdr_conn, np.int32), np.asarray(bdr_attr, np.int32))
+
+
+def _refine_tet(m: Mesh) -> Mesh:
+    """Red refinement: 4 corner tets + the inner octahedron split into 4
+    along its SHORTEST diagonal (1 -> 8 children, volume preserving).  The
+    shortest-diagonal rule keeps the shape quality of descendants bounded
+    (a fixed diagonal degrades q_min geometrically on anisotropic tets)."""
+    edge_list = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    edges = _collect_edges(m.elem_conn, edge_list)
+    nv = m.num_vertices
+    new_verts = np.zeros((nv + len(edges), 3))
+    new_verts[:nv] = m.vertices
+    for (a, b), k in edges.items():
+        new_verts[nv + k] = 0.5 * (m.vertices[a] + m.vertices[b])
+    # equator cycles around each diagonal (vertices are adjacent unless
+    # opposite; opposite pairs: (m01,m23), (m02,m13), (m03,m12))
+    octa_splits = {
+        0: [("m01", "m23", a, b) for a, b in
+            (("m02", "m03"), ("m03", "m13"), ("m13", "m12"), ("m12", "m02"))],
+        1: [("m02", "m13", a, b) for a, b in
+            (("m01", "m03"), ("m03", "m23"), ("m23", "m12"), ("m12", "m01"))],
+        2: [("m03", "m12", a, b) for a, b in
+            (("m01", "m02"), ("m02", "m23"), ("m23", "m13"), ("m13", "m01"))],
+    }
+    conn_out, attr_out = [], []
+    for ei, e in enumerate(m.elem_conn):
+        v0, v1, v2, v3 = e
+
+        def M(a, b):
+            return nv + edges[_edge_key(e[a], e[b])]
+
+        mid = {"m01": M(0, 1), "m02": M(0, 2), "m03": M(0, 3),
+               "m12": M(1, 2), "m13": M(1, 3), "m23": M(2, 3)}
+        children = [
+            [v0, mid["m01"], mid["m02"], mid["m03"]],
+            [mid["m01"], v1, mid["m12"], mid["m13"]],
+            [mid["m02"], mid["m12"], v2, mid["m23"]],
+            [mid["m03"], mid["m13"], mid["m23"], v3],
+        ]
+        dlen = [np.linalg.norm(new_verts[mid[a]] - new_verts[mid[b]])
+                for a, b in (("m01", "m23"), ("m02", "m13"), ("m03", "m12"))]
+        for names in octa_splits[int(np.argmin(dlen))]:
+            t = [mid[nm] for nm in names]
+            v = new_verts[t]
+            if np.linalg.det(v[1:] - v[:1]) < 0:
+                t[2], t[3] = t[3], t[2]
+            children.append(t)
+        conn_out += children
+        attr_out += [m.elem_attr[ei]] * 8
+    bdr_conn, bdr_attr = [], []
+    for bi, f in enumerate(m.bdr_conn):
+        v0, v1, v2 = f
+        k01 = _edge_key(v0, v1)
+        k12 = _edge_key(v1, v2)
+        k20 = _edge_key(v2, v0)
+        if k01 in edges and k12 in edges and k20 in edges:
+            a, b, c = nv + edges[k01], nv + edges[k12], nv + edges[k20]
+            bdr_conn += [[v0, a, c], [a, v1, b], [c, b, v2], [a, b, c]]
+            bdr_attr += [m.bdr_attr[bi]] * 4
+    return Mesh(3, TETRAHEDRON, new_verts, np.asarray(conn_out, np.int32),
+                np.asarray(attr_out, np.int32), TRIANGLE,
                 np.asarray(bdr_conn, np.int32), np.asarray(bdr_attr, np.int32))
 
 

@@ -17,11 +17,12 @@ import numpy as np
 
 from ..core.fespace import FESpace
 from ..core.reference_elements import (
-    TRIANGLE, QUAD, HEXAHEDRON, SEGMENT, get_reference_element,
+    TRIANGLE, QUAD, HEXAHEDRON, SEGMENT, TETRAHEDRON, get_reference_element,
     gauss_lobatto_nodes,
 )
 
-_VTK_TYPE = {TRIANGLE: 5, QUAD: 9, HEXAHEDRON: 12, SEGMENT: 3}
+_VTK_TYPE = {TRIANGLE: 5, QUAD: 9, HEXAHEDRON: 12, SEGMENT: 3,
+             TETRAHEDRON: 10}
 
 
 def _lattice(geom: str, p: int):
@@ -66,6 +67,43 @@ def _lattice(geom: str, p: int):
                 if i + j < p - 1:
                     cells.append([idx[(i + 1, j)], idx[(i + 1, j + 1)], idx[(i, j + 1)]])
         return np.array(pts), np.array(cells), TRIANGLE
+    if geom == TETRAHEDRON:
+        # uniform barycentric lattice; each cell decomposes into an upward
+        # tet, a 4-tet octahedron (diagonal A-F), and an inverted tet —
+        # p^3 sub-tets total
+        idx = {}
+        pts = []
+        for k in range(p + 1):
+            for j in range(p + 1 - k):
+                for i in range(p + 1 - k - j):
+                    idx[(i, j, k)] = len(pts)
+                    pts.append((i / p, j / p, k / p))
+        cells = []
+        for k in range(p):
+            for j in range(p - k):
+                for i in range(p - k - j):
+                    s = i + j + k
+                    V = idx[(i, j, k)]
+                    A = idx[(i + 1, j, k)]
+                    B = idx[(i, j + 1, k)]
+                    C = idx[(i, j, k + 1)]
+                    cells.append([V, A, B, C])
+                    if s <= p - 2:
+                        D = idx[(i + 1, j + 1, k)]
+                        E = idx[(i + 1, j, k + 1)]
+                        F = idx[(i, j + 1, k + 1)]
+                        cells += [[A, F, B, D], [A, F, D, E],
+                                  [A, F, E, C], [A, F, C, B]]
+                        if s <= p - 3:
+                            G = idx[(i + 1, j + 1, k + 1)]
+                            cells.append([D, E, F, G])
+        pts = np.array(pts)
+        cells = np.array(cells)
+        # consistent positive orientation (octahedron splits alternate)
+        v = pts[cells]
+        neg = np.linalg.det(v[:, 1:] - v[:, :1]) < 0
+        cells[neg] = cells[neg][:, [0, 1, 3, 2]]
+        return pts, cells, TETRAHEDRON
     raise NotImplementedError(geom)
 
 

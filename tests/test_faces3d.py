@@ -189,6 +189,66 @@ def test_tet_order4_space():
                                quartic(np.asarray(ff.xq)), atol=1e-12)
 
 
+def test_tet_uniform_refinement():
+    """Bey red refinement: 8 positive-volume children, exact volume
+    conservation, boundary tris split 1->4 with attributes kept."""
+    from cmfem_tpu.core.mesh import _refine_once
+
+    def tet_vol(verts, conn):
+        v = verts[conn]
+        return np.linalg.det(v[:, 1:] - v[:, :1]) / 6.0
+
+    m = _two_tet_mesh()
+    r = _refine_once(m)
+    assert len(r.elem_conn) == 16
+    vols = tet_vol(r.vertices, r.elem_conn)
+    assert vols.min() > 0
+    np.testing.assert_allclose(vols.sum(), 0.5, atol=1e-14)  # 1/6 + 1/3
+    assert len(r.bdr_conn) == 4 * len(m.bdr_conn)
+    # refined mesh builds a working order-3 space
+    fes = FESpace(r, 3)
+    u = fes.interpolate(_linear)
+    np.testing.assert_allclose(
+        np.asarray(u), _linear(fes.node_positions), atol=1e-12)
+    # shape quality must NOT degrade with depth (shortest-diagonal rule;
+    # a fixed octahedron diagonal decays q_min geometrically)
+    def qmin(mm):
+        v = mm.vertices[mm.elem_conn]
+        vol = np.linalg.det(v[:, 1:] - v[:, :1]) / 6.0
+        ee = [np.linalg.norm(v[:, a] - v[:, b], axis=1)
+              for a in range(4) for b in range(a + 1, 4)]
+        return (6 * np.sqrt(2) * vol / np.max(ee, axis=0)**3).min()
+
+    q1 = qmin(r)
+    r3 = _refine_once(_refine_once(r))
+    assert qmin(r3) > 0.8 * q1
+
+
+def test_tet_vtu_lattice_and_save(tmp_path):
+    """Tet VTU output: p^3 positive sub-tets per element, valid files."""
+    from cmfem_tpu.io.vtu import _lattice, VTUCollection
+    from cmfem_tpu.core.reference_elements import TETRAHEDRON
+
+    def tet_vol(verts, conn):
+        v = verts[conn]
+        return np.linalg.det(v[:, 1:] - v[:, :1]) / 6.0
+
+    for p in (1, 2, 3):
+        pts, cells, g = _lattice(TETRAHEDRON, p)
+        assert len(cells) == p**3
+        vv = tet_vol(pts, cells)
+        assert vv.min() > 0
+        np.testing.assert_allclose(vv.sum(), 1.0 / 6.0, atol=1e-14)
+
+    m = _two_tet_mesh()
+    fes = FESpace(m, 3)
+    dc = VTUCollection("tets", fes, prefix_path=str(tmp_path))
+    dc.save(0, 0.0, {"u": np.asarray(fes.interpolate(_linear))})
+    assert (tmp_path / "tets" / "tets.pvd").exists()
+    vtu = next((tmp_path / "tets").glob("*.vtu")).read_text()
+    assert 'type="UnstructuredGrid"' in vtu
+
+
 @pytest.mark.parametrize("order", [1, 2])
 def test_tet_boundary_trace(order):
     m = _single_tet_mesh(bdr_rolls=(0, 1, 2, 0), reverse=(1, 3))
