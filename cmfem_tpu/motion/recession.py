@@ -34,13 +34,17 @@ from ..solvers import cg, jacobi_preconditioner
 
 class MeshRecessionHandler:
     def __init__(self, mesh, fes: FESpace, bdr_attr_top=1, bdr_attr_bottom=2,
-                 max_step_recession=float("inf"), min_quality_ratio=0.05):
+                 max_step_recession=float("inf"), min_quality_ratio=0.05,
+                 recession_axis: int | None = None):
         if fes.order != 1:
             raise NotImplementedError(
                 "MeshRecessionHandler requires an order-1 nodal mesh")
         self.mesh = mesh
         self.fes = fes
         self.n = fes.nscalar
+        # the surface-normal axis the wall recedes along (reference: +y in
+        # 2D; +z for 3D slabs).  Defaults to the last coordinate.
+        self.axis = mesh.dim - 1 if recession_axis is None else recession_axis
         self.max_step_recession = max_step_recession
         self.min_quality_ratio = min_quality_ratio
         self.top_dofs = np.asarray(fes.boundary_dofs([bdr_attr_top]))
@@ -126,16 +130,15 @@ class MeshRecessionHandler:
         apply_A = lambda u: a.apply(data, u)
         diag = jnp.where(self._bc.mask, 1.0, a.assemble_diagonal(data))
         M = jacobi_preconditioner(diag)
-        # component x: zero everywhere on top/bottom -> solution is zero
-        self.mesh_velocity[:, 0] = 0.0
-        # component y: -v on top, 0 on bottom (top normal is +y; recession
-        # moves inward, reference :251-253)
+        # tangential components: zero everywhere on top/bottom -> zero
+        # solutions; only the recession axis carries -v on top, 0 on bottom
+        # (top normal is +axis; recession moves inward, reference :251-253)
         u_bc = jnp.zeros(self.n).at[jnp.asarray(self.top_dofs)].set(
             jnp.asarray(-vc[self.top_dofs]))
         B = self._bc.constrained_rhs(apply_A, jnp.zeros(self.n), u_bc)
         res = cg(self._bc.constrain_operator(apply_A), B, M=M,
                  rtol=1e-12, maxiter=500)
-        self.mesh_velocity[:, 1] = np.asarray(res.x)
+        self.mesh_velocity[:, self.axis] = np.asarray(res.x)
         return self.mesh_velocity
 
     def commit_advance(self):

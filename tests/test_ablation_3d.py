@@ -12,6 +12,32 @@ import pytest
 REF = "/root/reference/myapps/convection_diffusion"
 
 
+def test_recession_handler_3d_slab():
+    """Moving-mesh recession on a 3D hex slab: uniform downward top (z=1)
+    velocity gives a linear-in-z velocity field and exact bookkeeping."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
+    from cmfem_tpu.motion.recession import MeshRecessionHandler
+
+    m = make_cartesian_mesh_3d(2, 2, 6)
+    fes = FESpace(m, 1)
+    # 3D attrs: 1=z0 (bottom), 2=z1 (top)
+    h = MeshRecessionHandler(m, fes, bdr_attr_top=2, bdr_attr_bottom=1)
+    assert h.axis == 2
+    v_top = np.zeros(fes.nscalar)
+    v_top[np.asarray(fes.boundary_dofs([2]))] = 1.0e-3
+    h.prepare_advance(v_top, 0.1)
+    pts = fes.node_positions
+    np.testing.assert_allclose(h.mesh_velocity[:, 0], 0.0, atol=1e-10)
+    np.testing.assert_allclose(h.mesh_velocity[:, 1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(h.mesh_velocity[:, 2], -1e-3 * pts[:, 2],
+                               atol=1e-8)
+    out = h.commit_advance()
+    assert abs(out["delta_recession"] - 1e-4) < 1e-12
+    top = np.asarray(fes.boundary_dofs([2]))
+    np.testing.assert_allclose(h.vertices[top, 2], 1.0 - 1e-4, atol=1e-10)
+    assert out["min_quality"] > 0.99
+
+
 @pytest.mark.slow
 def test_ablation_3d_slab_with_seb():
     from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
