@@ -12,23 +12,25 @@ from __future__ import annotations
 import numpy as np
 
 from .mesh import Mesh
-from .reference_elements import TRIANGLE, QUAD, get_reference_element
+from .reference_elements import (
+    HEXAHEDRON, QUAD, TETRAHEDRON, TRIANGLE, get_reference_element,
+)
 
 
 def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     """Find containing elements and reference coords for query points.
 
-    points (npts, 2) -> (elem_ids (npts,) int64 [-1 if not found],
-    ref_coords (npts, 2))."""
+    points (npts, dim) -> (elem_ids (npts,) int64 [-1 if not found],
+    ref_coords (npts, dim))."""
     verts = np.asarray(mesh.vertices if vertices is None else vertices)
     pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
     conn = mesh.elem_conn
-    coords = verts[conn]  # (ne, nc, 2)
+    coords = verts[conn]  # (ne, nc, dim)
     lo = coords.min(axis=1) - tol
     hi = coords.max(axis=1) + tol
 
     elem_ids = np.full(len(pts), -1, dtype=np.int64)
-    refs = np.zeros((len(pts), 2))
+    refs = np.zeros((len(pts), mesh.dim))
 
     for ip, x in enumerate(pts):
         cand = np.nonzero(((x >= lo) & (x <= hi)).all(axis=1))[0]
@@ -62,6 +64,44 @@ def _invert_map(geom, ecoords, x, tol):
             dNv = np.array([-(1 - u), -u, u, (1 - u)])
             xr = N @ c
             J = np.stack([dNu @ c, dNv @ c], axis=1)
+            try:
+                dr = np.linalg.solve(J, x - xr)
+            except np.linalg.LinAlgError:
+                return False, r
+            r = r + dr
+            if np.abs(dr).max() < 1e-13:
+                break
+        inside = (r >= -1e-9).all() and (r <= 1 + 1e-9).all()
+        return inside, np.clip(r, 0.0, 1.0)
+    if geom == TETRAHEDRON:
+        v = ecoords
+        A = np.stack([v[1] - v[0], v[2] - v[0], v[3] - v[0]], axis=1)
+        try:
+            r = np.linalg.solve(A, x - v[0])
+        except np.linalg.LinAlgError:
+            return False, np.zeros(3)
+        inside = (r >= -1e-9).all() and (r.sum() <= 1 + 1e-9)
+        return inside, r
+    if geom == HEXAHEDRON:
+        # Newton on the trilinear map
+        c = ecoords
+        r = np.full(3, 0.5)
+        for _ in range(25):
+            u, v, w = r
+            nu = np.array([1 - u, u])
+            nv = np.array([1 - v, v])
+            nw = np.array([1 - w, w])
+            du = np.array([-1.0, 1.0])
+            # vertex order: (0,0,0),(1,0,0),(1,1,0),(0,1,0),(0,0,1),...
+            iu = [0, 1, 1, 0, 0, 1, 1, 0]
+            iv = [0, 0, 1, 1, 0, 0, 1, 1]
+            iw = [0, 0, 0, 0, 1, 1, 1, 1]
+            N = nu[iu] * nv[iv] * nw[iw]
+            dNu = du[iu] * nv[iv] * nw[iw]
+            dNv = nu[iu] * du[iv] * nw[iw]
+            dNw = nu[iu] * nv[iv] * du[iw]
+            xr = N @ c
+            J = np.stack([dNu @ c, dNv @ c, dNw @ c], axis=1)
             try:
                 dr = np.linalg.solve(J, x - xr)
             except np.linalg.LinAlgError:

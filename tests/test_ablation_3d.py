@@ -12,6 +12,22 @@ import pytest
 REF = "/root/reference/myapps/convection_diffusion"
 
 
+def test_point_location_3d():
+    """FindPoints-equivalent in 3D: hex trilinear Newton + tet affine."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
+    from cmfem_tpu.core.pointlocate import sample_h1, locate_points
+
+    m = make_cartesian_mesh_3d(3, 3, 3)
+    fes = FESpace(m, 2)
+    f = lambda x: x[..., 0]**2 + 2 * x[..., 1] - x[..., 2]**2
+    u = fes.interpolate(f)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.05, 0.95, (20, 3))
+    np.testing.assert_allclose(sample_h1(fes, u, pts), f(pts), atol=1e-12)
+    e, _ = locate_points(m, np.array([[1.5, 0.5, 0.5]]))
+    assert e[0] == -1  # outside -> not found
+
+
 def test_recession_handler_3d_slab():
     """Moving-mesh recession on a 3D hex slab: uniform downward top (z=1)
     velocity gives a linear-in-z velocity field and exact bookkeeping."""
