@@ -10,8 +10,8 @@ import os
 
 import numpy as np
 
-from ..core import FESpace, load_gmsh, Mesh
-from ..utils.yamlcfg import load_yaml, resolve_path
+from ..core import load_gmsh, Mesh
+from ..utils.yamlcfg import resolve_path
 
 
 def parse_args(default_input: str, argv=None):

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mesh import Mesh
-from .quadrature import QuadratureRule, gauss_rule
-from .reference_elements import get_reference_element, SEGMENT, QUAD
+from .quadrature import QuadratureRule
+from .reference_elements import get_reference_element
 
 
 @dataclass

@@ -12,9 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from .mesh import Mesh
-from .reference_elements import (
-    HEXAHEDRON, QUAD, TETRAHEDRON, TRIANGLE, get_reference_element,
-)
+from .reference_elements import HEXAHEDRON, QUAD, TETRAHEDRON, TRIANGLE
 
 
 def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):

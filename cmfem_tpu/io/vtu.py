@@ -9,7 +9,6 @@ renders identically to Lagrange high-order cells.
 
 from __future__ import annotations
 
-import base64
 import os
 import struct
 

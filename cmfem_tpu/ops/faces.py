@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.fespace import FESpace
 from ..core.geometry import compute_face_factors, FaceFactors
 from ..core.quadrature import gauss_rule
 from ..core.reference_elements import (

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .assembly import SpaceOps, OperatorData
-from ..core.reference_elements import get_reference_element, HEXAHEDRON, QUAD
+from ..core.reference_elements import get_reference_element, HEXAHEDRON
 
 
 def pack_qp_blocks_T(ops: SpaceOps, data: OperatorData, dtype=jnp.float32,

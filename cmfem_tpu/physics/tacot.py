@@ -23,8 +23,7 @@ material evaluation fuses into the ablation residual under jit.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

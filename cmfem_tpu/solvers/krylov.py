@@ -11,7 +11,6 @@ collectives when the operands are sharded over a device mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -20,7 +20,7 @@ from pathlib import Path
 import numpy as np
 
 from .common import (
-    rmse, max_abs, segmented_rmse_max, load_acceptance_from_yaml,
+    rmse, max_abs, load_acceptance_from_yaml,
     load_probe_depths_from_yaml, temperature_by_depth_from_probes,
     temperature_by_depth_from_reference, write_metrics_csv, ensure_2d,
 )
