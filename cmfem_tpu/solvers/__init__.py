@@ -1,5 +1,6 @@
 from .krylov import cg, gmres, SolveResult
 from .precond import jacobi_preconditioner, chebyshev_preconditioner, power_iteration_lmax
+from .multigrid import StructuredMG
 from .direct import dense_solve
 from .newton import NewtonConfig, NewtonResult, newton_solve
 
@@ -14,4 +15,5 @@ __all__ = [
     "NewtonConfig",
     "NewtonResult",
     "newton_solve",
+    "StructuredMG",
 ]

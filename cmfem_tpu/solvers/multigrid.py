@@ -1,0 +1,234 @@
+"""Geometric multigrid for the structured sum-factorized operators.
+
+The TPU-native replacement for the reference's algebraic-multigrid /
+ILU-type PETSc preconditioner configurations (Input/petsc*.opts): on
+tensor-product lattices every multigrid ingredient is a 1D-matrix axis
+contraction —
+
+- hierarchy: p-coarsening (order p -> 1 on the same mesh) followed by
+  h-coarsening (mesh halving at order 1), every level a
+  ``SumFactoredOperator`` (zero gather/scatter);
+- transfer: prolongation = linear interpolation of the coarse nodal
+  lattice onto the fine lattice, applied as three axis-wise matmuls
+  (restriction is the transposed chain);
+- smoother: Jacobi-scaled Chebyshev (matmul-only; no triangular solves);
+- coarsest level: a high-degree Chebyshev sweep.
+
+Everything is jittable and follows the repo's ``bind()`` convention: big
+arrays travel as jit arguments, never as closure captures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import FESpace, make_cartesian_mesh_3d
+from ..ops.assembly import SpaceOps
+from ..ops.partial import StructuredGrid3D
+from ..ops.sumfact import SumFactoredOperator
+from .precond import power_iteration_lmax
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _interp_1d(xc: np.ndarray, xf: np.ndarray) -> np.ndarray:
+    """(nf, nc) linear-interpolation matrix from coarse nodes xc to fine
+    nodes xf (both ascending, same endpoints)."""
+    nf, nc = len(xf), len(xc)
+    P = np.zeros((nf, nc))
+    j = np.clip(np.searchsorted(xc, xf, side="right") - 1, 0, nc - 2)
+    t = (xf - xc[j]) / (xc[j + 1] - xc[j])
+    P[np.arange(nf), j] = 1.0 - t
+    P[np.arange(nf), j + 1] += t
+    return P
+
+
+def _lattice_diag(fes: FESpace, form, data, grid: StructuredGrid3D):
+    """Operator diagonal permuted from entity numbering to the lattice."""
+    diag = np.asarray(form.assemble_diagonal(data))
+    pos = np.asarray(fes.node_positions)
+    pi = np.round(pos * [(grid.NX - 1) / max(pos[:, 0].max(), 1e-300),
+                         (grid.NY - 1) / max(pos[:, 1].max(), 1e-300),
+                         (grid.NZ - 1) / max(pos[:, 2].max(), 1e-300)])
+    pi = pi.astype(np.int64)
+    lat = (pi[:, 2] * grid.NY + pi[:, 1]) * grid.NX + pi[:, 0]
+    out = np.zeros(grid.ndofs)
+    out[lat] = diag
+    return out
+
+
+class StructuredMG:
+    """V-cycle preconditioner over a list of structured-lattice levels.
+
+    Levels are ordered fine -> coarse.  Each level dict carries:
+    ``fn`` (bound sumfact apply), ``D`` (its operator data), ``diag``
+    (lattice-numbered diagonal with 1.0 at essential dofs), ``mask``
+    (bool essential-dof mask), ``lmax`` (top eigenvalue estimate of the
+    Jacobi-scaled constrained operator), and — for every level but the
+    coarsest — ``Px/Py/Pz``, the 1D prolongation matrices from the next
+    coarser lattice, plus both lattice shapes.
+    """
+
+    def __init__(self, levels, smooth_degree: int = 3,
+                 coarse_degree: int = 24):
+        self.levels = levels
+        self.smooth_degree = smooth_degree
+        self.coarse_degree = coarse_degree
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def build(n, order, make_form, dtype=jnp.float32, quad_order=None,
+              min_coarse: int = 2, essential_all_boundary: bool = True):
+        """Build the level hierarchy for an (n, n, n) cartesian mesh at
+        ``order``: p-coarsen to order 1, then h-coarsen while n is even.
+        ``make_form(ops) -> BilinearForm`` defines the PDE on every level."""
+        specs = [(n, order)]
+        if order > 1:
+            specs.append((n, 1))
+        nn = n
+        while nn % 2 == 0 and nn // 2 >= min_coarse:
+            nn //= 2
+            specs.append((nn, 1))
+
+        levels = []
+        prev = None
+        for (nl, pl) in specs:
+            mesh = make_cartesian_mesh_3d(nl, nl, nl)
+            fes = FESpace(mesh, pl)
+            ops = SpaceOps(fes, quad_order=quad_order or max(2, 2 * pl))
+            form = make_form(ops)
+            data = form.assemble()
+            op = SumFactoredOperator(ops, data, nl, nl, nl, pl, dtype=dtype)
+            grid = StructuredGrid3D(nl, nl, nl, pl)
+            diag = _lattice_diag(fes, form, data, grid)
+            mask = grid.boundary_mask() if essential_all_boundary \
+                else np.zeros(grid.ndofs, bool)
+            diag = np.where(mask, 1.0, diag)
+            lvl = {
+                "op": op,
+                "shape": (op.NZ, op.NY, op.NX),
+                "diag": jnp.asarray(diag, dtype),
+                "mask": jnp.asarray(mask),
+            }
+            if prev is not None:
+                # 1D nodes of this (coarse) level and the previous (fine)
+                from ..core.reference_elements import gauss_lobatto_nodes
+
+                def nodes_1d(nel, p):
+                    base = gauss_lobatto_nodes(p)
+                    xs = []
+                    for e in range(nel):
+                        seg = (e + base) / nel
+                        xs.extend(seg[:-1] if e < nel - 1 else seg)
+                    return np.asarray(xs)
+
+                xf = nodes_1d(prev[0], prev[1])
+                xc = nodes_1d(nl, pl)
+                P = jnp.asarray(_interp_1d(xc, xf), dtype)
+                levels[-1]["P1"] = P  # same in x, y, z (cubic lattice)
+            levels.append(lvl)
+            prev = (nl, pl)
+
+        # eigenvalue estimates for the Chebyshev smoothers
+        for lvl in levels:
+            fn, D = lvl["op"].bind()
+            mask = lvl["mask"]
+            dinv = 1.0 / lvl["diag"]
+
+            def Aop(v, fn=fn, D=D, mask=mask, dinv=dinv):
+                av = fn(jnp.where(mask, 0.0, v), D)
+                return dinv * jnp.where(mask, v, av)
+
+            lvl["lmax"] = float(power_iteration_lmax(
+                jax.jit(Aop), lvl["diag"].shape[0], iters=20,
+                dtype=lvl["diag"].dtype)) * 1.05
+        return StructuredMG(levels)
+
+    # -- binding ------------------------------------------------------------
+
+    def bind(self):
+        """(M(r, arrays), arrays): a jittable V-cycle preconditioner with
+        every level's operator data passed as jit arguments."""
+        fns = []
+        meta = []
+        arrays = []
+        for lvl in self.levels:
+            fn, D = lvl["op"].bind()
+            fns.append(fn)
+            arrays.append((D, lvl["diag"], lvl["mask"],
+                           lvl.get("P1", jnp.zeros(0))))
+            meta.append({"shape": lvl["shape"], "lmax": lvl["lmax"]})
+        nlev = len(self.levels)
+        smooth_degree = self.smooth_degree
+        coarse_degree = self.coarse_degree
+
+        def apply_level(k, v, arrs):
+            D, diag, mask, _ = arrs[k]
+            av = fns[k](jnp.where(mask, 0.0, v), D)
+            return jnp.where(mask, v, av)
+
+        def chebyshev(k, r, arrs, degree):
+            """z ~= A_k^{-1} r via Jacobi-scaled Chebyshev, z0 = 0."""
+            D, diag, mask, _ = arrs[k]
+            lmax = meta[k]["lmax"]
+            lmin = lmax / 30.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            dinv = 1.0 / diag
+
+            def Aop(v):
+                return dinv * apply_level(k, v, arrs)
+
+            rs = dinv * r
+            z = rs / theta
+            d = z
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(degree - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = rho_new * (2.0 / delta * (rs - Aop(z)) + rho * d)
+                z = z + d
+                rho = rho_new
+            return z
+
+        def restrict(k, r, arrs):
+            """fine level k -> coarse level k+1 (P^T along each axis)."""
+            P = arrs[k][3]  # (Nf, Nc)
+            zf, yf, xf = meta[k]["shape"]
+            zc, yc, xc = meta[k + 1]["shape"]
+            r3 = r.reshape(zf, yf, xf)
+            t = jnp.einsum("fc,zyf->zyc", P, r3, precision=HI)
+            t = jnp.einsum("fc,zfx->zcx", P, t, precision=HI)
+            t = jnp.einsum("fc,fyx->cyx", P, t, precision=HI)
+            rc = t.reshape(-1)
+            return jnp.where(arrs[k + 1][2], 0.0, rc)
+
+        def prolong(k, e, arrs):
+            """coarse level k+1 -> fine level k."""
+            P = arrs[k][3]
+            zc, yc, xc = meta[k + 1]["shape"]
+            e3 = e.reshape(zc, yc, xc)
+            t = jnp.einsum("fc,zyc->zyf", P, e3, precision=HI)
+            t = jnp.einsum("fc,zcx->zfx", P, t, precision=HI)
+            t = jnp.einsum("fc,cyx->fyx", P, t, precision=HI)
+            ef = t.reshape(-1)
+            return jnp.where(arrs[k][2], 0.0, ef)
+
+        def vcycle(k, r, arrs):
+            if k == nlev - 1:
+                return chebyshev(k, r, arrs, coarse_degree)
+            z = chebyshev(k, r, arrs, smooth_degree)
+            res = r - apply_level(k, z, arrs)
+            ec = vcycle(k + 1, restrict(k, res, arrs), arrs)
+            z = z + prolong(k, ec, arrs)
+            res = r - apply_level(k, z, arrs)
+            z = z + chebyshev(k, res, arrs, smooth_degree)
+            return z
+
+        def M(r, arrs):
+            return vcycle(0, r, arrs)
+
+        return M, tuple(arrays)
