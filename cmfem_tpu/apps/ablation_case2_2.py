@@ -279,6 +279,7 @@ def run(cfg: dict) -> dict:
 
     verts = lambda: (rec.vertices if rec else np.asarray(mesh.vertices))
     recession_total = 0.0
+    last_max_disp = 0.0
 
     restart_read = cfg.get("restart_read_file", "")
     restart_write = cfg.get("restart_write_file", "")
@@ -347,7 +348,7 @@ def run(cfg: dict) -> dict:
         meshdiag_csv.writerow([
             tnow, float(hi[1]),
             (rec._min_quality() / rec.initial_min_quality) if rec else 1.0,
-            0.0, recession_total])
+            last_max_disp, recession_total])
         mass_csv.writerow([tnow, bdiag["m_dot_g_surf"], bdiag["m_dot_c_surf"],
                            f98, f2, recession_total])
         boundary_csv.writerow([tnow] + [bdiag[k] for k in (
@@ -408,6 +409,7 @@ def run(cfg: dict) -> dict:
                 char_density_fraction_elem=state.char_density_fraction_elem)
             out = rec.commit_advance()
             recession_total = out["total_recession"]
+            last_max_disp = out["max_node_disp"]
             wq = rec.mesh_velocity_at_qp(ops)
 
         v_now = jnp.asarray(verts())

@@ -47,6 +47,55 @@ def test_mg_poisson_mesh_independent_iterations():
     assert int(r_j16.iters) > 1.5 * int(r_j8.iters)  # Jacobi degrades
 
 
+def test_mg_preconditions_gmres_on_nonsymmetric_cdr():
+    """GMRES on the nonsymmetric CDR operator, preconditioned with the MG
+    hierarchy built on its SYMMETRIC part (diffusion + mass) — the standard
+    construction: the Chebyshev smoother needs a real positive spectrum, so
+    preconditioning with the symmetric-part V-cycle is the robust choice."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.ops.sumfact import SumFactoredOperator
+    from cmfem_tpu.solvers import gmres
+
+    n = 8
+    beta = np.array([1.0, -2.0, 0.5])
+    mg = StructuredMG.build(
+        n, 2, lambda ops: BilinearForm(ops).add_diffusion(0.1).add_mass(1.0),
+        dtype=jnp.float64)
+    M, arrs = mg.bind()
+    mask = mg.levels[0]["mask"]
+    diag = mg.levels[0]["diag"]
+    nd = mg.levels[0]["op"].ndofs
+
+    # the actual (nonsymmetric) operator on the same lattice
+    mesh = make_cartesian_mesh_3d(n, n, n)
+    fes = FESpace(mesh, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    form = (BilinearForm(ops).add_diffusion(0.1)
+            .add_convection(beta).add_mass(1.0))
+    cdr = SumFactoredOperator(ops, form.assemble(), n, n, n, 2,
+                              dtype=jnp.float64)
+    fnc, Dc = cdr.bind()
+
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(np.where(np.asarray(mask), 0.0,
+                             rng.standard_normal(nd)))
+
+    def A(v):
+        return jnp.where(mask, v, fnc(jnp.where(mask, 0.0, v), Dc))
+
+    # fixed Krylov budget of 30 vectors: measured MG reaches 2.7e-8 vs
+    # Jacobi 7.1e-5 (and 2.9e-4 vs 1.4e-2 at 15 vectors)
+    r_m = gmres(A, b, M=lambda r: M(r, arrs), rtol=1e-10, restart=30,
+                maxiter=1)
+    r_j = gmres(A, b, M=jacobi_preconditioner(diag), rtol=1e-10, restart=30,
+                maxiter=1)
+    res_m = float(jnp.linalg.norm(b - A(r_m.x)) / jnp.linalg.norm(b))
+    res_j = float(jnp.linalg.norm(b - A(r_j.x)) / jnp.linalg.norm(b))
+    assert res_m < 1e-6
+    assert res_j > 50 * res_m  # far ahead of Jacobi in the same budget
+
+
 def test_mg_vcycle_is_jittable():
     """The whole V-cycle compiles as one jit with arrays as arguments."""
     mg = StructuredMG.build(
