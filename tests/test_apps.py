@@ -144,6 +144,18 @@ def test_qstar_blowing(tmp_path):
     assert os.path.exists(tmp_path / "qstar_blowing_summary.csv")
 
 
+def test_reference_input_yaml_runs_verbatim(tmp_path, monkeypatch):
+    """The reference's own input YAMLs drive our apps unmodified (keys,
+    relative data paths, order/refinement settings)."""
+    monkeypatch.chdir(tmp_path)
+    from cmfem_tpu.apps.linear_cd_2d import run
+    from cmfem_tpu.utils.yamlcfg import load_yaml
+
+    cfg = load_yaml(f"{REF}/Input/input_2d.yaml")
+    out = run(cfg)
+    assert out["rel_l2"] < 1e-4  # order-3 solve: measured 3.4e-5
+
+
 def test_nonlinear_ad_jacobian_vs_fd():
     """AD element Jacobian of the nonlinear form matches finite differences
     (the reference's jacobian_check pattern, SURVEY.md §4.3)."""
