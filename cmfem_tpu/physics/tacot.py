@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -240,6 +242,34 @@ def _make_extent_solver(mat: "TacotMaterial"):
     return solve
 
 
+def _parse_pato_optics(path: str):
+    """Parse a PATO surface property file into a 2-property (emissivity,
+    reflectivity) PropertyTable.  Columns: p T cp h ki kj kk emissivity
+    reflectivity; ``//`` comments; rows grouped by pressure
+    (LoadSurfaceOpticsTableFromSource, tacot_material.cpp:124-197)."""
+    if not os.path.isfile(path):
+        return None
+    grouped: dict = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("//")[0]
+            parts = line.split()
+            if len(parts) < 9:
+                continue
+            try:
+                vals = [float(v) for v in parts[:9]]
+            except ValueError:
+                continue
+            p, T = vals[0], vals[1]
+            grouped.setdefault(p, []).append((T, vals[7], vals[8]))
+    if not grouped:
+        return None
+    node = {"pressure_tables": [
+        {"p": p, "rows": sorted(rows)} for p, rows in sorted(grouped.items())
+    ]}
+    return PropertyTable.from_yaml_node(node, 2)
+
+
 @dataclass
 class TacotMaterial:
     """Loaded TACOT deck; all methods are jnp-vectorized and jittable."""
@@ -265,6 +295,11 @@ class TacotMaterial:
     emissivity_fallback: float = 0.85
     reflectivity_fallback: float = 0.15
     newton_iters: int = 30
+    # optional PATO surface-optics (p,T) tables: emissivity + reflectivity
+    # per virgin/char state (LoadSurfaceOpticsTableFromSource,
+    # tacot_material.cpp:124-197); None -> the 0.85/0.15 fallback
+    virgin_optics: PropertyTable | None = None
+    char_optics: PropertyTable | None = None
 
     @classmethod
     def load_yaml(cls, path: str) -> "TacotMaterial":
@@ -314,7 +349,26 @@ class TacotMaterial:
             virgin=PropertyTable.from_yaml_node(root["tables"]["virgin"], 3),
             char=PropertyTable.from_yaml_node(root["tables"]["char"], 3),
             gas=PropertyTable.from_yaml_node(root["tables"]["gas"], 3),
+            **cls._load_surface_optics(root),
         )
+
+    @staticmethod
+    def _load_surface_optics(root) -> dict:
+        """Optional PATO surface-optics: ``source: path:`` names a PATO
+        material directory whose ``virgin``/``char`` files carry 9 columns
+        (p T cp h ki kj kk emissivity reflectivity).  Both must parse or
+        neither is used (tacot_material.cpp:110-118)."""
+        src = (root.get("source") or {}).get("path")
+        if not src:
+            return {}
+        try:
+            v = _parse_pato_optics(os.path.join(src, "virgin"))
+            c = _parse_pato_optics(os.path.join(src, "char"))
+        except (OSError, ValueError):
+            return {}
+        if v is None or c is None:
+            return {}
+        return {"virgin_optics": v, "char_optics": c}
 
     # -- derived scalars ---------------------------------------------------
 
@@ -407,9 +461,20 @@ class TacotMaterial:
             "cp": cp_v * vw + cp_c * (1 - vw),
             "h": h_v * vw + h_c * (1 - vw),
             "k": k_v * vw + k_c * (1 - vw),
-            "emissivity": jnp.full_like(tau, self.emissivity_fallback),
-            "reflectivity": jnp.full_like(tau, self.reflectivity_fallback),
         }
+        if self.virgin_optics is not None and self.char_optics is not None:
+            eps_v = self.virgin_optics.eval(0, p, T)
+            refl_v = self.virgin_optics.eval(1, p, T)
+            eps_c = self.char_optics.eval(0, p, T)
+            refl_c = self.char_optics.eval(1, p, T)
+            out["emissivity"] = jnp.clip(eps_v * vw + eps_c * (1 - vw),
+                                         0.0, 1.0)
+            out["reflectivity"] = jnp.clip(refl_v * vw + refl_c * (1 - vw),
+                                           0.0, 1.0)
+        else:
+            out["emissivity"] = jnp.full_like(tau, self.emissivity_fallback)
+            out["reflectivity"] = jnp.full_like(tau,
+                                                self.reflectivity_fallback)
         out["absorptivity"] = jnp.clip(1.0 - out["reflectivity"], 0.0, 1.0)
         out["K"] = tau * self.K_v + (1 - tau) * self.K_c
         out["eps_g"] = tau * self.eps_g_v + (1 - tau) * self.eps_g_c

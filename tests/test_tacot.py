@@ -136,3 +136,55 @@ def test_material_yaml_validation(tmp_path):
     bad.write_text("constants: {R: 8.314}\n")
     with pytest.raises(ValueError):
         TacotMaterial.load_yaml(str(bad))
+
+
+def test_surface_optics_tables(tmp_path):
+    """Optional PATO surface-optics files: 9-column virgin/char files keyed
+    by source.path load into (p,T) emissivity/reflectivity tables blended
+    by the virgin weight; absent or partial files fall back to 0.85/0.15."""
+    import shutil
+
+    optics_dir = tmp_path / "TACOT"
+    optics_dir.mkdir()
+    # p T cp h ki kj kk emissivity reflectivity (2 p-levels x 3 T rows)
+    rows_v, rows_c = [], []
+    for p in (1e4, 1e5):
+        for T in (300.0, 1500.0, 3000.0):
+            rows_v.append(f"{p} {T} 1 2 3 4 5 {0.6 + 1e-5 * T} 0.3 // v")
+            rows_c.append(f"{p} {T} 1 2 3 4 5 {0.9 - 1e-5 * T} 0.1")
+    (optics_dir / "virgin").write_text("\n".join(rows_v))
+    (optics_dir / "char").write_text("\n".join(rows_c))
+
+    src = yaml_path = tmp_path / "mat.yaml"
+    base = open(MAT1).read()
+    # repoint the source path at our synthetic optics deck
+    import re
+    patched = re.sub(r"source:\n  path: .*",
+                     f"source:\n  path: {optics_dir}", base, count=1)
+    yaml_path.write_text(patched)
+    mat = TacotMaterial.load_yaml(str(yaml_path))
+    assert mat.virgin_optics is not None and mat.char_optics is not None
+
+    T = jnp.asarray([1500.0])
+    p = jnp.asarray([5e4])
+    X0 = jnp.zeros((1, mat.num_reactions))  # fully virgin: tau = 1
+    s = mat.solid_props(T, p, X0)
+    # virgin weight ~ 1 -> emissivity ~ virgin table = 0.6 + 1e-5*1500
+    np.testing.assert_allclose(float(s["emissivity"][0]), 0.615, atol=1e-3)
+    np.testing.assert_allclose(float(s["reflectivity"][0]), 0.3, atol=1e-3)
+    np.testing.assert_allclose(float(s["absorptivity"][0]), 0.7, atol=1e-3)
+    X1 = jnp.ones((1, mat.num_reactions))   # fully charred
+    sc = mat.solid_props(T, p, X1)
+    assert float(sc["emissivity"][0]) > float(s["emissivity"][0])  # char ~0.875
+
+    # partial deck (virgin only) -> fallback, matching the reference's
+    # both-or-nothing rule
+    (optics_dir / "char").unlink()
+    mat2 = TacotMaterial.load_yaml(str(yaml_path))
+    assert mat2.virgin_optics is None
+    s2 = mat2.solid_props(T, p, X0)
+    np.testing.assert_allclose(float(s2["emissivity"][0]), 0.85, atol=1e-12)
+
+    # the shipped decks point at an absent author-local path -> fallback
+    mat3 = TacotMaterial.load_yaml(MAT1)
+    assert mat3.virgin_optics is None
