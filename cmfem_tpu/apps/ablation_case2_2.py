@@ -272,6 +272,17 @@ def run(cfg: dict) -> dict:
                      cfg.get("mesh_csv", "mesh_diagnostics.csv")),
         ["time", "y_top", "min_quality_ratio", "max_node_disp",
          "total_recession"])
+    # per-step phase timing (same 10-column schema as case 1/2.1,
+    # ablation_test_case2_2_2D.cpp:3857-3860; the pre-solve recession +
+    # remap phase is folded into bc_sec)
+    timing_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("timing_step_csv", "driver_timing_per_step.csv")),
+        ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
+         "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
+         "state_advance_sec", "output_sec", "step_total_sec"])
+    totals = {k: 0.0 for k in ("bc", "newton", "nres", "njac", "nlin",
+                               "nupd", "state", "output", "step")}
 
     dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
         if save_paraview else None
@@ -379,11 +390,13 @@ def run(cfg: dict) -> dict:
     while t < t_final - RESTART_TIME_TOL:
         step += 1
         steps_executed += 1
+        step_t0 = _time.perf_counter()
         t_prev = t
         t_next = min(t_final, t + dt_cfg)
         dt_step = t_next - t
         t = t_next
 
+        bc_t0 = _time.perf_counter()
         bc = schedule.eval(t)
         branch = classify_branch(bc, model)
 
@@ -421,6 +434,8 @@ def run(cfg: dict) -> dict:
 
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
 
+        bc_sec = _time.perf_counter() - bc_t0  # incl. recession + remap
+
         if jacobian_check and step == 1:
             rel = sys_.jacobian_check(
                 T, p, T_old_q, p_old_q, X_old, dt_step, abs_tol=jc_abs,
@@ -429,14 +444,19 @@ def run(cfg: dict) -> dict:
             print(f"jacobian_check (domain blocks) passed "
                   f"(max rel err {rel:.3e})")
 
+        newton_t0 = _time.perf_counter()
+        nres = njac = nlin = 0.0
         converged = False
         r0 = du0 = 1.0
         final_res = np.inf
         iters = 0
         lu = None
         for it in range(newton_cfg.max_iter):
+            tt = _time.perf_counter()
             R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc,
                             branch, v_now, wq, gcl)
+            R = jax.block_until_ready(R)
+            nres += _time.perf_counter() - tt
             res_norm = float(jnp.linalg.norm(R))
             if it == 0:
                 r0 = max(1.0, res_norm)
@@ -449,9 +469,13 @@ def run(cfg: dict) -> dict:
                                      0.0, du0, 0.0, 1])
                 break
             if lu is None or it % jacobian_rebuild_freq == 0:
+                tt = _time.perf_counter()
                 lu = factorize((T, p, T_old_q, p_old_q, X_old, dt_step,
                                 bc, branch, v_now, wq, gcl))
+                njac += _time.perf_counter() - tt
+            tt = _time.perf_counter()
             dx = lu.solve(-np.asarray(R))
+            nlin += _time.perf_counter() - tt
             un = float(np.linalg.norm(dx))
             if it == 0:
                 du0 = max(1.0, un)
@@ -467,7 +491,11 @@ def run(cfg: dict) -> dict:
                 f"Newton did not converge at step {step}, final residual="
                 f"{final_res}")
 
+        newton_sec = _time.perf_counter() - newton_t0
+        state_t0 = _time.perf_counter()
         state = sys_.advance_state(state, T, p, dt_step)
+        state_sec = _time.perf_counter() - state_t0
+        out_t0 = _time.perf_counter()
         write_outputs(step, t)
         recession_history.append((t, recession_total))
         if restart_write:
@@ -480,6 +508,15 @@ def run(cfg: dict) -> dict:
                 restart_at_done = True
             if write_now:
                 write_checkpoint()
+        out_sec = _time.perf_counter() - out_t0
+        step_sec = _time.perf_counter() - step_t0
+        timing_csv.writerow([step, bc_sec, newton_sec, nres, njac, nlin,
+                             0.0, state_sec, out_sec, step_sec])
+        for k, v in zip(("bc", "newton", "nres", "njac", "nlin", "nupd",
+                         "state", "output", "step"),
+                        (bc_sec, newton_sec, nres, njac, nlin, 0.0,
+                         state_sec, out_sec, step_sec)):
+            totals[k] += v
         if step <= 5 or step % 50 == 0:
             print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
                   f"Tmax={float(jnp.max(T)):.1f} recession={recession_total:.3e}")
@@ -493,6 +530,21 @@ def run(cfg: dict) -> dict:
     newton_csv.close()
     pressure_csv.close()
     meshdiag_csv.close()
+    timing_csv.close()
+    with CsvWriter(os.path.join(output_path,
+                                cfg.get("timing_summary_csv",
+                                        "driver_timing_summary.csv")),
+                   ["metric", "seconds"]) as w:
+        w.writerow(["sum_step_time_maxrank", totals["step"]])
+        w.writerow(["sum_bc_time_maxrank", totals["bc"]])
+        w.writerow(["sum_newton_time_maxrank", totals["newton"]])
+        w.writerow(["sum_newton_residual_eval_time_maxrank", totals["nres"]])
+        w.writerow(["sum_newton_linear_time_maxrank", totals["nlin"]])
+        w.writerow(["sum_newton_update_time_maxrank", totals["nupd"]])
+        w.writerow(["sum_state_advance_time_maxrank", totals["state"]])
+        w.writerow(["sum_output_time_maxrank", totals["output"]])
+        w.writerow(["avg_step_time_maxrank",
+                    totals["step"] / max(1, steps_executed)])
 
     # in-driver recession comparison vs the Amaryllis mass history
     # (AmaryllisRecessionHistory + recession error metrics,
