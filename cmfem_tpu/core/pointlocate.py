@@ -19,7 +19,8 @@ def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     """Find containing elements and reference coords for query points.
 
     points (npts, dim) -> (elem_ids (npts,) int64 [-1 if not found],
-    ref_coords (npts, dim))."""
+    ref_coords (npts, dim)).  All (point, candidate-element) pairs from
+    the bbox filter are inverted in one batched numpy sweep."""
     verts = np.asarray(mesh.vertices if vertices is None else vertices)
     pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
     conn = mesh.elem_conn
@@ -27,89 +28,99 @@ def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     lo = coords.min(axis=1) - tol
     hi = coords.max(axis=1) + tol
 
-    elem_ids = np.full(len(pts), -1, dtype=np.int64)
-    refs = np.zeros((len(pts), mesh.dim))
-
-    for ip, x in enumerate(pts):
-        cand = np.nonzero(((x >= lo) & (x <= hi)).all(axis=1))[0]
-        for e in cand:
-            ok, ref = _invert_map(mesh.geom, coords[e], x, tol)
-            if ok:
-                elem_ids[ip] = e
-                refs[ip] = ref
-                break
+    npts = len(pts)
+    elem_ids = np.full(npts, -1, dtype=np.int64)
+    refs = np.zeros((npts, mesh.dim))
+    # candidate pairs: (point, element) where the point is in the bbox
+    inside_box = ((pts[:, None, :] >= lo[None]) &
+                  (pts[:, None, :] <= hi[None])).all(axis=2)  # (npts, ne)
+    ip, ie = np.nonzero(inside_box)
+    if len(ip) == 0:
+        return elem_ids, refs
+    ok, r = _invert_map_batched(mesh.geom, coords[ie], pts[ip], tol)
+    # first containing element per point (stable order: nonzero is sorted)
+    hit = np.nonzero(ok)[0]
+    first = {}
+    for k in hit:
+        p = ip[k]
+        if p not in first:
+            first[p] = k
+    for p, k in first.items():
+        elem_ids[p] = ie[k]
+        refs[p] = r[k]
     return elem_ids, refs
 
 
-def _invert_map(geom, ecoords, x, tol):
+def _invert_map_batched(geom, ecoords, x, tol):
+    """Batched inverse maps: ecoords (m, nc, dim), x (m, dim) ->
+    (inside (m,) bool, ref (m, dim))."""
+    m = len(x)
     if geom == TRIANGLE:
-        v0, v1, v2 = ecoords[0], ecoords[1], ecoords[2]
-        A = np.stack([v1 - v0, v2 - v0], axis=1)
-        try:
-            r = np.linalg.solve(A, x - v0)
-        except np.linalg.LinAlgError:
-            return False, np.zeros(2)
-        inside = (r[0] >= -1e-9) and (r[1] >= -1e-9) and (r.sum() <= 1 + 1e-9)
+        v = ecoords
+        A = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
+        r = np.linalg.solve(A, (x - v[:, 0])[..., None])[..., 0]
+        inside = (r >= -1e-9).all(axis=1) & (r.sum(axis=1) <= 1 + 1e-9)
         return inside, r
-    if geom == QUAD:
-        # Newton on the bilinear map
-        c = ecoords
-        r = np.array([0.5, 0.5])
-        for _ in range(20):
-            u, v = r
-            N = np.array([(1 - u) * (1 - v), u * (1 - v), u * v, (1 - u) * v])
-            dNu = np.array([-(1 - v), (1 - v), v, -v])
-            dNv = np.array([-(1 - u), -u, u, (1 - u)])
-            xr = N @ c
-            J = np.stack([dNu @ c, dNv @ c], axis=1)
-            try:
-                dr = np.linalg.solve(J, x - xr)
-            except np.linalg.LinAlgError:
-                return False, r
-            r = r + dr
-            if np.abs(dr).max() < 1e-13:
-                break
-        inside = (r >= -1e-9).all() and (r <= 1 + 1e-9).all()
-        return inside, np.clip(r, 0.0, 1.0)
     if geom == TETRAHEDRON:
         v = ecoords
-        A = np.stack([v[1] - v[0], v[2] - v[0], v[3] - v[0]], axis=1)
-        try:
-            r = np.linalg.solve(A, x - v[0])
-        except np.linalg.LinAlgError:
-            return False, np.zeros(3)
-        inside = (r >= -1e-9).all() and (r.sum() <= 1 + 1e-9)
+        A = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0],
+                      v[:, 3] - v[:, 0]], axis=2)
+        r = np.linalg.solve(A, (x - v[:, 0])[..., None])[..., 0]
+        inside = (r >= -1e-9).all(axis=1) & (r.sum(axis=1) <= 1 + 1e-9)
         return inside, r
-    if geom == HEXAHEDRON:
-        # Newton on the trilinear map
-        c = ecoords
-        r = np.full(3, 0.5)
-        for _ in range(25):
-            u, v, w = r
-            nu = np.array([1 - u, u])
-            nv = np.array([1 - v, v])
-            nw = np.array([1 - w, w])
-            du = np.array([-1.0, 1.0])
-            # vertex order: (0,0,0),(1,0,0),(1,1,0),(0,1,0),(0,0,1),...
-            iu = [0, 1, 1, 0, 0, 1, 1, 0]
-            iv = [0, 0, 1, 1, 0, 0, 1, 1]
-            iw = [0, 0, 0, 0, 1, 1, 1, 1]
-            N = nu[iu] * nv[iv] * nw[iw]
-            dNu = du[iu] * nv[iv] * nw[iw]
-            dNv = nu[iu] * du[iv] * nw[iw]
-            dNw = nu[iu] * nv[iv] * du[iw]
-            xr = N @ c
-            J = np.stack([dNu @ c, dNv @ c, dNw @ c], axis=1)
-            try:
-                dr = np.linalg.solve(J, x - xr)
-            except np.linalg.LinAlgError:
-                return False, r
-            r = r + dr
-            if np.abs(dr).max() < 1e-13:
-                break
-        inside = (r >= -1e-9).all() and (r <= 1 + 1e-9).all()
-        return inside, np.clip(r, 0.0, 1.0)
-    raise NotImplementedError(geom)
+    if geom == QUAD:
+        iu = np.array([0, 1, 1, 0])
+        iv = np.array([0, 0, 1, 1])
+        ii = (iu, iv, None)
+    elif geom == HEXAHEDRON:
+        iu = np.array([0, 1, 1, 0, 0, 1, 1, 0])
+        iv = np.array([0, 0, 1, 1, 0, 0, 1, 1])
+        iw = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+        ii = (iu, iv, iw)
+    else:
+        raise NotImplementedError(geom)
+    # batched Newton on the multilinear map
+    dim = 2 if geom == QUAD else 3
+    r = np.full((m, dim), 0.5)
+    du = np.array([-1.0, 1.0])
+    for _ in range(25):
+        n1 = np.stack([1 - r[:, 0], r[:, 0]], axis=1)  # (m, 2)
+        n2 = np.stack([1 - r[:, 1], r[:, 1]], axis=1)
+        if dim == 3:
+            n3 = np.stack([1 - r[:, 2], r[:, 2]], axis=1)
+            N = n1[:, ii[0]] * n2[:, ii[1]] * n3[:, ii[2]]
+            dN = [du[ii[0]] * n2[:, ii[1]] * n3[:, ii[2]],
+                  n1[:, ii[0]] * du[ii[1]] * n3[:, ii[2]],
+                  n1[:, ii[0]] * n2[:, ii[1]] * du[ii[2]]]
+        else:
+            N = n1[:, ii[0]] * n2[:, ii[1]]
+            dN = [du[ii[0]] * n2[:, ii[1]], n1[:, ii[0]] * du[ii[1]]]
+        xr = np.einsum("mn,mnd->md", N, ecoords)
+        J = np.stack([np.einsum("mn,mnd->md", d, ecoords) for d in dN],
+                     axis=2)
+        # guard near-singular candidates (Newton wandered outside a skewed
+        # element): give them an identity J; the inside check rejects them
+        bad = np.abs(np.linalg.det(J)) < 1e-250
+        if bad.any():
+            J[bad] = np.eye(dim)
+        dr = np.linalg.solve(J, (x - xr)[..., None])[..., 0]
+        dr[bad] = 0.0
+        r = r + dr
+        if np.abs(dr).max() < 1e-13:
+            break
+    # accept only bounded ref coords whose forward map reproduces x
+    n1 = np.stack([1 - r[:, 0], r[:, 0]], axis=1)
+    n2 = np.stack([1 - r[:, 1], r[:, 1]], axis=1)
+    if dim == 3:
+        n3 = np.stack([1 - r[:, 2], r[:, 2]], axis=1)
+        N = n1[:, ii[0]] * n2[:, ii[1]] * n3[:, ii[2]]
+    else:
+        N = n1[:, ii[0]] * n2[:, ii[1]]
+    resid = np.abs(np.einsum("mn,mnd->md", N, ecoords) - x).max(axis=1)
+    scale = np.abs(ecoords).max() + 1.0
+    inside = ((r >= -1e-9).all(axis=1) & (r <= 1 + 1e-9).all(axis=1)
+              & (resid < 1e-9 * scale))
+    return inside, np.clip(r, 0.0, 1.0)
 
 
 def sample_h1(fes, u, points, vertices=None):
@@ -119,11 +130,11 @@ def sample_h1(fes, u, points, vertices=None):
     elem_ids, refs = locate_points(fes.mesh, points, vertices)
     u = np.asarray(u)
     out = np.full(len(elem_ids), np.nan)
-    for i, (e, r) in enumerate(zip(elem_ids, refs)):
-        if e < 0:
-            continue
-        B, _ = fes.ref.eval(r[None, :])
-        out[i] = float(B[0] @ u[fes.element_dofs[e]])
+    found = elem_ids >= 0
+    if found.any():
+        B, _ = fes.ref.eval(refs[found])        # (nf, ndof)
+        dofs = fes.element_dofs[elem_ids[found]]
+        out[found] = np.einsum("pn,pn->p", B, u[dofs])
     return out
 
 

@@ -381,74 +381,93 @@ class AblationSystem:
         JT, Jp = jacf(T_e, p_e, Btab, Gtab, invJ, ff.normal, ff.wdS, Xrep)
         return JT, Jp
 
+    _SURF_KEYS = ("m_dot_c_surf", "rho_s_surf", "BprimeG_surf",
+                  "BprimeC_surf", "h_w_surf", "emissivity_surf",
+                  "absorptivity_surf", "reflectivity_surf",
+                  "blowing_correction_surf", "q_conv_surf",
+                  "q_adv_pyro_surf", "q_rad_emit_surf", "q_rad_abs_surf",
+                  "q_surf")
+
+    def top_boundary_terms(self, T, p, Xrep, bc, branch, model, bprime,
+                           vertices=None):
+        """Jittable area-averaged surface terms (dict of jnp scalars incl.
+        ``area`` and B'-table clamp counts)."""
+        tr = self.trace
+        Tw = tr.values(T)
+        pw = tr.values(p)
+        gpw = tr.grads(p, vertices)
+        ff = tr.face_factors(vertices)
+        terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
+                                  model, bprime)
+        area = jnp.sum(ff.wdS)
+        avg = lambda x: jnp.sum(x * ff.wdS) / jnp.maximum(area, 1e-300)
+        src = {"m_dot_c_surf": "m_dot_c", "rho_s_surf": "rho_s",
+               "BprimeG_surf": "BprimeG", "BprimeC_surf": "BprimeC",
+               "h_w_surf": "h_w", "emissivity_surf": "emissivity",
+               "absorptivity_surf": "absorptivity",
+               "reflectivity_surf": "reflectivity",
+               "blowing_correction_surf": "blowing_correction",
+               "q_conv_surf": "q_conv", "q_adv_pyro_surf": "q_adv_pyro",
+               "q_rad_emit_surf": "q_rad_emit", "q_rad_abs_surf": "q_rad_abs",
+               "q_surf": "q_surf"}
+        out = {k: avg(terms[v]) for k, v in src.items()}
+        out["m_dot_g_surf"] = avg(terms["m_dot_g_w"])
+        out["area"] = area
+        for k in ("clamps_p", "clamps_bg", "clamps_t"):
+            out[k] = terms[k]
+        return out
+
+    def _diag_jitted(self, branch, model, bprime):
+        """Per-(branch, model, bprime) cached jit of top_boundary_terms."""
+        if not hasattr(self, "_diag_cache"):
+            self._diag_cache = {}
+        key = (branch, id(model), id(bprime))
+        if key not in self._diag_cache:
+            self._diag_cache[key] = jax.jit(
+                lambda T, p, X, bcc, v: self.top_boundary_terms(
+                    T, p, X, bcc, branch, model, bprime, vertices=v))
+        return self._diag_cache[key]
+
     def top_boundary_diagnostics(self, T, p, state: AblationState, bc,
                                  branch, model, bprime,
                                  compute_surface_terms=True, vertices=None,
                                  count_clamps=True):
         """Area-averaged surface diagnostics (ComputeTopBoundaryDiagnostics,
-        :2257-2468): 13 quantities + m_dot_g_surf."""
+        :2257-2468): 13 quantities + m_dot_g_surf.  Runs one jitted kernel
+        per branch (the eager path traced the whole SEB pipeline on every
+        call, dominating driver output time)."""
         tr = self.trace
-        Tw = tr.values(T)
-        pw = tr.values(p)
-        gpw = tr.grads(p, vertices)
-        ff = tr.face_factors(vertices)
-        Xrep = state.extent[tr.elem, 0]
-        area = float(jnp.sum(ff.wdS))
-        if area <= 0:
-            return {k: float("nan") for k in (
-                "m_dot_g_surf", "BprimeG_surf", "BprimeC_surf", "h_w_surf",
-                "emissivity_surf", "absorptivity_surf", "reflectivity_surf",
-                "blowing_correction_surf", "q_conv_surf", "q_adv_pyro_surf",
-                "q_rad_emit_surf", "q_rad_abs_surf", "q_surf")}
-        terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
-                                  model, bprime, count_clamps=count_clamps)
-        avg = lambda x: float(jnp.sum(x * ff.wdS)) / area
-        out = {"m_dot_g_surf": avg(terms["m_dot_g_w"])}
-        if not compute_surface_terms:
-            for k in ("BprimeG_surf", "BprimeC_surf", "h_w_surf",
-                      "emissivity_surf", "absorptivity_surf",
-                      "reflectivity_surf", "blowing_correction_surf",
-                      "q_conv_surf", "q_adv_pyro_surf", "q_rad_emit_surf",
-                      "q_rad_abs_surf", "q_surf"):
-                out[k] = float("nan")
-            return out
-        out.update({
-            "m_dot_c_surf": avg(terms["m_dot_c"]),
-            "rho_s_surf": avg(terms["rho_s"]),
-            "BprimeG_surf": avg(terms["BprimeG"]),
-            "BprimeC_surf": avg(terms["BprimeC"]),
-            "h_w_surf": avg(terms["h_w"]),
-            "emissivity_surf": avg(terms["emissivity"]),
-            "absorptivity_surf": avg(terms["absorptivity"]),
-            "reflectivity_surf": avg(terms["reflectivity"]),
-            "blowing_correction_surf": avg(terms["blowing_correction"]),
-            "q_conv_surf": avg(terms["q_conv"]),
-            "q_adv_pyro_surf": avg(terms["q_adv_pyro"]),
-            "q_rad_emit_surf": avg(terms["q_rad_emit"]),
-            "q_rad_abs_surf": avg(terms["q_rad_abs"]),
-            "q_surf": avg(terms["q_surf"]),
-        })
+        verts = jnp.asarray(tr.fes.mesh.vertices if vertices is None
+                            else vertices)
+        Xrep = jnp.asarray(state.extent)[tr.elem, 0]
+        vals = self._diag_jitted(branch, model, bprime)(
+            jnp.asarray(T), jnp.asarray(p), Xrep, bc, verts)
+        vals = jax.device_get(vals)
+        if count_clamps and bprime is not None:
+            bprime.clamp_stats.p += int(vals["clamps_p"])
+            bprime.clamp_stats.bg += int(vals["clamps_bg"])
+            bprime.clamp_stats.t += int(vals["clamps_t"])
+        if float(vals["area"]) <= 0:
+            return {k: float("nan") for k in
+                    ("m_dot_g_surf",) + self._SURF_KEYS}
+        out = {"m_dot_g_surf": float(vals["m_dot_g_surf"])}
+        for k in self._SURF_KEYS:
+            out[k] = float(vals[k]) if compute_surface_terms else float("nan")
         return out
 
-    def top_boundary_recession_velocity(self, T, p, state: AblationState,
-                                        bc, branch, model, bprime,
-                                        recession_density_mode="char_surface",
-                                        recession_density_constant=1200.0,
-                                        vertices=None):
-        """Lumped top-boundary recession velocity (n,) at scalar DOFs:
-        v_rec = max(0, m_dot_c)/rho_rec averaged with ds psi weights
-        (AssembleTopBoundaryRecessionVelocity,
-        ablation_test_case2_2_2D.cpp:2740-2953).  Uses the element
-        QP-average extents as the representative state (:2454-2500)."""
+    def _recession_velocity_terms(self, T, p, Xrep, bc, branch, model,
+                                  bprime, recession_density_mode,
+                                  recession_density_constant, vertices):
+        """Jittable body of top_boundary_recession_velocity."""
         tr = self.trace
         Tw = tr.values(T)
         pw = tr.values(p)
         gpw = tr.grads(p, vertices)
         ff = tr.face_factors(vertices)
-        Xrep = jnp.mean(state.extent, axis=1)[tr.elem]  # (nbf, nr)
         terms = self._seb_face_qp(Tw, pw, gpw, Xrep, ff.normal, bc, branch,
                                   model, bprime)
-        rho_rec = terms["rho_s"] if recession_density_mode == "char_surface"             else jnp.full_like(Tw, recession_density_constant)
+        rho_rec = terms["rho_s"] if recession_density_mode == "char_surface" \
+            else jnp.full_like(Tw, recession_density_constant)
         rho_rec = jnp.maximum(rho_rec, 1e-8)
         v_rec = jnp.maximum(0.0, terms["m_dot_c"]) / rho_rec
         B = tr.Btab[tr._combo_j]
@@ -462,6 +481,33 @@ class AblationSystem:
         top_mask = np.zeros(self.n, dtype=bool)
         top_mask[np.unique(np.asarray(tr.fes.bdr.dofs)[tr.face_ids])] = True
         return jnp.where(jnp.asarray(top_mask), v, 0.0)
+
+    def top_boundary_recession_velocity(self, T, p, state: AblationState,
+                                        bc, branch, model, bprime,
+                                        recession_density_mode="char_surface",
+                                        recession_density_constant=1200.0,
+                                        vertices=None):
+        """Lumped top-boundary recession velocity (n,) at scalar DOFs:
+        v_rec = max(0, m_dot_c)/rho_rec averaged with ds psi weights
+        (AssembleTopBoundaryRecessionVelocity,
+        ablation_test_case2_2_2D.cpp:2740-2953).  Uses the element
+        QP-average extents as the representative state (:2454-2500).
+        Runs as one cached jit per (branch, density mode)."""
+        tr = self.trace
+        if not hasattr(self, "_rec_cache"):
+            self._rec_cache = {}
+        key = (branch, recession_density_mode,
+               float(recession_density_constant), id(model), id(bprime))
+        if key not in self._rec_cache:
+            self._rec_cache[key] = jax.jit(
+                lambda T, p, X, bcc, v: self._recession_velocity_terms(
+                    T, p, X, bcc, branch, model, bprime,
+                    recession_density_mode, recession_density_constant, v))
+        verts = jnp.asarray(tr.fes.mesh.vertices if vertices is None
+                            else vertices)
+        Xrep = jnp.mean(jnp.asarray(state.extent), axis=1)[tr.elem]
+        return self._rec_cache[key](jnp.asarray(T), jnp.asarray(p), Xrep,
+                                    bc, verts)
 
     def top_boundary_mass_flux(self, T, p, state: AblationState,
                                vertices=None):

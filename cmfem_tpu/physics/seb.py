@@ -139,6 +139,8 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
         "BprimeG": zeros, "BprimeC": zeros, "h_w": zeros,
         "blowing_correction": jnp.ones_like(zeros),
         "q_adv_char": zeros, "m_dot_c": zeros,
+        "clamps_p": jnp.zeros(()), "clamps_bg": jnp.zeros(()),
+        "clamps_t": jnp.zeros(()),
     }
 
     if branch == BRANCH_COOLING_EXACT:
@@ -166,6 +168,11 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
                             count_clamps=count_clamps)
         h_w = lut["hw"] if chemistry_on else zeros
         bc_val = lut["bc"]
+        # clamp-count scalars: jit-safe (the count_clamps=True path mutates
+        # host counters and only works eagerly)
+        out["clamps_p"] = jnp.sum(lut["clamped_p"])
+        out["clamps_bg"] = jnp.sum(lut["clamped_bg"])
+        out["clamps_t"] = jnp.sum(lut["clamped_t"])
     else:
         h_w = zeros
         bc_val = zeros
