@@ -122,8 +122,11 @@ class MeshRecessionHandler:
         if self._pending_mean_v <= 0:
             return self.mesh_velocity
 
-        # scalar Laplacian per component on the CURRENT geometry
-        ops = SpaceOps(self.fes)
+        # scalar Laplacian per component on the CURRENT geometry (the basis
+        # tabulation is static: build SpaceOps once and reuse)
+        if not hasattr(self, "_ops"):
+            self._ops = SpaceOps(self.fes)
+        ops = self._ops
         gf = ops.geometric_factors(jnp.asarray(self.vertices))
         a = BilinearForm(ops).add_diffusion(1.0)
         data = a.assemble(gf)
