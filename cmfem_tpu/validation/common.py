@@ -122,6 +122,49 @@ def temperature_by_depth_from_reference(ref_T, probe_depths):
     return items
 
 
+def load_pato_point_plot(path):
+    """PATO sampled point-plot: header names probes as probeN(x,y,z); rows
+    are time + one column per probe; `/`-prefixed comment lines
+    (load_pato_point_plot, compare_ablation_case2_2.py:183-200).
+    Returns (time (nt,), values (nt, nprobe), probe_y list)."""
+    import re
+
+    with open(path) as f:
+        header = f.readline().strip()
+    y_vals = [float(m.group(1))
+              for m in re.finditer(r"probe\d+\([^,]+,([^,]+),", header)]
+    data = ensure_2d(np.loadtxt(path, comments=("/", "#")))
+    if data.shape[1] < 2:
+        raise RuntimeError(f"Unexpected PATO point-plot format in {path}")
+    time = data[:, 0]
+    vals = data[:, 1:]
+    if y_vals and len(y_vals) != vals.shape[1]:
+        raise RuntimeError(
+            f"PATO point-plot header/data column mismatch in {path}")
+    return time, vals, y_vals
+
+
+def match_probes_by_y(names, series_by_name, probe_y, pato_y, tol=1e-8):
+    """Match driver probe columns (by their YAML y-coordinates) to PATO
+    point-plot columns by nearest y within tol.  Returns a list of
+    (y_pato, driver_name, pato_col, driver_series), surface-down."""
+    y_map = {}
+    for i, nm in enumerate(names):
+        if i < len(probe_y):
+            y_map[probe_y[i]] = (nm, series_by_name[nm])
+    keys = list(y_map)
+    matched = []
+    for j, yp in enumerate(pato_y):
+        if not keys:
+            break
+        yb = min(keys, key=lambda y: abs(y - yp))
+        if abs(yb - yp) <= tol:
+            nm, series = y_map[yb]
+            matched.append((yp, nm, j, series))
+    matched.sort(key=lambda x: x[0], reverse=True)
+    return matched
+
+
 def write_metrics_csv(path, rows):
     with open(path, "w", newline="") as f:
         w = csv.writer(f)

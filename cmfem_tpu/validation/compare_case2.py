@@ -23,6 +23,7 @@ from .common import (
     rmse, max_abs, load_acceptance_from_yaml,
     load_probe_depths_from_yaml, temperature_by_depth_from_probes,
     temperature_by_depth_from_reference, write_metrics_csv, ensure_2d,
+    load_pato_point_plot, match_probes_by_y,
 )
 
 TOL_21 = {
@@ -41,7 +42,8 @@ TOL_22 = {
 
 
 def compare(output_dir, input_yaml, amaryllis_energy, amaryllis_mass,
-            case="2.1", make_plots=True, out_prefix=None):
+            case="2.1", make_plots=True, out_prefix=None,
+            pato_pressure_plot=None):
     out_dir = Path(output_dir)
     probes = np.genfromtxt(out_dir / "temperature_probes.csv",
                            delimiter=",", names=True)
@@ -146,6 +148,37 @@ def compare(output_dir, input_yaml, amaryllis_energy, amaryllis_mass,
         plt.savefig(out_dir / f"{prefix}_mass_flux.png", dpi=180)
         plt.close()
 
+        # pressure-probe overlay vs a PATO sampled point plot (2.2 only;
+        # plots-only in the reference too, compare_ablation_case2_2.py:1150+)
+        if case == "2.2" and pato_pressure_plot is not None:
+            import yaml as _yaml
+
+            pp = np.genfromtxt(out_dir / "pressure_probes.csv",
+                               delimiter=",", names=True)
+            with open(input_yaml) as f:
+                probe_y = [float(v) for v in
+                           (_yaml.safe_load(f) or {}).get("probe_y", [])]
+            t_pa, vals_pa, y_pa = load_pato_point_plot(pato_pressure_plot)
+            names = [n for n in (pp.dtype.names or []) if n != "time"]
+            matched = match_probes_by_y(
+                names, {n: pp[n] for n in names}, probe_y, y_pa)
+            if matched:
+                plt.figure(figsize=(9, 4.8))
+                for k, (yp, nm, j, series) in enumerate(matched[:4]):
+                    c = f"C{k}"
+                    plt.plot(pp["time"], series, c + "-", lw=2,
+                             label=f"cmfem {nm} (y={yp:g})")
+                    plt.plot(t_pa, vals_pa[:, j], c + "--", lw=2,
+                             label=f"PATO (y={yp:g})")
+                plt.xlabel("Time (s)")
+                plt.ylabel("Pressure (Pa)")
+                plt.grid(True, alpha=0.25)
+                plt.legend(fontsize=8)
+                plt.tight_layout()
+                plt.savefig(out_dir / f"{prefix}_pressure_probes.png",
+                            dpi=180)
+                plt.close()
+
     print(f"Wrote: {out_csv}")
     print(f"Overall PASS: {overall}")
     return {"overall_pass": overall, "metrics_csv": str(out_csv)}
@@ -158,11 +191,13 @@ def main(argv=None):
     ap.add_argument("--input", default=None)
     ap.add_argument("--amaryllis-energy", required=True)
     ap.add_argument("--amaryllis-mass", required=True)
+    ap.add_argument("--pato-pressure-plot", default=None,
+                    help="PATO sampled point plot for pressure (2.2 only)")
     args = ap.parse_args(argv)
     out_dir = args.output_dir or f"ParaView/ablation_case{args.case.replace('.', '_')}"
     inp = args.input or f"Input/input_ablation_case{args.case.replace('.', '_')}.yaml"
     compare(out_dir, inp, args.amaryllis_energy, args.amaryllis_mass,
-            case=args.case)
+            case=args.case, pato_pressure_plot=args.pato_pressure_plot)
     return 0
 
 

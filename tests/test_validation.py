@@ -81,10 +81,22 @@ def test_compare_case2_modes(tmp_path):
     yaml_path = tmp_path / "input.yaml"
     yaml_path.write_text("probe_y:\n  - 0.05\n  - 0.049\n")
 
+    # driver pressure probes + a synthetic PATO point plot matched by y
+    with (tmp_path / "pressure_probes.csv").open("w") as f:
+        f.write("time,wall,PC1\n")
+        for i in range(len(t)):
+            f.write(f"{t[i]},{101325 + 10 * t[i]},{101325 + 4 * t[i]}\n")
+    with (tmp_path / "pato_p.txt").open("w") as f:
+        f.write("# time probe0(0.005,0.05,0) probe1(0.005,0.049,0)\n")
+        for i in range(len(t)):
+            f.write(f"{t[i]} {101325 + 10.2 * t[i]} {101325 + 4.1 * t[i]}\n")
+
     out22 = compare(tmp_path, yaml_path, tmp_path / "am_energy.txt",
-                    tmp_path / "am_mass.txt", case="2.2", make_plots=True)
+                    tmp_path / "am_mass.txt", case="2.2", make_plots=True,
+                    pato_pressure_plot=tmp_path / "pato_p.txt")
     assert out22["overall_pass"]
     assert (tmp_path / "amaryllis_error_metrics.csv").exists()
+    assert (tmp_path / "ablation_case2_2_pressure_probes.png").exists()
 
     # case 2.1 demands m_dot_c ~ 0: this data FAILS that check
     out21 = compare(tmp_path, yaml_path, tmp_path / "am_energy.txt",
