@@ -157,8 +157,8 @@ class FESpace:
         self.order = order
         self.vdim = vdim
         self.kind = kind
-        if kind == "H1" and order < 1:
-            raise ValueError(f"H1 spaces require order >= 1, got {order}")
+        if kind == "H1" and not 1 <= order <= 4:
+            raise ValueError(f"H1 spaces support orders 1..4, got {order}")
         if kind == "L2":
             if order != 0:
                 raise NotImplementedError("L2 spaces only at order 0")

@@ -86,8 +86,10 @@ class StructuredMG:
         ``order``: p-coarsen to order 1, then h-coarsen while n is even.
         ``make_form(ops) -> BilinearForm`` defines the PDE on every level."""
         specs = [(n, order)]
-        if order > 1:
-            specs.append((n, 1))
+        pl = order
+        while pl > 1:
+            pl = max(1, pl // 2)
+            specs.append((n, pl))
         nn = n
         while nn % 2 == 0 and nn // 2 >= min_coarse:
             nn //= 2

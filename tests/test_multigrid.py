@@ -31,6 +31,18 @@ def _solve(n, order=2):
     return r_j, r_m, mg
 
 
+def test_mg_p_chain_higher_orders():
+    """The p-coarsening chain (p -> p//2 -> ... -> 1 -> h-levels) keeps
+    iteration counts O(10) at orders 3 and 4 as well."""
+    for order, n, jmin in ((3, 8, 60), (4, 6, 60)):
+        r_j, r_m, mg = _solve(n, order)
+        assert int(r_m.iters) <= 15
+        assert int(r_j.iters) > jmin
+        np.testing.assert_allclose(
+            np.asarray(r_m.x), np.asarray(r_j.x), rtol=0,
+            atol=1e-6 * float(jnp.abs(r_j.x).max()))
+
+
 def test_mg_poisson_mesh_independent_iterations():
     """V(3,3)-preconditioned CG converges in O(10) iterations independent
     of the mesh, while Jacobi-CG grows ~2x per refinement; both give the
