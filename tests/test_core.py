@@ -251,3 +251,29 @@ def test_default_matmul_precision_is_highest():
     import cmfem_tpu  # noqa: F401
 
     assert str(jax.config.jax_default_matmul_precision) == "highest"
+
+
+def test_native_edge_enumeration_consistent():
+    """The native edge enumerator partitions edges identically to the
+    numpy path (ids up to relabeling; directions by min->max vertex)."""
+    from cmfem_tpu.core.mesh import load_gmsh
+    from cmfem_tpu.core.reference_elements import GEOM_EDGES
+    from cmfem_tpu.native import enumerate_edges_native
+
+    m = load_gmsh(f"{MESH_DIR}/unit_square.msh")
+    edges = GEOM_EDGES[m.geom]
+    out = enumerate_edges_native(m.elem_conn, edges)
+    if out is None:
+        pytest.skip("native library unavailable")
+    ids, dirs, n = out
+    conn = m.elem_conn.astype(np.int64)
+    a = np.stack([conn[:, e[0]] for e in edges], 1)
+    b = np.stack([conn[:, e[1]] for e in edges], 1)
+    key = np.minimum(a, b) * (conn.max() + 1) + np.maximum(a, b)
+    # same number of unique edges; ids must be a function of the key
+    assert n == len(np.unique(key))
+    pairs = {}
+    for k, i in zip(key.ravel(), np.asarray(ids).ravel()):
+        assert pairs.setdefault(int(k), int(i)) == int(i)
+    # directions: +1 iff a < b
+    np.testing.assert_array_equal(np.asarray(dirs), np.where(a < b, 1, -1))
