@@ -176,3 +176,37 @@ def test_3d_hex_poisson():
              M=jacobi_preconditioner(diag), rtol=1e-14, maxiter=1000)
     err = np.abs(np.asarray(res.x) - fes.interpolate(exact)).max()
     assert err < 1e-8, err
+
+
+def test_chebyshev_preconditioner_beats_jacobi():
+    """Chebyshev(4) preconditioned CG needs fewer iterations than Jacobi
+    on a Poisson operator (matmul-only smoother, solvers/precond.py)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps, BilinearForm, EssentialBC
+    from cmfem_tpu.solvers import (
+        cg, jacobi_preconditioner, chebyshev_preconditioner,
+        power_iteration_lmax,
+    )
+
+    mesh = make_cartesian_mesh_2d(16, 16)
+    fes = FESpace(mesh, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    form = BilinearForm(ops).add_diffusion(1.0)
+    data = form.assemble()
+    bc = EssentialBC(fes.nscalar, fes.boundary_dofs())
+    A = bc.constrain_operator(lambda v: form.apply(data, v))
+    diag = jnp.where(bc.mask, 1.0, form.assemble_diagonal(data))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(np.asarray(bc.mask), 0.0,
+                             rng.standard_normal(fes.nscalar)))
+    lmax = power_iteration_lmax(
+        lambda v: A(v) / diag, fes.nscalar, iters=30) * 1.05
+    M_cheb = chebyshev_preconditioner(A, lmax, degree=4, diag=diag)
+    r_c = cg(A, b, M=M_cheb, rtol=1e-10, maxiter=2000)
+    r_j = cg(A, b, M=jacobi_preconditioner(diag), rtol=1e-10, maxiter=2000)
+    assert bool(r_c.converged) and bool(r_j.converged)
+    assert int(r_c.iters) < 0.6 * int(r_j.iters)
+    np.testing.assert_allclose(np.asarray(r_c.x), np.asarray(r_j.x),
+                               atol=1e-7 * float(jnp.abs(r_j.x).max()))
