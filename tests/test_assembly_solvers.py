@@ -210,3 +210,57 @@ def test_chebyshev_preconditioner_beats_jacobi():
     assert int(r_c.iters) < 0.6 * int(r_j.iters)
     np.testing.assert_allclose(np.asarray(r_c.x), np.asarray(r_j.x),
                                atol=1e-7 * float(jnp.abs(r_j.x).max()))
+
+
+@pytest.mark.parametrize("make_mesh,order,expected", [
+    ("quad2d", 2, 8.0),   # O(h^3) in L2 for p=2
+    ("hex3d", 2, 8.0),
+    ("tri2d", 1, 4.0),    # O(h^2) for p=1
+])
+def test_poisson_h_convergence_rates(make_mesh, order, expected):
+    """L2 convergence under uniform refinement hits the O(h^{p+1}) rate on
+    quads, hexes, and tris (the reference's MMS-convergence pattern,
+    SURVEY.md §4.1)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import (
+        FESpace, make_cartesian_mesh_2d, make_cartesian_mesh_3d,
+    )
+    from cmfem_tpu.ops import (
+        SpaceOps, BilinearForm, EssentialBC, domain_lf, l2_error,
+    )
+    from cmfem_tpu.solvers import cg, jacobi_preconditioner
+
+    if make_mesh == "quad2d":
+        m0 = make_cartesian_mesh_2d(4, 4)
+        exact = lambda x: np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
+        f = lambda x: 2 * np.pi**2 * exact(x)
+    elif make_mesh == "tri2d":
+        from cmfem_tpu.core.reference_elements import TRIANGLE
+
+        m0 = make_cartesian_mesh_2d(4, 4, geom=TRIANGLE)
+        exact = lambda x: np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
+        f = lambda x: 2 * np.pi**2 * exact(x)
+    else:
+        m0 = make_cartesian_mesh_3d(3, 3, 3)
+        exact = lambda x: (np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
+                           * np.sin(np.pi * x[..., 2]))
+        f = lambda x: 3 * np.pi**2 * exact(x)
+
+    errs = []
+    for lvl in (0, 1):
+        mesh = m0.uniform_refine(lvl) if lvl else m0
+        fes = FESpace(mesh, order)
+        ops = SpaceOps(fes, quad_order=2 * order + 2)
+        form = BilinearForm(ops).add_diffusion(1.0)
+        data = form.assemble()
+        bc = EssentialBC(fes.nscalar, fes.boundary_dofs())
+        A = bc.constrain_operator(lambda v: form.apply(data, v))
+        rhs = bc.constrained_rhs(lambda v: form.apply(data, v),
+                                 domain_lf(ops, f), jnp.zeros(fes.nscalar))
+        diag = jnp.where(bc.mask, 1.0, form.assemble_diagonal(data))
+        res = cg(A, rhs, M=jacobi_preconditioner(diag), rtol=1e-12,
+                 maxiter=3000)
+        errs.append(float(l2_error(ops, res.x, exact)))
+    rate = errs[0] / errs[1]
+    assert rate > 0.7 * expected, (errs, rate)
