@@ -272,6 +272,17 @@ def run(cfg: dict) -> dict:
                      cfg.get("mesh_csv", "mesh_diagnostics.csv")),
         ["time", "y_top", "min_quality_ratio", "max_node_disp",
          "total_recession"])
+    # per-point mass-equation diagnostics (the _test variant's
+    # mass_eq_probe_diagnostics stream, ablation_test_case2_2_2D_test.cpp
+    # :4577-4601: 9 fields per probe tag)
+    _meq_fields = ("pi_total", "tau", "epsrho", "gradp_y", "rho_g",
+                   "mu_g", "K", "mobility", "mflux_y")
+    _meq_tags = ["wall"] + [f"TC{i}" for i in range(1, len(probe_y))]
+    masseq_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("mass_eq_probe_csv",
+                             "mass_eq_probe_diagnostics.csv")),
+        ["time"] + [f"{f}_{tag}" for tag in _meq_tags for f in _meq_fields])
     # per-step phase timing (same 10-column schema as case 1/2.1,
     # ablation_test_case2_2_2D.cpp:3857-3860; the pre-solve recession +
     # remap phase is folded into bc_sec)
@@ -360,6 +371,10 @@ def run(cfg: dict) -> dict:
             tnow, float(hi[1]),
             (rec._min_quality() / rec.initial_min_quality) if rec else 1.0,
             last_max_disp, recession_total])
+        meq_pts = np.vstack([[probe_x, min(probe_y[0], hi[1] - 1e-9)],
+                             probe_pts])
+        meq = sys_.mass_eq_probe(T, p, state, meq_pts, vertices=v)
+        masseq_csv.writerow([tnow] + [float(x) for x in meq.reshape(-1)])
         mass_csv.writerow([tnow, bdiag["m_dot_g_surf"], bdiag["m_dot_c_surf"],
                            f98, f2, recession_total])
         boundary_csv.writerow([tnow] + [bdiag[k] for k in (
@@ -530,6 +545,7 @@ def run(cfg: dict) -> dict:
     newton_csv.close()
     pressure_csv.close()
     meshdiag_csv.close()
+    masseq_csv.close()
     timing_csv.close()
     with CsvWriter(os.path.join(output_path,
                                 cfg.get("timing_summary_csv",

@@ -168,3 +168,28 @@ def front_depth(mesh: Mesh, elem_vals, x, y_top, y_bottom, threshold,
             y_cross = ys[k - 1] - frac * (ys[k - 1] - ys[k])
             return max(0.0, y_top - y_cross)
     return 0.0
+
+
+def sample_h1_grad(fes, u, points, vertices=None):
+    """Sample physical gradients of an H1 field at points: (npts, dim),
+    NaN rows where not found (probe-stencil diagnostics)."""
+    mesh = fes.mesh
+    elem_ids, refs = locate_points(mesh, points, vertices)
+    u = np.asarray(u)
+    verts = np.asarray(mesh.vertices if vertices is None else vertices)
+    out = np.full((len(elem_ids), mesh.dim), np.nan)
+    found = np.nonzero(elem_ids >= 0)[0]
+    if len(found) == 0:
+        return out
+    from .reference_elements import get_reference_element
+
+    _, G = fes.ref.eval(refs[found])                  # (nf, ndof, dim)
+    geo = get_reference_element(mesh.geom, 1)
+    _, Gg = geo.eval(refs[found])                     # (nf, nc, dim)
+    coords = verts[mesh.elem_conn[elem_ids[found]]]   # (nf, nc, dim)
+    J = np.einsum("fnd,fnr->fdr", coords, Gg)
+    invJ = np.linalg.inv(J)                           # [r, d] convention
+    gref = np.einsum("fnr,fn->fr", G,
+                     u[fes.element_dofs[elem_ids[found]]])
+    out[found] = np.einsum("frd,fr->fd", invJ, gref)
+    return out

@@ -45,6 +45,7 @@ class AblationState:
     extent_elem: np.ndarray        # (nr, ne)
     degree_char_elem: np.ndarray
     char_density_fraction_elem: np.ndarray
+    pi_qp: np.ndarray | None = None  # (ne, nq) per-QP pyrolysis rate
 
     @classmethod
     def initial(cls, ne, nq, material: TacotMaterial):
@@ -58,6 +59,7 @@ class AblationState:
             extent_elem=np.zeros((nr, ne)),
             degree_char_elem=np.zeros(ne),
             char_density_fraction_elem=np.zeros(ne),
+            pi_qp=np.zeros((ne, nq)),
         )
 
 
@@ -308,6 +310,7 @@ class AblationSystem:
             extent=X, tau_elem=tau_e, rho_elem=rho_e, pi_elem=pi_e,
             mdot_elem=mdot_e, extent_elem=extent_e,
             degree_char_elem=degree_char, char_density_fraction_elem=cdf,
+            pi_qp=np.asarray(solid["pi_total"]),
         )
 
     # -- surface energy balance (case 2.1+) --------------------------------
@@ -508,6 +511,55 @@ class AblationSystem:
         Xrep = jnp.mean(jnp.asarray(state.extent), axis=1)[tr.elem]
         return self._rec_cache[key](jnp.asarray(T), jnp.asarray(p), Xrep,
                                     bc, verts)
+
+    def mass_eq_probe(self, T, p, state: AblationState, points,
+                      vertices=None):
+        """Per-point mass-equation diagnostics (SampleMassEqProbeAtPoint,
+        ablation_test_case2_2_2D_test.cpp:3483-3560): for each probe point,
+        [pi_total, tau, eps_g*rho_g, dp/dy, rho_g, mu_g, K,
+        mobility(=rho K/mu), mflux_y] using the nearest tabulated QP's
+        reaction state; NaN rows where the point is not found."""
+        from ..core.pointlocate import locate_points, sample_h1, \
+            sample_h1_grad
+
+        fes = self.ops.fes
+        points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        Tpt = sample_h1(fes, T, points, vertices)
+        ppt = sample_h1(fes, p, points, vertices)
+        gp = sample_h1_grad(fes, p, points, vertices)
+        e_ids, refs = locate_points(fes.mesh, points, vertices)
+        out = np.full((len(points), 9), np.nan)
+        found = np.nonzero(e_ids >= 0)[0]
+        if len(found) == 0:
+            return out
+        qp_ref = np.asarray(self.ops.quad.points)
+        d2 = ((refs[found][:, None, :] - qp_ref[None]) ** 2).sum(axis=2)
+        nearest_q = np.argmin(d2, axis=1)
+        Xn = np.asarray(state.extent)[e_ids[found], nearest_q]  # (nf, nr)
+        Tf = jnp.asarray(Tpt[found])
+        pf = jnp.asarray(ppt[found])
+        solid = self.mat.solid_props(Tf, pf, jnp.asarray(Xn))
+        gas = self.mat.gas_props(Tf, pf)
+        mu = np.maximum(np.asarray(gas["mu"]), MU_FLOOR)
+        rho = np.asarray(gas["rho"])
+        K = np.asarray(solid["K"])
+        rho_darcy = rho * K / mu
+        gy = float(self.gravity[1]) if self.gravity.shape[0] > 1 else 0.0
+        gradp_y = gp[found][:, 1] if gp.shape[1] > 1 else np.zeros(len(found))
+        if state.pi_qp is not None:
+            pi = np.asarray(state.pi_qp)[e_ids[found], nearest_q]
+        else:
+            pi = np.asarray(state.pi_elem)[e_ids[found]]
+        out[found, 0] = pi
+        out[found, 1] = np.asarray(solid["tau"])
+        out[found, 2] = np.asarray(solid["eps_g"]) * rho
+        out[found, 3] = gradp_y
+        out[found, 4] = rho
+        out[found, 5] = np.asarray(gas["mu"])
+        out[found, 6] = K
+        out[found, 7] = rho_darcy
+        out[found, 8] = -rho_darcy * gradp_y + rho * rho_darcy * gy
+        return out
 
     def top_boundary_mass_flux(self, T, p, state: AblationState,
                                vertices=None):

@@ -144,6 +144,13 @@ def test_case22_smoke(tmp_path):
                       "front_2_char,recession")
     bdr = (tmp_path / "boundary_diagnostics.csv").read_text().splitlines()
     assert "m_dot_c_surf" in bdr[0] and "rho_s_surf" in bdr[0]
+    meq = (tmp_path / "mass_eq_probe_diagnostics.csv").read_text().splitlines()
+    assert meq[0].startswith("time,pi_total_wall,tau_wall,epsrho_wall")
+    last = dict(zip(meq[0].split(","), [float(v) for v in meq[-1].split(",")]))
+    assert last["pi_total_wall"] > 0            # pyrolysis active at the wall
+    assert 0 < last["tau_wall"] <= 1
+    assert last["gradp_y_wall"] < 0             # gas driven toward the surface
+    assert last["mflux_y_wall"] > 0             # outgassing (+y at the top)
 
 
 @pytest.mark.slow
