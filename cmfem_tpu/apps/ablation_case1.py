@@ -22,7 +22,7 @@ import scipy.sparse.linalg as spla
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir, num_steps,
+    ensure_outdir, num_steps, make_block_linear_solver,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -133,8 +133,13 @@ def run(cfg: dict) -> dict:
     def jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt):
         return sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
 
+    iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n, ess, ess)
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt):
-        JTT, JTp, JpT, Jpp = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
+        blocks = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
+        if iter_factory is not None:
+            return iter_factory(blocks)
+        JTT, JTp, JpT, Jpp = blocks
         vals = np.concatenate([np.asarray(b).reshape(-1)
                                for b in (JTT, JTp, JpT, Jpp)])
         J = sp.coo_matrix((vals, (rows_all, cols_all)),

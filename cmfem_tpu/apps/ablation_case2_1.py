@@ -26,7 +26,7 @@ import scipy.sparse.linalg as spla
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir,
+    ensure_outdir, make_block_linear_solver,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -213,9 +213,15 @@ def run(cfg: dict) -> dict:
         face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model, bprime)
         return blocks, face
 
+    iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n,
+                                            ess_T, ess)
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
         (JTT, JTp, JpT, Jpp), face = jacobian_fn(
             T, p, T_old_q, p_old_q, X_old, dt, bc, branch)
+        if iter_factory is not None:
+            return iter_factory((JTT, JTp, JpT, Jpp), face=face,
+                                face_elem=sys_.trace.elem)
         vals = [np.asarray(b).reshape(-1) for b in (JTT, JTp, JpT, Jpp)]
         r_idx, c_idx = rows_all, cols_all
         if not use_dirichlet:

@@ -28,7 +28,7 @@ import scipy.sparse.linalg as spla
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir,
+    ensure_outdir, make_block_linear_solver,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -228,8 +228,14 @@ def run(cfg: dict) -> dict:
                                        bprime, vertices=verts)
         return blocks, face
 
+    iter_factory = make_block_linear_solver(
+        cfg, fes.element_dofs, n, np.zeros(0, dtype=np.int64), ess)
+
     def factorize(args):
         (JTT, JTp, JpT, Jpp), (FJT, FJp) = jacobian_fn(*args)
+        if iter_factory is not None:
+            return iter_factory((JTT, JTp, JpT, Jpp), face=(FJT, FJp),
+                                face_elem=sys_.trace.elem)
         vals = [np.asarray(b).reshape(-1)
                 for b in (JTT, JTp, JpT, Jpp, FJT, FJp)]
         J = sp.coo_matrix(

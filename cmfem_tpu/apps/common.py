@@ -103,3 +103,50 @@ def num_steps(t_final: float, dt: float) -> int:
     import math
 
     return int(math.ceil(t_final / dt - 1.0e-12))
+
+
+def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p):
+    """Optional on-device iterative solver for the ablation (T,p) Newton
+    systems (YAML key ``linear_solver``, SURVEY.md §7.3 direct-solver
+    replacement).
+
+    Returns None for the default host sparse-LU path (``lu``, the MUMPS
+    analog), or a factory ``factory(blocks, face=None, face_elem=None)``
+    producing objects with the same ``.solve(rhs) -> ndarray`` surface as
+    ``scipy.sparse.linalg.splu`` so the Newton loops are solver-agnostic.
+    Tuning keys: ``linear_rtol`` (default 1e-10), ``gmres_restart`` (400),
+    ``gmres_maxiter`` (10 cycles)."""
+    mode = str(cfg.get("linear_solver", "lu")).lower()
+    if mode in ("lu", "direct", "mumps"):
+        return None
+    if mode not in ("gmres", "iterative", "krylov"):
+        raise ValueError(
+            f"linear_solver must be 'lu' or 'gmres', got {mode!r}")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..solvers import BlockNewtonKrylov
+
+    bks = BlockNewtonKrylov(
+        element_dofs, n, ess_T, ess_p,
+        restart=int(cfg.get("gmres_restart", 400)),
+        maxiter=int(cfg.get("gmres_maxiter", 10)))
+    rtol = float(cfg.get("linear_rtol", 1.0e-10))
+
+    class _Prepared:
+        def __init__(self, factors):
+            self.factors = factors
+
+        def solve(self, rhs):
+            res = bks.solve(self.factors, jnp.asarray(rhs), rtol=rtol)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            return np.asarray(res.x)
+
+    def factory(blocks, face=None, face_elem=None):
+        return _Prepared(bks.prepare(blocks, face=face, face_elem=face_elem))
+
+    return factory

@@ -3,6 +3,7 @@ from .precond import jacobi_preconditioner, chebyshev_preconditioner, power_iter
 from .multigrid import StructuredMG
 from .direct import dense_solve
 from .newton import NewtonConfig, NewtonResult, newton_solve
+from .blocksolve import BlockNewtonKrylov
 
 __all__ = [
     "cg",
@@ -16,4 +17,5 @@ __all__ = [
     "NewtonResult",
     "newton_solve",
     "StructuredMG",
+    "BlockNewtonKrylov",
 ]
