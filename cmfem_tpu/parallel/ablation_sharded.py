@@ -1,0 +1,263 @@
+"""Element-sharded ablation (T, p) Newton step over a device mesh.
+
+Multichip version of the flagship coupled pyrolysis solve: the TPU-native
+replacement for running the reference's ablation drivers under
+``mpirun -np N`` (MPI domain decomposition over mesh elements +
+MUMPS-backed Newton, SURVEY.md §2.4 / §3.4).  Each device owns a
+contiguous slab of elements (with their per-QP reaction state and
+geometric factors); T/p DOF vectors are replicated:
+
+- **residual**: per-element quadrature work runs device-local through the
+  exact same ``AblationSystem.elem_residual_fn`` closure the single-chip
+  path uses, followed by a local segment-sum scatter and ONE ``psum``
+  (the shared-DOF exchange);
+- **Jacobian**: vmapped forward-mode AD of that closure over the local
+  element slab — embarrassingly element-parallel, no communication;
+- **linear solve**: the equilibrated point-block GMRES of
+  ``solvers.blocksolve`` with the matvec distributed the same way
+  (local batched (2nd, 2nd) block matmul + segment-sum + psum); the
+  equilibration/preconditioner build reduces block diagonals with one
+  psum per prepare.
+
+Element padding (to a multiple of the device count) duplicates element 0's
+DOF map with zeroed quadrature weights, so padded elements contribute
+exactly zero to residuals, Jacobian blocks, and diagonal reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..physics.ablation import AblationSystem
+from ..solvers.krylov import gmres
+
+
+class ShardedAblationNewton:
+    """Element-sharded residual / AD Jacobian / block-GMRES for the
+    coupled (T, p) ablation system on a ``jax.sharding.Mesh``."""
+
+    def __init__(self, system: AblationSystem, dev_mesh: Mesh, ess_T, ess_p,
+                 axis: str = "dd", restart: int = 400, maxiter: int = 10):
+        self.sys = system
+        self.mesh = dev_mesh
+        self.axis = axis
+        self.n = system.n
+        self.nd = int(system.ops.eldofs.shape[1])
+        self.restart = int(restart)
+        self.maxiter = int(maxiter)
+
+        ndev = dev_mesh.devices.size
+        ne = system.ne
+        self.ne = ne
+        self.ne_pad = ((ne + ndev - 1) // ndev) * ndev
+        self._pad = self.ne_pad - ne
+
+        mask = np.zeros(2 * self.n, dtype=bool)
+        mask[np.asarray(ess_T, dtype=np.int64)] = True
+        mask[np.asarray(ess_p, dtype=np.int64) + self.n] = True
+        self.mask2 = jnp.asarray(mask)
+
+        ops = system.ops
+        eldofs = np.asarray(ops.eldofs, dtype=np.int64)
+        invJ = np.asarray(ops.gf.invJ)
+        wdetJ = np.asarray(ops.gf.wdetJ)
+        if self._pad:
+            eldofs = np.concatenate(
+                [eldofs, np.repeat(eldofs[:1], self._pad, axis=0)])
+            invJ = np.concatenate(
+                [invJ, np.repeat(invJ[:1], self._pad, axis=0)])
+            # zero quadrature weights null every padded-element contribution
+            wdetJ = np.concatenate(
+                [wdetJ, np.zeros((self._pad,) + wdetJ.shape[1:])])
+        sh = NamedSharding(dev_mesh, P(axis))
+        self.eldofs = jax.device_put(eldofs, sh)
+        self.invJ = jax.device_put(invJ, sh)
+        self.wdetJ = jax.device_put(wdetJ, sh)
+        # local essential masks over the padded element slabs
+        lT = mask[:self.n][eldofs]
+        lp = mask[self.n:][eldofs]
+        self.lmask = jax.device_put(
+            np.concatenate([lT, lp], axis=1), sh)
+        self._sharding = sh
+
+        self._residual = jax.jit(self._residual_impl)
+        self._prepare = jax.jit(self._prepare_impl)
+        self._solve = jax.jit(self._solve_impl)
+
+    # -- helpers -------------------------------------------------------------
+
+    def pad_elem(self, a):
+        """Pad an (ne, ...) per-element array (duplicating element 0) and
+        shard it over the device mesh."""
+        a = np.asarray(a)
+        if self._pad:
+            a = np.concatenate([a, np.repeat(a[:1], self._pad, axis=0)])
+        return jax.device_put(a, self._sharding)
+
+    def _gather_local(self, eldofs, x):
+        xT = x[:self.n][eldofs]
+        xp = x[self.n:][eldofs]
+        return jnp.concatenate([xT, xp], axis=1)
+
+    def _scatter_local(self, eldofs, y_e):
+        flat = eldofs.reshape(-1)
+        yT = jax.ops.segment_sum(y_e[:, :self.nd].reshape(-1), flat,
+                                 num_segments=self.n)
+        yp = jax.ops.segment_sum(y_e[:, self.nd:].reshape(-1), flat,
+                                 num_segments=self.n)
+        return jnp.concatenate([yT, yp])
+
+    # -- residual -------------------------------------------------------------
+
+    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt):
+        axis = self.axis
+        elem_res = self.sys.elem_residual_fn(dt)
+        nq = self.wdetJ.shape[1]
+        dim = self.invJ.shape[-1]
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P(), P(),
+                           P(axis), P(axis), P(axis)),
+                 out_specs=P())
+        def _res(eldofs, invJ, wdetJ, T, p, To, po, Xo):
+            T_e = T[eldofs]
+            p_e = p[eldofs]
+            wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
+            gcl = jnp.full((eldofs.shape[0], nq), -1.0, T.dtype)
+            rT_e, rp_e = jax.vmap(elem_res)(
+                T_e, p_e, invJ, wdetJ, To, po, Xo, wq, gcl, gcl)
+            y = self._scatter_local(eldofs, jnp.concatenate([rT_e, rp_e],
+                                                            axis=1))
+            return jax.lax.psum(y, axis)
+
+        R = _res(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
+                 jnp.asarray(p), T_old_q, p_old_q, X_old)
+        return jnp.where(self.mask2, 0.0, R)
+
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt):
+        """BC-masked global residual (2n,) — replicated output.  The
+        per-element state arrays must be padded/sharded via ``pad_elem``."""
+        return self._residual(T, p, T_old_q, p_old_q, X_old,
+                              jnp.asarray(dt))
+
+    # -- Jacobian preparation --------------------------------------------------
+
+    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt):
+        axis = self.axis
+        elem_res = self.sys.elem_residual_fn(dt)
+        nq = self.wdetJ.shape[1]
+        dim = self.invJ.shape[-1]
+        nd = self.nd
+        n = self.n
+        mask2 = self.mask2
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P(axis), P(), P(),
+                           P(axis), P(axis), P(axis), P(axis)),
+                 out_specs=(P(axis), P(), P()))
+        def _prep(eldofs, invJ, wdetJ, T, p, To, po, Xo, lmask):
+            T_e = T[eldofs]
+            p_e = p[eldofs]
+            wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
+            gcl = jnp.full((eldofs.shape[0], nq), -1.0, T.dtype)
+            jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)))
+            (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, invJ, wdetJ, To, po, Xo,
+                                         wq, gcl, gcl)
+            top = jnp.concatenate([JTT, JTp], axis=2)
+            bot = jnp.concatenate([JpT, Jpp], axis=2)
+            Je = jnp.concatenate([top, bot], axis=1)     # (nel, 2nd, 2nd)
+            # BC elimination + symmetric equilibration (one psum for the
+            # global diagonal), exactly as solvers.blocksolve._prepare_core
+            lm = lmask.astype(Je.dtype)
+            keep = 1.0 - lm
+            eye = jnp.eye(2 * nd, dtype=Je.dtype)
+            Je_bc = Je * keep[:, :, None] * keep[:, None, :] \
+                + eye[None] * lm[:, :, None]
+            diag_e = jnp.diagonal(Je_bc, axis1=1, axis2=2)
+            dvec = jax.lax.psum(self._scatter_local(eldofs, diag_e), axis)
+            s = jnp.where(mask2, 1.0,
+                          1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec),
+                                                     1e-300)))
+            s_e = self._gather_local(eldofs, s)
+            Je_s = Je_bc * s_e[:, :, None] * s_e[:, None, :]
+            # 2x2 point-block preconditioner factors (one more psum pair)
+            idx = jnp.arange(nd)
+            dTp_e = Je_s[:, idx, nd + idx]
+            dpT_e = Je_s[:, nd + idx, idx]
+            flat = eldofs.reshape(-1)
+            seg = lambda v: jax.lax.psum(
+                jax.ops.segment_sum(v.reshape(-1), flat, num_segments=n),
+                axis)
+            dJ = jax.lax.psum(
+                self._scatter_local(
+                    eldofs, jnp.diagonal(Je_s, axis1=1, axis2=2)), axis)
+            dTT = jnp.where(mask2[:n], 1.0, dJ[:n])
+            dpp = jnp.where(mask2[n:], 1.0, dJ[n:])
+            off_mask = mask2[:n] | mask2[n:]
+            dTp = jnp.where(off_mask, 0.0, seg(dTp_e))
+            dpT = jnp.where(off_mask, 0.0, seg(dpT_e))
+            det = dTT * dpp - dTp * dpT
+            det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+            pb = jnp.stack([dpp / det, -dTp / det, -dpT / det, dTT / det])
+            return Je_s, pb, s
+
+        return _prep(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
+                     jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask)
+
+    def prepare(self, T, p, T_old_q, p_old_q, X_old, dt):
+        """AD-assemble, BC-eliminate, and equilibrate the element Jacobian
+        blocks on-device; returns (Je_s sharded, pb, s)."""
+        return self._prepare(T, p, T_old_q, p_old_q, X_old,
+                             jnp.asarray(dt))
+
+    # -- linear solve -----------------------------------------------------------
+
+    def _solve_impl(self, Je_s, pb, s, b, rtol, atol):
+        axis = self.axis
+        mask2 = self.mask2
+        n = self.n
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(P(axis), P(axis), P()), out_specs=P())
+        def _matvec(eldofs, Je_s, y):
+            z = self._scatter_local(
+                eldofs, jnp.einsum("eij,ej->ei", Je_s,
+                                   self._gather_local(eldofs, y)))
+            return jax.lax.psum(z, axis)
+
+        def apply_A(y):
+            return jnp.where(mask2, y, _matvec(self.eldofs, Je_s, y))
+
+        def M(r):
+            rT, rp = r[:n], r[n:]
+            return jnp.concatenate([pb[0] * rT + pb[1] * rp,
+                                    pb[2] * rT + pb[3] * rp])
+
+        res = gmres(apply_A, s * b, M=M, rtol=rtol, atol=atol,
+                    restart=self.restart, maxiter=self.maxiter)
+        return res._replace(x=s * res.x)
+
+    def solve(self, factors, b, rtol=1e-10, atol=0.0):
+        """Distributed GMRES solve of J dx = b (factors from ``prepare``)."""
+        Je_s, pb, s = factors
+        return self._solve(Je_s, pb, s, jnp.asarray(b),
+                           jnp.asarray(rtol, dtype=jnp.result_type(b)),
+                           jnp.asarray(atol, dtype=jnp.result_type(b)))
+
+    # -- one full Newton iterate ------------------------------------------------
+
+    def newton_step(self, T, p, T_old_q, p_old_q, X_old, dt, rtol=1e-10):
+        """One distributed Newton iterate: residual -> AD Jacobian ->
+        equilibrated block GMRES -> update.  Returns (T', p', |R|, cycles).
+        Essential DOFs are held fixed (the caller pre-sets BC values)."""
+        R = self.residual(T, p, T_old_q, p_old_q, X_old, dt)
+        fac = self.prepare(T, p, T_old_q, p_old_q, X_old, dt)
+        res = self.solve(fac, -R, rtol=rtol)
+        dx = res.x
+        n = self.n
+        return (T + dx[:n], p + dx[n:], jnp.linalg.norm(R), res.iters)

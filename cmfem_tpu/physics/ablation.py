@@ -183,21 +183,15 @@ class AblationSystem:
 
     # -- element Jacobian blocks ------------------------------------------
 
-    def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None,
-                          wq=None, gcl=None, ale_toggles=(True, True, True)):
-        """(ne, 2, nd, 2, nd) Jacobian blocks d(rT,rp)/d(elT,elp) by AD."""
+    def elem_residual_fn(self, dt, gcl_enabled=False,
+                         ale_toggles=(True, True, True)):
+        """Single-element residual closure
+        ``elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe, Jo, Jn) ->
+        (rT (nd,), rp (nd,))`` — the common core of the global residual,
+        the AD element Jacobians, and the element-sharded multichip path
+        (the per-element quadrature work of AssembleElementVector/Grad,
+        ablation_test_case1_2D.cpp:367-615)."""
         ops = self.ops
-        gf = gf or ops.gf
-        if wq is None:
-            import jax.numpy as _jnp
-            wq = _jnp.zeros(gf.wdetJ.shape + (gf.xq.shape[-1],))
-
-        if gcl is None:
-            import jax.numpy as _jnp
-            gcl_arrs = (_jnp.full(gf.wdetJ.shape, -1.0),
-                        _jnp.full(gf.wdetJ.shape, -1.0))
-        else:
-            gcl_arrs = gcl
 
         def elem_res(elT, elp, invJ, wdetJ, To, po, Xo, wqe, Jo, Jn):
             Tq = jnp.einsum("qn,n->q", ops.B, elT)[None]
@@ -209,7 +203,7 @@ class AblationSystem:
             r0T, r1T, r0p, r1p = self._qp_residual(
                 Tq, gT, pq, gp, To[None], po[None], Xo[None], dt,
                 wq=wqe[None],
-                gcl=None if gcl is None else (Jo[None], Jn[None]),
+                gcl=(Jo[None], Jn[None]) if gcl_enabled else None,
                 ale_toggles=ale_toggles)
 
             def pair(r0, r1):
@@ -220,6 +214,24 @@ class AblationSystem:
 
             return pair(r0T, r1T), pair(r0p, r1p)
 
+        return elem_res
+
+    def element_jacobians(self, T, p, T_old_q, p_old_q, X_old, dt, gf=None,
+                          wq=None, gcl=None, ale_toggles=(True, True, True)):
+        """(ne, 2, nd, 2, nd) Jacobian blocks d(rT,rp)/d(elT,elp) by AD."""
+        ops = self.ops
+        gf = gf or ops.gf
+        if wq is None:
+            wq = jnp.zeros(gf.wdetJ.shape + (gf.xq.shape[-1],))
+
+        if gcl is None:
+            gcl_arrs = (jnp.full(gf.wdetJ.shape, -1.0),
+                        jnp.full(gf.wdetJ.shape, -1.0))
+        else:
+            gcl_arrs = gcl
+
+        elem_res = self.elem_residual_fn(dt, gcl_enabled=gcl is not None,
+                                         ale_toggles=ale_toggles)
         T_e = jnp.asarray(T)[ops.eldofs]
         p_e = jnp.asarray(p)[ops.eldofs]
         jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)),
