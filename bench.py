@@ -85,11 +85,22 @@ def main():
 
     sfop = SumFactoredOperator(ops, data, n, n, n, order)
     candidates = [("sumfact", lambda: sfop.bind())]
+    if sfop.z_periodic and sfop.compressed:
+        # uniform-z-extrusion specialization: D collapses to q1 z-planes,
+        # cutting its HBM read (the dominant traffic) by the factor nz
+        candidates.append(("sumfact-periodic",
+                           lambda: sfop.bind(use_periodic=True)))
     KK = sfop.Ky * sfop.Kx
     if platform == "tpu" and sfop.compressed and KK % 256 == 0:
         # VMEM-fused z-chain: V/W quadrature fields never touch HBM
         candidates.append(("sumfact-pallas",
                            lambda: sfop.bind(use_pallas=True, tile=256)))
+        if sfop.z_periodic:
+            # + D compressed to q1 z-rows (HBM read of D cut by nz)
+            candidates.append(
+                ("sumfact-pallas-periodic",
+                 lambda: sfop.bind(use_pallas=True, tile=256,
+                                   use_periodic=True)))
     if os.environ.get("BENCH_ALL_PATHS", "0") == "1":
         candidates.append(("structured-xla",
                            lambda: StructuredPAOperator(ops, data, grid,

@@ -141,3 +141,54 @@ def test_sumfact_pallas_fused_matches_xla():
     y_pl = np.asarray(fnp(u, Dp))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_pl / scale, y_ref / scale, atol=1e-13)
+
+
+def test_sumfact_periodic_paths_match_generic():
+    """z-periodic D compression (XLA and pallas-interpret variants) is
+    exact vs the generic lattice-D apply on a uniform grid, and the
+    periodicity detector rejects variable-coefficient operators."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.ops.sumfact import SumFactoredOperator
+
+    nx, ny, nz = 3, 4, 5
+    mesh = make_cartesian_mesh_3d(nx, ny, nz)
+    fes = FESpace(mesh, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    form = (BilinearForm(ops)
+            .add_diffusion(0.3)
+            .add_convection(np.array([1.0, -2.0, 0.5]))
+            .add_mass(1.0))
+    data = form.assemble()
+    sfop = SumFactoredOperator(ops, data, nx, ny, nz, 2, dtype=jnp.float64)
+    assert sfop.periodic and sfop.z_periodic
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(sfop.ndofs))
+    fn, D = sfop.bind()
+    y_ref = np.asarray(fn(u, D))
+    scale = np.abs(y_ref).max()
+
+    fnp, Dp = sfop.bind(use_periodic=True)
+    np.testing.assert_allclose(np.asarray(fnp(u, Dp)) / scale,
+                               y_ref / scale, atol=1e-13)
+    # Ky*Kx = 12*9 = 108; tile must divide it
+    fnpp, Dpp = sfop.bind(use_pallas=True, tile=54, interpret=True,
+                          use_periodic=True)
+    np.testing.assert_allclose(np.asarray(fnpp(u, Dpp)) / scale,
+                               y_ref / scale, atol=1e-13)
+
+    # variable coefficient -> not periodic, and the periodic bind refuses
+    import jax
+
+    xq = np.asarray(ops.gf.xq)
+    kappa_q = jnp.asarray(0.1 + xq[..., 2] ** 2)   # z-varying
+    form_v = BilinearForm(ops).add_diffusion(kappa_q).add_mass(1.0)
+    sfop_v = SumFactoredOperator(ops, form_v.assemble(), nx, ny, nz, 2,
+                                 dtype=jnp.float64)
+    assert not sfop_v.z_periodic
+    try:
+        sfop_v.bind(use_periodic=True)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
