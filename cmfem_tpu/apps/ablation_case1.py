@@ -41,6 +41,8 @@ DEFAULT_SCHEDULE = [
 
 
 def run(cfg: dict) -> dict:
+    if cfg.get("scan_stepping", False):
+        return run_scan(cfg)
     import jax
     import jax.numpy as jnp
 
@@ -346,6 +348,288 @@ def run(cfg: dict) -> dict:
     mass_csv.close()
     newton_csv.close()
     timing_csv.close()
+    return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
+            "fes": fes, "mesh": mesh}
+
+
+def run_scan(cfg: dict) -> dict:
+    """Whole-run on-device stepping (``scan_stepping: true``): the entire
+    transient solve — BC schedule, per-step Newton (``lax.while_loop``
+    with the on-device equilibrated block-GMRES of solvers/blocksolve),
+    reaction-state advance, probe/mass diagnostics — compiles to ONE
+    ``lax.scan`` program, so a run is one host<->device round trip instead
+    of one per Newton iteration.  Same CSV schemas as the eager path;
+    per-step *phase* timings are not observable inside the fused program,
+    so the timing CSV carries the amortized step total only.  ParaView
+    output is written for the final state."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import FESpace
+    from ..ops import SpaceOps
+    from ..core.pointlocate import front_depth, h1_sampling_stencil
+    from ..physics.tacot import TacotMaterial
+    from ..physics.ablation import AblationSystem, AblationState
+    from ..solvers import BlockNewtonKrylov
+
+    material_file = resolve_path(cfg, cfg.get("material_file",
+                                              "Input/material_tacot_case1.yaml"))
+    order = int(cfg.get("order", 1))
+    dt_cfg = float(cfg.get("dt", 1.0e-2))
+    t_final = float(cfg.get("t_final", 120.0))
+    abs_tol = float(cfg.get("newton_abs_tol", 1e-8))
+    rel_tol = float(cfg.get("newton_rel_tol", 1e-6))
+    max_iter = int(cfg.get("newton_max_iter", 20))
+    lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
+    output_every = int(cfg.get("output_every", 10))
+    output_path = cfg.get("output_path", "ParaView/ablation_case1")
+    collection_name = cfg.get("collection_name", "ablation_test_case1_2D")
+    save_paraview = bool(cfg.get("save_paraview", True))
+    bdr_top = int(cfg.get("bdr_attr_top", 1))
+    top_pressure = float(cfg.get("top_pressure", 101325.0))
+    schedule = cfg.get("top_temperature_schedule", DEFAULT_SCHEDULE)
+    schedule = sorted([[float(a), float(b)] for a, b in schedule])
+    gravity = (float(cfg.get("gravity_x", 0.0)), float(cfg.get("gravity_y", 0.0)))
+    probe_x = float(cfg.get("probe_x", 0.005))
+    probe_y = [float(v) for v in cfg.get(
+        "probe_y", [0.05, 0.049, 0.048, 0.046, 0.042, 0.038, 0.034, 0.026])]
+    if dt_cfg <= 0 or t_final < 0 or order < 1:
+        raise ValueError("invalid dt/t_final/order")
+
+    mat = TacotMaterial.load_yaml(material_file)
+    mesh = load_mesh_from_cfg(cfg)
+    lo, hi = mesh.bounding_box()
+    xmid = 0.5 * (lo[0] + hi[0])
+    fes = FESpace(mesh, order)
+    n = fes.nscalar
+    print(f"Global true dofs (T): {n}\nGlobal true dofs (p): {n}\n"
+          f"Global true dofs (T+p): {2 * n}")
+    ops = SpaceOps(fes, quad_order=max(2, 2 * order + 2))
+    sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    state0 = AblationState.initial(sys_.ne, sys_.nq, mat)
+
+    ess = np.asarray(fes.boundary_dofs([bdr_top]))
+    essj = jnp.asarray(ess)
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    mask2_j = jnp.asarray(mask2)
+    bks = BlockNewtonKrylov(fes.element_dofs, n, ess, ess,
+                            restart=int(cfg.get("gmres_restart", 400)),
+                            maxiter=int(cfg.get("gmres_maxiter", 10)))
+
+    sched_t = jnp.asarray([s[0] for s in schedule])
+    sched_v = jnp.asarray([s[1] for s in schedule])
+    probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
+    pdofs, pweights = h1_sampling_stencil(fes, probe_pts)
+    pdofs_j = jnp.asarray(pdofs)
+    pw_j = jnp.asarray(pweights)
+
+    nsteps = num_steps(t_final, dt_cfg)
+    t_edges = np.minimum(t_final, dt_cfg * np.arange(nsteps + 1))
+    t_next = jnp.asarray(t_edges[1:])
+    dt_steps = jnp.asarray(np.diff(t_edges))
+    print(f"Time steps: {nsteps}, nominal final time: {t_edges[-1]}")
+
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt):
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
+        return jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp]))
+
+    def step_fn(carry, inp):
+        T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp = carry
+        t, dt = inp
+        T_old_q = ops.values_at_qp(T)
+        p_old_q = ops.values_at_qp(p)
+        Tbc = jnp.interp(t, sched_t, sched_v)
+        T = T.at[essj].set(Tbc)
+        p = p.at[essj].set(top_pressure)
+
+        def nw_cond(st):
+            return (~st[5]) & (st[2] <= max_iter)
+
+        def nw_body(st):
+            T, p, it, r0, _, _, res_h, upd_h = st
+            R = residual_fn(T, p, T_old_q, p_old_q, X, dt)
+            rn = jnp.linalg.norm(R)
+            r0 = jnp.where(it == 0, jnp.maximum(1.0, rn), r0)
+            done = (rn < abs_tol) | (rn / r0 < rel_tol)
+            res_h = res_h.at[it].set(rn)
+
+            def solve(tp):
+                T, p = tp
+                blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X,
+                                                dt)
+                fac = bks._prepare(*blocks)
+                sol = bks._solve(*fac, -R, jnp.asarray(lin_rtol),
+                                 jnp.asarray(0.0))
+                dx = sol.x
+                Tn = (T + dx[:n]).at[essj].set(Tbc)
+                pn = (p + dx[n:]).at[essj].set(top_pressure)
+                return Tn, pn, jnp.linalg.norm(dx)
+
+            T, p, un = jax.lax.cond(
+                done, lambda tp: (tp[0], tp[1], 0.0), solve, (T, p))
+            upd_h = upd_h.at[it].set(jnp.where(done, jnp.nan, un))
+            return (T, p, it + 1, r0, rn, done, res_h, upd_h)
+
+        nanh = jnp.full(max_iter + 1, jnp.nan)
+        (T, p, it, r0, rn, done, res_h, upd_h) = jax.lax.while_loop(
+            nw_cond, nw_body,
+            (T, p, 0, 1.0, jnp.inf, False, nanh, nanh))
+
+        (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
+         pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
+        probe_vals = jnp.einsum("pn,pn->p", pw_j, T[pdofs_j])
+        mdot_surf = sys_.top_boundary_mass_flux(T, p, X)
+        carry = (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp)
+        out = (probe_vals, mdot_surf, tau_e, it - 1, r0, rn, done,
+               res_h, upd_h, Tbc)
+        return carry, out
+
+    @jax.jit
+    def simulate(T0, p0, X0, aux0):
+        carry0 = (T0, p0, X0) + aux0
+        return jax.lax.scan(step_fn, carry0, (t_next, dt_steps))
+
+    T0 = jnp.full(n, 300.0)
+    p0 = jnp.full(n, top_pressure)
+    Tbc0 = evaluate_schedule(schedule, 0.0)
+    T0 = T0.at[essj].set(Tbc0)
+    aux0 = (jnp.asarray(state0.rho_elem), jnp.asarray(state0.pi_elem),
+            jnp.asarray(state0.mdot_elem),
+            jnp.asarray(state0.extent_elem),
+            jnp.asarray(state0.pi_qp))
+
+    wall_t0 = _time.perf_counter()
+    carry, outs = simulate(T0, p0, jnp.asarray(state0.extent), aux0)
+    jax.block_until_ready(carry[0])
+    wall = _time.perf_counter() - wall_t0
+    (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp) = carry
+    (probes, mdots, taus, iters, r0s, rns, dones, res_hs, upd_hs,
+     Tbcs) = [np.asarray(o) for o in outs]
+    if not dones.all():
+        bad = int(np.nonzero(~dones)[0][0]) + 1
+        raise RuntimeError(
+            f"Newton did not converge at step {bad}, final residual="
+            f"{rns[bad - 1]}")
+
+    # ---- CSV outputs (same schemas as the eager path) ----
+    ensure_outdir(output_path)
+    probes_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("probes_csv", "temperature_probes.csv")),
+        ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))])
+    mass_csv = CsvWriter(
+        os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
+        ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin",
+         "front_2_char", "recession"])
+    newton_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("newton_csv",
+                             "newton_history_ablation_case1_2D.csv")),
+        ["step", "time", "iter", "residual", "residual0", "rel_residual",
+         "update_norm", "update0", "rel_update", "converged"])
+    timing_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("timing_step_csv",
+                             "driver_timing_per_step.csv")),
+        ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
+         "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
+         "state_advance_sec", "output_sec", "step_total_sec"])
+
+    # t = 0 row (initial state)
+    p0v = np.einsum("pn,pn->p", pweights, np.asarray(T0)[pdofs])
+    m0 = float(sys_.top_boundary_mass_flux(T0, p0, state0))
+    f98_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.98)
+    f2_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.02)
+    probes_csv.writerow([0.0, Tbc0] + [float(v) for v in p0v])
+    mass_csv.writerow([0.0, m0, 0.0, f98_0, f2_0, 0.0])
+
+    amort = wall / max(1, nsteps)
+    for k in range(nsteps):
+        tk = float(t_edges[k + 1])
+        probes_csv.writerow([tk, float(Tbcs[k])]
+                            + [float(v) for v in probes[k]])
+        f98 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.98)
+        f2 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.02)
+        mass_csv.writerow([tk, float(mdots[k]), 0.0, f98, f2, 0.0])
+        nit = int(iters[k])
+        r0k = float(r0s[k])
+        du0 = max(1.0, float(upd_hs[k, 0])) \
+            if np.isfinite(upd_hs[k, 0]) else 1.0
+        for i in range(nit + 1):
+            rk = float(res_hs[k, i])
+            uk = upd_hs[k, i]
+            conv = 1 if i == nit else 0
+            newton_csv.writerow([k + 1, tk, i, rk, r0k, rk / r0k,
+                                 0.0 if conv else float(uk), du0,
+                                 0.0 if conv else float(uk) / du0, conv])
+        timing_csv.writerow([k + 1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                             0.0, amort])
+
+    # final-state ParaView output + reconstructed state object
+    taus_f = np.asarray(taus[-1]) if nsteps else state0.tau_elem
+    rho_f = np.asarray(rho_e)
+    degree_char = np.clip(1.0 - taus_f, 0.0, 1.0)
+    rho_v = mat.initial_solid_density()
+    rho_c = mat.char_solid_density()
+    den = rho_v - rho_c
+    cdf = np.clip((rho_v - rho_f) / den, 0.0, 1.0) if abs(den) > 1e-14 \
+        else np.zeros_like(rho_f)
+    state = AblationState(
+        extent=X, tau_elem=taus_f, rho_elem=rho_f,
+        pi_elem=np.asarray(pi_e), mdot_elem=np.asarray(mdot_e),
+        extent_elem=np.asarray(extent_e),
+        degree_char_elem=degree_char, char_density_fraction_elem=cdf,
+        pi_qp=np.asarray(pi_qp))
+    if save_paraview:
+        dc = VTUCollection(collection_name, fes, prefix_path=output_path)
+        fields = {
+            "temperature": np.asarray(T), "pressure": np.asarray(p),
+            "tau": state.tau_elem, "rho_s": state.rho_elem,
+            "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
+            "degree_char": state.degree_char_elem,
+            "char_density_fraction": state.char_density_fraction_elem,
+        }
+        for r in range(mat.num_reactions):
+            fields[f"X{r + 1}"] = state.extent_elem[r]
+        dc.save(nsteps, float(t_edges[-1]), fields)
+
+    acc = cfg.get("acceptance", {})
+    with CsvWriter(os.path.join(output_path, "fiat_error_tolerances.csv"),
+                   ["signal", "tolerance"]) as w:
+        w.writerow(["temperature_rmse_max",
+                    float(acc.get("temperature_rmse_max", 150.0))])
+        w.writerow(["temperature_max_abs_max",
+                    float(acc.get("temperature_max_abs_max", 300.0))])
+        w.writerow(["m_dot_g_peak_rel_error_max",
+                    float(acc.get("m_dot_g_peak_rel_error_max", 0.5))])
+        w.writerow(["m_dot_g_peak_time_error_max",
+                    float(acc.get("m_dot_g_peak_time_error_max", 10.0))])
+        w.writerow(["front98_rmse_max",
+                    float(acc.get("front98_rmse_max", 0.01))])
+        w.writerow(["front2_rmse_max",
+                    float(acc.get("front2_rmse_max", 0.01))])
+
+    with CsvWriter(os.path.join(output_path,
+                                cfg.get("timing_summary_csv",
+                                        "driver_timing_summary.csv")),
+                   ["metric", "seconds"]) as w:
+        w.writerow(["setup_time_maxrank", 0.0])
+        w.writerow(["run_time_maxrank", wall])
+        w.writerow(["sum_step_time_maxrank", wall])
+        for k in ("bc", "newton", "newton_residual_eval",
+                  "newton_jacobian", "newton_linear", "newton_update",
+                  "state_advance", "output"):
+            w.writerow([f"sum_{k}_time_maxrank", 0.0])
+        w.writerow(["avg_step_time_maxrank", amort])
+
+    probes_csv.close()
+    mass_csv.close()
+    newton_csv.close()
+    timing_csv.close()
+    print(f"scan_stepping: {nsteps} steps in {wall:.2f}s "
+          f"({amort * 1e3:.1f} ms/step, one fused XLA program)")
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
             "fes": fes, "mesh": mesh}
 

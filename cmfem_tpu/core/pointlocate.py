@@ -193,3 +193,23 @@ def sample_h1_grad(fes, u, points, vertices=None):
                      u[fes.element_dofs[elem_ids[found]]])
     out[found] = np.einsum("frd,fr->fd", invJ, gref)
     return out
+
+
+def h1_sampling_stencil(fes, points, vertices=None):
+    """Precompute a device stencil for repeated H1 sampling at FIXED points
+    (the scan-stepping drivers' probe rows): returns numpy
+    (dofs (npts, ndof) int64, weights (npts, ndof)) with
+    value[i] = sum_n weights[i, n] * u[dofs[i, n]].  Points outside the
+    mesh get NaN weights so the sampled value propagates as NaN, matching
+    ``sample_h1``."""
+    elem_ids, refs = locate_points(fes.mesh, points, vertices)
+    npts = len(elem_ids)
+    nd = fes.element_dofs.shape[1]
+    dofs = np.zeros((npts, nd), dtype=np.int64)
+    weights = np.full((npts, nd), np.nan)
+    found = elem_ids >= 0
+    if found.any():
+        B, _ = fes.ref.eval(refs[found])
+        dofs[found] = fes.element_dofs[elem_ids[found]]
+        weights[found] = B
+    return dofs, weights

@@ -295,22 +295,29 @@ class AblationSystem:
                     f"(abs err {err[i]:.3e}, scale {scale:.3e})")
         return max_rel
 
-    def advance_state(self, state: AblationState, T, p, dt) -> AblationState:
-        """Commit per-QP extents after a converged step and refresh the
-        element-average diagnostics (AdvanceInternalStates :821-921)."""
+    def advance_state_arrays(self, X_old, T, p, dt):
+        """Jittable core of the state advance: returns
+        (X_new, tau_e, rho_e, pi_e, mdot_e, extent_e (nr, ne), pi_qp)."""
         ops = self.ops
         mat = self.mat
         Tq = ops.values_at_qp(T)
         pq = ops.values_at_qp(p)
-        X_old = state.extent
         X = mat.solve_reaction_extents(Tq, dt, X_old)
         solid = mat.solid_props(Tq, pq, X, extent_old=X_old, dt=dt)
+        return (X, jnp.mean(solid["tau"], axis=1),
+                jnp.mean(solid["rho_s"], axis=1),
+                jnp.mean(solid["pi_total"], axis=1),
+                jnp.mean(solid["m_dot_g"], axis=1),
+                jnp.mean(X, axis=1).T, solid["pi_total"])
 
-        tau_e = np.asarray(jnp.mean(solid["tau"], axis=1))
-        rho_e = np.asarray(jnp.mean(solid["rho_s"], axis=1))
-        pi_e = np.asarray(jnp.mean(solid["pi_total"], axis=1))
-        mdot_e = np.asarray(jnp.mean(solid["m_dot_g"], axis=1))
-        extent_e = np.asarray(jnp.mean(X, axis=1)).T  # (nr, ne)
+    def advance_state(self, state: AblationState, T, p, dt) -> AblationState:
+        """Commit per-QP extents after a converged step and refresh the
+        element-average diagnostics (AdvanceInternalStates :821-921)."""
+        mat = self.mat
+        (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
+         pi_qp) = self.advance_state_arrays(state.extent, T, p, dt)
+        tau_e = np.asarray(tau_e)
+        rho_e = np.asarray(rho_e)
         degree_char = np.clip(1.0 - tau_e, 0.0, 1.0)
         rho_v = mat.initial_solid_density()
         rho_c = mat.char_solid_density()
@@ -319,10 +326,11 @@ class AblationSystem:
             else np.zeros_like(rho_e)
 
         return AblationState(
-            extent=X, tau_elem=tau_e, rho_elem=rho_e, pi_elem=pi_e,
-            mdot_elem=mdot_e, extent_elem=extent_e,
+            extent=X, tau_elem=tau_e, rho_elem=rho_e,
+            pi_elem=np.asarray(pi_e), mdot_elem=np.asarray(mdot_e),
+            extent_elem=np.asarray(extent_e),
             degree_char_elem=degree_char, char_density_fraction_elem=cdf,
-            pi_qp=np.asarray(solid["pi_total"]),
+            pi_qp=np.asarray(pi_qp),
         )
 
     # -- surface energy balance (case 2.1+) --------------------------------
@@ -573,16 +581,18 @@ class AblationSystem:
         out[found, 8] = -rho_darcy * gradp_y + rho * rho_darcy * gy
         return out
 
-    def top_boundary_mass_flux(self, T, p, state: AblationState,
-                               vertices=None):
+    def top_boundary_mass_flux(self, T, p, state, vertices=None):
         """Area-averaged outward Darcy mass flux on the top boundary
         (ComputeTopBoundaryMassFlux :634-746).  Uses the adjacent element's
-        first-QP reaction state as representative (:706-708)."""
+        first-QP reaction state as representative (:706-708).  ``state``
+        may be an AblationState or a raw (ne, nq, nr) extent array (the
+        jitted scan-stepping path)."""
         tr = self.trace
         Tq = tr.values(T)
         pq = tr.values(p)
         gp = tr.grads(p, vertices)
-        Xrep = state.extent[tr.elem, 0]  # (nbf, nr)
+        extent = state.extent if isinstance(state, AblationState) else state
+        Xrep = extent[tr.elem, 0]  # (nbf, nr)
         Xf = jnp.broadcast_to(Xrep[:, None, :],
                               (tr.nbf, tr.quad.nqp, Xrep.shape[-1]))
         solid = self.mat.solid_props(Tq, pq, Xf)

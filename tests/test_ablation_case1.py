@@ -62,3 +62,45 @@ def test_case1_csv_outputs(case1_out):
     assert last[1] > 0.0  # outgassing at the heated wall
     tol = (out_dir / "fiat_error_tolerances.csv").read_text()
     assert "temperature_rmse_max,150" in tol
+
+
+@pytest.mark.slow
+def test_case1_scan_stepping_matches_eager(case1_out):
+    """scan_stepping: true (the whole transient solve as one lax.scan
+    program with in-scan Newton + on-device block GMRES) reproduces the
+    eager host-loop driver."""
+    import numpy as np
+
+    from cmfem_tpu.apps.ablation_case1 import run
+
+    out_e, out_dir = case1_out
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case1.yaml",
+        "order": 1,
+        "dt": 0.05,
+        "t_final": 0.15,
+        "newton_print_level": 0,
+        "output_path": str(out_dir) + "_scan",
+        "save_paraview": False,
+        "output_every": 100,
+        "scan_stepping": True,
+    }
+    out_s = run(cfg)
+    relT = np.abs(out_e["T"] - out_s["T"]).max() / np.abs(out_e["T"]).max()
+    relp = np.abs(out_e["p"] - out_s["p"]).max() / np.abs(out_e["p"]).max()
+    assert relT < 1e-6
+    assert relp < 1e-8
+    assert np.abs(out_e["state"].tau_elem
+                  - out_s["state"].tau_elem).max() < 1e-8
+    import pathlib
+    probes = pathlib.Path(cfg["output_path"], "temperature_probes.csv") \
+        .read_text().splitlines()
+    assert probes[0] == "time,wall,TC1,TC2,TC3,TC4,TC5,TC6,TC7"
+    assert len(probes) == 5
+    newton = pathlib.Path(
+        cfg["output_path"],
+        "newton_history_ablation_case1_2D.csv").read_text().splitlines()
+    # per-iteration rows with a converged=1 terminator per step
+    assert newton[0].startswith("step,time,iter,residual")
+    assert sum(1 for r in newton[1:] if r.endswith(",1")) == 3
