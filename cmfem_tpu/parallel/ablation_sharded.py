@@ -17,11 +17,17 @@ geometric factors); T/p DOF vectors are replicated:
   ``solvers.blocksolve`` with the matvec distributed the same way
   (local batched (2nd, 2nd) block matmul + segment-sum + psum); the
   equilibration/preconditioner build reduces block diagonals with one
-  psum per prepare.
+  psum per prepare;
+- **SEB top boundary** (cases 2.1/2.2): each boundary face is assigned to
+  the device owning its adjacent element, so the face flux residual and
+  its AD blocks are computed and folded into the local element blocks
+  with no extra communication (``seb=(branch, model, bprime)``; the
+  aerothermal BoundaryState is a traced pytree argument).
 
 Element padding (to a multiple of the device count) duplicates element 0's
 DOF map with zeroed quadrature weights, so padded elements contribute
-exactly zero to residuals, Jacobian blocks, and diagonal reductions.
+exactly zero to residuals, Jacobian blocks, and diagonal reductions; face
+padding likewise carries zero face weights.
 """
 
 from __future__ import annotations
@@ -42,7 +48,8 @@ class ShardedAblationNewton:
     coupled (T, p) ablation system on a ``jax.sharding.Mesh``."""
 
     def __init__(self, system: AblationSystem, dev_mesh: Mesh, ess_T, ess_p,
-                 axis: str = "dd", restart: int = 400, maxiter: int = 10):
+                 axis: str = "dd", restart: int = 400, maxiter: int = 10,
+                 seb=None):
         self.sys = system
         self.mesh = dev_mesh
         self.axis = axis
@@ -50,12 +57,14 @@ class ShardedAblationNewton:
         self.nd = int(system.ops.eldofs.shape[1])
         self.restart = int(restart)
         self.maxiter = int(maxiter)
+        self.seb = seb
 
         ndev = dev_mesh.devices.size
         ne = system.ne
         self.ne = ne
         self.ne_pad = ((ne + ndev - 1) // ndev) * ndev
         self._pad = self.ne_pad - ne
+        epd = self.ne_pad // ndev
 
         mask = np.zeros(2 * self.n, dtype=bool)
         mask[np.asarray(ess_T, dtype=np.int64)] = True
@@ -85,8 +94,45 @@ class ShardedAblationNewton:
             np.concatenate([lT, lp], axis=1), sh)
         self._sharding = sh
 
-        self._residual = jax.jit(self._residual_impl)
-        self._prepare = jax.jit(self._prepare_impl)
+        if seb is not None:
+            # assign each top-boundary face to the device that owns its
+            # adjacent element; pad every device to the same face count
+            # with zero-weight dummies (face 0's data, wdS = 0)
+            tr = system.trace
+            elem = np.asarray(tr.elem, dtype=np.int64)
+            owner = elem // epd
+            ff = tr.face_factors()
+            fdata = {
+                "Bf": np.asarray(tr.Btab)[tr.combo],
+                "Gf": np.asarray(tr.Gtab)[tr.combo],
+                "invJf": np.asarray(tr.element_invJ()),
+                "nrm": np.asarray(ff.normal),
+                "wdS": np.asarray(ff.wdS),
+                "eldofs_f": np.asarray(tr.eldofs, dtype=np.int64),
+                "elem_local": elem - owner * epd,
+            }
+            counts = np.bincount(owner, minlength=ndev)
+            nfmax = max(1, int(counts.max()))
+            self.nf_local = nfmax
+            packed = {}
+            for k, a in fdata.items():
+                out = np.repeat(a[:1][None], ndev, axis=0)          # dummies
+                out = np.repeat(out, nfmax, axis=1) \
+                    if nfmax > 1 else out
+                out = np.array(out)
+                if k == "wdS":
+                    out[:] = 0.0
+                if k == "elem_local":
+                    out[:] = 0
+                for d in range(ndev):
+                    idx = np.nonzero(owner == d)[0]
+                    out[d, :len(idx)] = a[idx]
+                packed[k] = jax.device_put(
+                    out.reshape((ndev * nfmax,) + a.shape[1:]), sh)
+            self._f = packed
+
+        self._residual_j = jax.jit(self._residual_impl)
+        self._prepare_j = jax.jit(self._prepare_impl)
         self._solve = jax.jit(self._solve_impl)
 
     # -- helpers -------------------------------------------------------------
@@ -112,19 +158,38 @@ class ShardedAblationNewton:
                                  num_segments=self.n)
         return jnp.concatenate([yT, yp])
 
+    def _face_specs(self):
+        keys = ("Bf", "Gf", "invJf", "nrm", "wdS", "eldofs_f", "elem_local")
+        return keys, tuple(self._f[k] for k in keys)
+
+    def _face_rT(self, T, p, Xo, bc, fargs):
+        """Local face-flux residual contributions (nf_local, nd) plus the
+        owning local element ids — runs inside shard_map."""
+        branch, model, bprime = self.seb
+        Bf, Gf, invJf, nrm, wdS, eldofs_f, elem_local = fargs
+        face_res = self.sys.seb_face_res_fn(branch, model, bprime)
+        Xrep = Xo[elem_local, 0]
+        rT = jax.vmap(face_res,
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))(
+            T[eldofs_f], p[eldofs_f], Bf, Gf, invJf, nrm, wdS, Xrep, bc)
+        return rT, eldofs_f, elem_local
+
     # -- residual -------------------------------------------------------------
 
-    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt):
+    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc):
         axis = self.axis
         elem_res = self.sys.elem_residual_fn(dt)
         nq = self.wdetJ.shape[1]
         dim = self.invJ.shape[-1]
+        with_seb = self.seb is not None
+        fvals = self._face_specs()[1] if with_seb else ()
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
-                           P(axis), P(axis), P(axis)),
+                           P(axis), P(axis), P(axis), P())
+                 + tuple(P(axis) for _ in fvals),
                  out_specs=P())
-        def _res(eldofs, invJ, wdetJ, T, p, To, po, Xo):
+        def _res(eldofs, invJ, wdetJ, T, p, To, po, Xo, bc, *fargs):
             T_e = T[eldofs]
             p_e = p[eldofs]
             wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
@@ -133,21 +198,28 @@ class ShardedAblationNewton:
                 T_e, p_e, invJ, wdetJ, To, po, Xo, wq, gcl, gcl)
             y = self._scatter_local(eldofs, jnp.concatenate([rT_e, rp_e],
                                                             axis=1))
+            if with_seb:
+                rTf, eldofs_f, _ = self._face_rT(T, p, Xo, bc, fargs)
+                yT_f = jax.ops.segment_sum(rTf.reshape(-1),
+                                           eldofs_f.reshape(-1),
+                                           num_segments=self.n)
+                y = y + jnp.concatenate([yT_f, jnp.zeros_like(yT_f)])
             return jax.lax.psum(y, axis)
 
         R = _res(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
-                 jnp.asarray(p), T_old_q, p_old_q, X_old)
+                 jnp.asarray(p), T_old_q, p_old_q, X_old, bc, *fvals)
         return jnp.where(self.mask2, 0.0, R)
 
-    def residual(self, T, p, T_old_q, p_old_q, X_old, dt):
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None):
         """BC-masked global residual (2n,) — replicated output.  The
-        per-element state arrays must be padded/sharded via ``pad_elem``."""
-        return self._residual(T, p, T_old_q, p_old_q, X_old,
-                              jnp.asarray(dt))
+        per-element state arrays must be padded/sharded via ``pad_elem``;
+        ``bc`` is the aerothermal BoundaryState (SEB instances only)."""
+        return self._residual_j(T, p, T_old_q, p_old_q, X_old,
+                                jnp.asarray(dt), bc)
 
     # -- Jacobian preparation --------------------------------------------------
 
-    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt):
+    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc):
         axis = self.axis
         elem_res = self.sys.elem_residual_fn(dt)
         nq = self.wdetJ.shape[1]
@@ -155,12 +227,15 @@ class ShardedAblationNewton:
         nd = self.nd
         n = self.n
         mask2 = self.mask2
+        with_seb = self.seb is not None
+        fvals = self._face_specs()[1] if with_seb else ()
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
-                           P(axis), P(axis), P(axis), P(axis)),
+                           P(axis), P(axis), P(axis), P(axis), P())
+                 + tuple(P(axis) for _ in fvals),
                  out_specs=(P(axis), P(), P()))
-        def _prep(eldofs, invJ, wdetJ, T, p, To, po, Xo, lmask):
+        def _prep(eldofs, invJ, wdetJ, T, p, To, po, Xo, lmask, bc, *fargs):
             T_e = T[eldofs]
             p_e = p[eldofs]
             wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
@@ -171,6 +246,18 @@ class ShardedAblationNewton:
             top = jnp.concatenate([JTT, JTp], axis=2)
             bot = jnp.concatenate([JpT, Jpp], axis=2)
             Je = jnp.concatenate([top, bot], axis=1)     # (nel, 2nd, 2nd)
+            if with_seb:
+                # AD face blocks folded into the owning local elements
+                branch, model, bprime = self.seb
+                Bf, Gf, invJf, nrm, wdS, eldofs_f, elem_local = fargs
+                face_res = self.sys.seb_face_res_fn(branch, model, bprime)
+                Xrep = Xo[elem_local, 0]
+                jacf = jax.vmap(jax.jacfwd(face_res, argnums=(0, 1)),
+                                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
+                FJT, FJp = jacf(T[eldofs_f], p[eldofs_f], Bf, Gf, invJf,
+                                nrm, wdS, Xrep, bc)
+                Fe = jnp.concatenate([FJT, FJp], axis=2)
+                Je = Je.at[elem_local, :nd, :].add(Fe)
             # BC elimination + symmetric equilibration (one psum for the
             # global diagonal), exactly as solvers.blocksolve._prepare_core
             lm = lmask.astype(Je.dtype)
@@ -207,13 +294,14 @@ class ShardedAblationNewton:
             return Je_s, pb, s
 
         return _prep(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
-                     jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask)
+                     jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask,
+                     bc, *fvals)
 
-    def prepare(self, T, p, T_old_q, p_old_q, X_old, dt):
+    def prepare(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None):
         """AD-assemble, BC-eliminate, and equilibrate the element Jacobian
         blocks on-device; returns (Je_s sharded, pb, s)."""
-        return self._prepare(T, p, T_old_q, p_old_q, X_old,
-                             jnp.asarray(dt))
+        return self._prepare_j(T, p, T_old_q, p_old_q, X_old,
+                               jnp.asarray(dt), bc)
 
     # -- linear solve -----------------------------------------------------------
 
@@ -251,12 +339,13 @@ class ShardedAblationNewton:
 
     # -- one full Newton iterate ------------------------------------------------
 
-    def newton_step(self, T, p, T_old_q, p_old_q, X_old, dt, rtol=1e-10):
+    def newton_step(self, T, p, T_old_q, p_old_q, X_old, dt, rtol=1e-10,
+                    bc=None):
         """One distributed Newton iterate: residual -> AD Jacobian ->
         equilibrated block GMRES -> update.  Returns (T', p', |R|, cycles).
         Essential DOFs are held fixed (the caller pre-sets BC values)."""
-        R = self.residual(T, p, T_old_q, p_old_q, X_old, dt)
-        fac = self.prepare(T, p, T_old_q, p_old_q, X_old, dt)
+        R = self.residual(T, p, T_old_q, p_old_q, X_old, dt, bc=bc)
+        fac = self.prepare(T, p, T_old_q, p_old_q, X_old, dt, bc=bc)
         res = self.solve(fac, -R, rtol=rtol)
         dx = res.x
         n = self.n

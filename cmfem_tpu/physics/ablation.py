@@ -378,6 +378,23 @@ class AblationSystem:
                                   model, bprime)
         return -tr.scatter(terms["q_surf"] * ff.wdS)
 
+    def seb_face_res_fn(self, branch, model, bprime):
+        """Single-face SEB residual closure ``face_res(elT, elp, B, G, iJ,
+        nrm, wdS, Xr, bc) -> rT (nd,)`` — shared by the AD face Jacobians
+        and the element-sharded multichip path (bc is a traced
+        BoundaryState pytree; branch/model/bprime are static)."""
+
+        def face_res(elT, elp, B, G, iJ, nrm, wdS, Xr, bc):
+            Tw = jnp.einsum("qn,n->q", B, elT)[None]
+            pw = jnp.einsum("qn,n->q", B, elp)[None]
+            gref = jnp.einsum("qnr,n->qr", G, elp)
+            gpw = jnp.sum(iJ * gref[..., :, None], axis=-2)[None]
+            terms = self._seb_face_qp(Tw, pw, gpw, Xr[None], nrm[None], bc,
+                                      branch, model, bprime)
+            return -jnp.einsum("qn,q->n", B, terms["q_surf"][0] * wdS)
+
+        return face_res
+
     def seb_face_jacobians(self, T, p, extent, bc, branch,
                            model, bprime, vertices=None):
         """(nbf, nd, nd) x2 face Jacobian blocks d(rT_face)/d(elT, elp)."""
@@ -390,18 +407,11 @@ class AblationSystem:
         T_e = jnp.asarray(T)[tr.eldofs]
         p_e = jnp.asarray(p)[tr.eldofs]
 
-        def face_res(elT, elp, B, G, iJ, nrm, wdS, Xr):
-            Tw = jnp.einsum("qn,n->q", B, elT)[None]
-            pw = jnp.einsum("qn,n->q", B, elp)[None]
-            gref = jnp.einsum("qnr,n->qr", G, elp)
-            gpw = jnp.sum(iJ * gref[..., :, None], axis=-2)[None]
-            terms = self._seb_face_qp(Tw, pw, gpw, Xr[None], nrm[None], bc,
-                                      branch, model, bprime)
-            return -jnp.einsum("qn,q->n", B, terms["q_surf"][0] * wdS)
-
+        face_res = self.seb_face_res_fn(branch, model, bprime)
         jacf = jax.vmap(jax.jacfwd(face_res, argnums=(0, 1)),
-                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
-        JT, Jp = jacf(T_e, p_e, Btab, Gtab, invJ, ff.normal, ff.wdS, Xrep)
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
+        JT, Jp = jacf(T_e, p_e, Btab, Gtab, invJ, ff.normal, ff.wdS, Xrep,
+                      bc)
         return JT, Jp
 
     _SURF_KEYS = ("m_dot_c_surf", "rho_s_surf", "BprimeG_surf",

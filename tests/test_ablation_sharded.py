@@ -118,3 +118,63 @@ def test_sharded_two_newton_iterations_reduce_residual(small_problem):
     # early overshoot is normal for the undamped iteration — the drivers'
     # loop behaves identically)
     assert hist[-1] < 1e-6 * hist[0], hist
+
+
+@pytest.fixture(scope="module")
+def seb_problem(small_problem):
+    """Add an SEB top boundary (case-2.1 style: p essential at top, T has
+    the surface-energy-balance flux) to the small strip."""
+    from cmfem_tpu.physics.bprime import BPrimeTable
+    from cmfem_tpu.physics.seb import SurfaceFluxModel, BRANCH_CHEMISTRY_BLOWING
+    from cmfem_tpu.physics.surface_bc import BoundaryState
+
+    bprime = BPrimeTable.synthetic_tacot()
+    model = SurfaceFluxModel(lam=0.5, q_rad=0.0)
+    bc = BoundaryState(p_w=101325.0, rhoeUeCH=0.1, h_r=2.0e6, chemistryOn=1)
+    return bprime, model, BRANCH_CHEMISTRY_BLOWING, bc
+
+
+def test_sharded_seb_residual_and_step_match_single_device(small_problem,
+                                                           seb_problem):
+    import jax
+    import jax.numpy as jnp
+
+    from cmfem_tpu.parallel import ShardedAblationNewton, make_device_mesh
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+
+    sys_, fes, n, ess, T, p, T_old_q, p_old_q, X_old, dt = small_problem
+    bprime, model, branch, bc = seb_problem
+    # SEB mode: T is free at the top; only p is essential there
+    ess_T = np.zeros(0, dtype=np.int64)
+    dev_mesh = make_device_mesh(len(jax.devices()))
+    sh = ShardedAblationNewton(sys_, dev_mesh, ess_T, ess, restart=200,
+                               maxiter=10, seb=(branch, model, bprime))
+
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess + n] = True
+    RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
+    RT = RT + sys_.seb_face_residual(T, p, X_old, bc, branch, model, bprime)
+    R_ref = np.where(mask2, 0.0,
+                     np.concatenate([np.asarray(RT), np.asarray(Rp)]))
+
+    To_s, po_s, Xo_s = (sh.pad_elem(T_old_q), sh.pad_elem(p_old_q),
+                        sh.pad_elem(X_old))
+    R_sh = np.asarray(sh.residual(T, p, To_s, po_s, Xo_s, dt, bc=bc))
+    scale = np.abs(R_ref).max()
+    assert np.abs(R_sh - R_ref).max() / scale < 1e-12
+
+    # one Newton step vs the single-device block solver with face blocks
+    blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
+    face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model, bprime)
+    bks = BlockNewtonKrylov(fes.element_dofs, n, ess_T, ess, restart=200,
+                            maxiter=10)
+    fac = bks.prepare(blocks, face=face, face_elem=sys_.trace.elem)
+    res_ref = bks.solve(fac, -jnp.asarray(R_ref), rtol=1e-12)
+    assert bool(res_ref.converged)
+    dx_ref = np.asarray(res_ref.x)
+
+    T1, p1, Rn, _ = sh.newton_step(T, p, To_s, po_s, Xo_s, dt, rtol=1e-12,
+                                   bc=bc)
+    dx_sh = np.concatenate([np.asarray(T1 - T), np.asarray(p1 - p)])
+    rel = np.linalg.norm(dx_sh - dx_ref) / np.linalg.norm(dx_ref)
+    assert rel < 1e-6, rel
