@@ -40,6 +40,51 @@ DEFAULT_SCHEDULE = [
 ]
 
 
+def _make_case1_csvs(cfg, output_path, probe_y):
+    """The driver's four CSV streams (shared by the eager and scan paths)."""
+    probes_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("probes_csv", "temperature_probes.csv")),
+        ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))])
+    mass_csv = CsvWriter(
+        os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
+        ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin",
+         "front_2_char", "recession"])
+    newton_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("newton_csv",
+                             "newton_history_ablation_case1_2D.csv")),
+        ["step", "time", "iter", "residual", "residual0", "rel_residual",
+         "update_norm", "update0", "rel_update", "converged"])
+    timing_csv = CsvWriter(
+        os.path.join(output_path,
+                     cfg.get("timing_step_csv",
+                             "driver_timing_per_step.csv")),
+        ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
+         "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
+         "state_advance_sec", "output_sec", "step_total_sec"])
+    return probes_csv, mass_csv, newton_csv, timing_csv
+
+
+def _write_tolerances_csv(cfg, output_path):
+    """Acceptance tolerance echo (fiat_error_tolerances.csv)."""
+    acc = cfg.get("acceptance", {})
+    with CsvWriter(os.path.join(output_path, "fiat_error_tolerances.csv"),
+                   ["signal", "tolerance"]) as w:
+        w.writerow(["temperature_rmse_max",
+                    float(acc.get("temperature_rmse_max", 150.0))])
+        w.writerow(["temperature_max_abs_max",
+                    float(acc.get("temperature_max_abs_max", 300.0))])
+        w.writerow(["m_dot_g_peak_rel_error_max",
+                    float(acc.get("m_dot_g_peak_rel_error_max", 0.5))])
+        w.writerow(["m_dot_g_peak_time_error_max",
+                    float(acc.get("m_dot_g_peak_time_error_max", 10.0))])
+        w.writerow(["front98_rmse_max",
+                    float(acc.get("front98_rmse_max", 0.01))])
+        w.writerow(["front2_rmse_max",
+                    float(acc.get("front2_rmse_max", 0.01))])
+
+
 def run(cfg: dict) -> dict:
     if cfg.get("scan_stepping", False):
         return run_scan(cfg)
@@ -153,28 +198,8 @@ def run(cfg: dict) -> dict:
         return spla.splu(J.tocsc())
 
     ensure_outdir(output_path)
-    probes_csv = CsvWriter(os.path.join(output_path,
-                                        cfg.get("probes_csv", "temperature_probes.csv")),
-                           ["time", "wall"] +
-                           [f"TC{i}" for i in range(1, len(probe_y))])
-    mass_csv = CsvWriter(os.path.join(output_path,
-                                      cfg.get("mass_csv", "mass_metrics.csv")),
-                         ["time", "m_dot_g_surf", "m_dot_c",
-                          "front_98_virgin", "front_2_char", "recession"])
-    newton_csv = CsvWriter(os.path.join(output_path,
-                                        cfg.get("newton_csv",
-                                                "newton_history_ablation_case1_2D.csv")),
-                           ["step", "time", "iter", "residual", "residual0",
-                            "rel_residual", "update_norm", "update0",
-                            "rel_update", "converged"])
-    timing_csv = CsvWriter(os.path.join(output_path,
-                                        cfg.get("timing_step_csv",
-                                                "driver_timing_per_step.csv")),
-                           ["step", "bc_sec", "newton_sec",
-                            "newton_residual_eval_sec", "newton_jacobian_sec",
-                            "newton_linear_sec", "newton_update_sec",
-                            "state_advance_sec", "output_sec",
-                            "step_total_sec"])
+    probes_csv, mass_csv, newton_csv, timing_csv = _make_case1_csvs(
+        cfg, output_path, probe_y)
 
     l2like = lambda vals: np.asarray(vals)
     dc = None
@@ -308,22 +333,7 @@ def run(cfg: dict) -> dict:
                   f"Tmax={float(jnp.max(T)):.1f} "
                   f"tau_min={state.tau_elem.min():.4f}")
 
-    # acceptance tolerance echo (fiat_error_tolerances.csv)
-    acc = cfg.get("acceptance", {})
-    with CsvWriter(os.path.join(output_path, "fiat_error_tolerances.csv"),
-                   ["signal", "tolerance"]) as w:
-        w.writerow(["temperature_rmse_max",
-                    float(acc.get("temperature_rmse_max", 150.0))])
-        w.writerow(["temperature_max_abs_max",
-                    float(acc.get("temperature_max_abs_max", 300.0))])
-        w.writerow(["m_dot_g_peak_rel_error_max",
-                    float(acc.get("m_dot_g_peak_rel_error_max", 0.5))])
-        w.writerow(["m_dot_g_peak_time_error_max",
-                    float(acc.get("m_dot_g_peak_time_error_max", 10.0))])
-        w.writerow(["front98_rmse_max",
-                    float(acc.get("front98_rmse_max", 0.01))])
-        w.writerow(["front2_rmse_max",
-                    float(acc.get("front2_rmse_max", 0.01))])
+    _write_tolerances_csv(cfg, output_path)
 
     with CsvWriter(os.path.join(output_path,
                                 cfg.get("timing_summary_csv",
@@ -353,15 +363,15 @@ def run(cfg: dict) -> dict:
 
 
 def run_scan(cfg: dict) -> dict:
-    """Whole-run on-device stepping (``scan_stepping: true``): the entire
+    """Whole-run on-device stepping (``scan_stepping: true``): the
     transient solve — BC schedule, per-step Newton (``lax.while_loop``
     with the on-device equilibrated block-GMRES of solvers/blocksolve),
-    reaction-state advance, probe/mass diagnostics — compiles to ONE
-    ``lax.scan`` program, so a run is one host<->device round trip instead
-    of one per Newton iteration.  Same CSV schemas as the eager path;
+    reaction-state advance, probe/mass diagnostics — compiles to
+    ``lax.scan`` programs of ``output_every`` steps each, so host-device
+    round trips happen once per OUTPUT FRAME instead of once per Newton
+    iteration.  Same CSV schemas and ParaView cadence as the eager path;
     per-step *phase* timings are not observable inside the fused program,
-    so the timing CSV carries the amortized step total only.  ParaView
-    output is written for the final state."""
+    so the timing CSV carries the amortized step total only."""
     import jax
     import jax.numpy as jnp
 
@@ -395,6 +405,10 @@ def run_scan(cfg: dict) -> dict:
         "probe_y", [0.05, 0.049, 0.048, 0.046, 0.042, 0.038, 0.034, 0.026])]
     if dt_cfg <= 0 or t_final < 0 or order < 1:
         raise ValueError("invalid dt/t_final/order")
+    if not schedule:
+        raise ValueError("top_temperature_schedule cannot be empty.")
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
 
     mat = TacotMaterial.load_yaml(material_file)
     mesh = load_mesh_from_cfg(cfg)
@@ -427,8 +441,6 @@ def run_scan(cfg: dict) -> dict:
 
     nsteps = num_steps(t_final, dt_cfg)
     t_edges = np.minimum(t_final, dt_cfg * np.arange(nsteps + 1))
-    t_next = jnp.asarray(t_edges[1:])
-    dt_steps = jnp.asarray(np.diff(t_edges))
     print(f"Time steps: {nsteps}, nominal final time: {t_edges[-1]}")
 
     def residual_fn(T, p, T_old_q, p_old_q, X_old, dt):
@@ -445,10 +457,12 @@ def run_scan(cfg: dict) -> dict:
         p = p.at[essj].set(top_pressure)
 
         def nw_cond(st):
-            return (~st[5]) & (st[2] <= max_iter)
+            # matches the eager loop: at most max_iter residual checks
+            # and max_iter linear solves
+            return (~st[5]) & (st[2] < max_iter)
 
         def nw_body(st):
-            T, p, it, r0, _, _, res_h, upd_h = st
+            T, p, it, r0, _, _, res_h, upd_h, lin_ok = st
             R = residual_fn(T, p, T_old_q, p_old_q, X, dt)
             rn = jnp.linalg.norm(R)
             r0 = jnp.where(it == 0, jnp.maximum(1.0, rn), r0)
@@ -465,152 +479,145 @@ def run_scan(cfg: dict) -> dict:
                 dx = sol.x
                 Tn = (T + dx[:n]).at[essj].set(Tbc)
                 pn = (p + dx[n:]).at[essj].set(top_pressure)
-                return Tn, pn, jnp.linalg.norm(dx)
+                return Tn, pn, jnp.linalg.norm(dx), sol.converged
 
-            T, p, un = jax.lax.cond(
-                done, lambda tp: (tp[0], tp[1], 0.0), solve, (T, p))
+            T, p, un, ok = jax.lax.cond(
+                done, lambda tp: (tp[0], tp[1], 0.0, True), solve, (T, p))
             upd_h = upd_h.at[it].set(jnp.where(done, jnp.nan, un))
-            return (T, p, it + 1, r0, rn, done, res_h, upd_h)
+            return (T, p, it + 1, r0, rn, done, res_h, upd_h,
+                    lin_ok & ok)
 
         nanh = jnp.full(max_iter + 1, jnp.nan)
-        (T, p, it, r0, rn, done, res_h, upd_h) = jax.lax.while_loop(
+        (T, p, it, r0, rn, done, res_h, upd_h,
+         lin_ok) = jax.lax.while_loop(
             nw_cond, nw_body,
-            (T, p, 0, 1.0, jnp.inf, False, nanh, nanh))
+            (T, p, 0, 1.0, jnp.inf, False, nanh, nanh, True))
 
         (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
          pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
         probe_vals = jnp.einsum("pn,pn->p", pw_j, T[pdofs_j])
         mdot_surf = sys_.top_boundary_mass_flux(T, p, X)
         carry = (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp)
-        out = (probe_vals, mdot_surf, tau_e, it - 1, r0, rn, done,
-               res_h, upd_h, Tbc)
+        out = (probe_vals, mdot_surf, tau_e, it, r0, rn, done,
+               res_h, upd_h, Tbc, lin_ok)
         return carry, out
 
     @jax.jit
-    def simulate(T0, p0, X0, aux0):
-        carry0 = (T0, p0, X0) + aux0
-        return jax.lax.scan(step_fn, carry0, (t_next, dt_steps))
+    def simulate_chunk(carry, ts, dts):
+        return jax.lax.scan(step_fn, carry, (ts, dts))
+
+    # ---- outputs ----
+    ensure_outdir(output_path)
+    probes_csv, mass_csv, newton_csv, timing_csv = _make_case1_csvs(
+        cfg, output_path, probe_y)
+    dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
+        if save_paraview else None
+    nr = mat.num_reactions
+    rho_v = mat.initial_solid_density()
+    rho_c = mat.char_solid_density()
+    den = rho_v - rho_c
+
+    def build_state(X, tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp):
+        tau_e = np.asarray(tau_e)
+        rho_e = np.asarray(rho_e)
+        cdf = np.clip((rho_v - rho_e) / den, 0.0, 1.0) \
+            if abs(den) > 1e-14 else np.zeros_like(rho_e)
+        return AblationState(
+            extent=X, tau_elem=tau_e, rho_elem=rho_e,
+            pi_elem=np.asarray(pi_e), mdot_elem=np.asarray(mdot_e),
+            extent_elem=np.asarray(extent_e),
+            degree_char_elem=np.clip(1.0 - tau_e, 0.0, 1.0),
+            char_density_fraction_elem=cdf, pi_qp=np.asarray(pi_qp))
+
+    def save_frame(step, t, T, p, st: AblationState):
+        fields = {
+            "temperature": np.asarray(T), "pressure": np.asarray(p),
+            "tau": st.tau_elem, "rho_s": st.rho_elem,
+            "pi_total": st.pi_elem, "m_dot_g": st.mdot_elem,
+            "degree_char": st.degree_char_elem,
+            "char_density_fraction": st.char_density_fraction_elem,
+        }
+        for r in range(nr):
+            fields[f"X{r + 1}"] = st.extent_elem[r]
+        dc.save(step, t, fields)
 
     T0 = jnp.full(n, 300.0)
     p0 = jnp.full(n, top_pressure)
     Tbc0 = evaluate_schedule(schedule, 0.0)
     T0 = T0.at[essj].set(Tbc0)
-    aux0 = (jnp.asarray(state0.rho_elem), jnp.asarray(state0.pi_elem),
-            jnp.asarray(state0.mdot_elem),
-            jnp.asarray(state0.extent_elem),
-            jnp.asarray(state0.pi_qp))
+    carry = (T0, p0, jnp.asarray(state0.extent),
+             jnp.asarray(state0.rho_elem), jnp.asarray(state0.pi_elem),
+             jnp.asarray(state0.mdot_elem), jnp.asarray(state0.extent_elem),
+             jnp.asarray(state0.pi_qp))
 
-    wall_t0 = _time.perf_counter()
-    carry, outs = simulate(T0, p0, jnp.asarray(state0.extent), aux0)
-    jax.block_until_ready(carry[0])
-    wall = _time.perf_counter() - wall_t0
-    (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp) = carry
-    (probes, mdots, taus, iters, r0s, rns, dones, res_hs, upd_hs,
-     Tbcs) = [np.asarray(o) for o in outs]
-    if not dones.all():
-        bad = int(np.nonzero(~dones)[0][0]) + 1
-        raise RuntimeError(
-            f"Newton did not converge at step {bad}, final residual="
-            f"{rns[bad - 1]}")
-
-    # ---- CSV outputs (same schemas as the eager path) ----
-    ensure_outdir(output_path)
-    probes_csv = CsvWriter(
-        os.path.join(output_path,
-                     cfg.get("probes_csv", "temperature_probes.csv")),
-        ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))])
-    mass_csv = CsvWriter(
-        os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
-        ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin",
-         "front_2_char", "recession"])
-    newton_csv = CsvWriter(
-        os.path.join(output_path,
-                     cfg.get("newton_csv",
-                             "newton_history_ablation_case1_2D.csv")),
-        ["step", "time", "iter", "residual", "residual0", "rel_residual",
-         "update_norm", "update0", "rel_update", "converged"])
-    timing_csv = CsvWriter(
-        os.path.join(output_path,
-                     cfg.get("timing_step_csv",
-                             "driver_timing_per_step.csv")),
-        ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
-         "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
-         "state_advance_sec", "output_sec", "step_total_sec"])
-
-    # t = 0 row (initial state)
+    # t = 0 row (initial state) + frame 0
     p0v = np.einsum("pn,pn->p", pweights, np.asarray(T0)[pdofs])
     m0 = float(sys_.top_boundary_mass_flux(T0, p0, state0))
     f98_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.98)
     f2_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.02)
     probes_csv.writerow([0.0, Tbc0] + [float(v) for v in p0v])
     mass_csv.writerow([0.0, m0, 0.0, f98_0, f2_0, 0.0])
+    if dc is not None:
+        save_frame(0, 0.0, T0, p0, state0)
 
-    amort = wall / max(1, nsteps)
-    for k in range(nsteps):
-        tk = float(t_edges[k + 1])
-        probes_csv.writerow([tk, float(Tbcs[k])]
-                            + [float(v) for v in probes[k]])
-        f98 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.98)
-        f2 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.02)
-        mass_csv.writerow([tk, float(mdots[k]), 0.0, f98, f2, 0.0])
-        nit = int(iters[k])
-        r0k = float(r0s[k])
-        du0 = max(1.0, float(upd_hs[k, 0])) \
-            if np.isfinite(upd_hs[k, 0]) else 1.0
-        for i in range(nit + 1):
-            rk = float(res_hs[k, i])
-            uk = upd_hs[k, i]
-            conv = 1 if i == nit else 0
-            newton_csv.writerow([k + 1, tk, i, rk, r0k, rk / r0k,
-                                 0.0 if conv else float(uk), du0,
-                                 0.0 if conv else float(uk) / du0, conv])
-        timing_csv.writerow([k + 1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                             0.0, amort])
+    wall = 0.0
+    bounds = list(range(0, nsteps, output_every)) + [nsteps]
+    bounds = sorted(set(bounds))
+    for b, e in zip(bounds[:-1], bounds[1:]):
+        ts = jnp.asarray(t_edges[b + 1:e + 1])
+        dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
+        w0 = _time.perf_counter()
+        carry, outs = simulate_chunk(carry, ts, dts)
+        jax.block_until_ready(carry[0])
+        wall += _time.perf_counter() - w0
+        (probes, mdots, taus, iters, r0s, rns, dones, res_hs, upd_hs,
+         Tbcs, lin_oks) = [np.asarray(o) for o in outs]
+        if not lin_oks.all():
+            bad = b + int(np.nonzero(~lin_oks)[0][0]) + 1
+            raise RuntimeError(
+                f"block GMRES did not converge at step {bad} "
+                f"(raise gmres_restart/gmres_maxiter)")
+        if not dones.all():
+            bad = b + int(np.nonzero(~dones)[0][0]) + 1
+            raise RuntimeError(
+                f"Newton did not converge at step {bad}, final residual="
+                f"{rns[int(np.nonzero(~dones)[0][0])]}")
+        amort = wall / e
+        for k in range(e - b):
+            gstep = b + k + 1
+            tk = float(t_edges[gstep])
+            probes_csv.writerow([tk, float(Tbcs[k])]
+                                + [float(v) for v in probes[k]])
+            f98 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.98)
+            f2 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.02)
+            mass_csv.writerow([tk, float(mdots[k]), 0.0, f98, f2, 0.0])
+            nit = int(iters[k])
+            r0k = float(r0s[k])
+            du0 = max(1.0, float(upd_hs[k, 0])) \
+                if np.isfinite(upd_hs[k, 0]) else 1.0
+            for i in range(nit + 1):
+                rk = res_hs[k, i]
+                if not np.isfinite(rk):
+                    break
+                uk = upd_hs[k, i]
+                conv = 1 if (i == nit or not np.isfinite(upd_hs[k, i])) \
+                    else 0
+                un = 0.0 if not np.isfinite(uk) else float(uk)
+                newton_csv.writerow([gstep, tk, i, float(rk), r0k,
+                                     float(rk) / r0k, un, du0, un / du0,
+                                     conv])
+            timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0, amort])
+        if dc is not None and e % output_every == 0:
+            st = build_state(carry[2], taus[-1], *carry[3:])
+            save_frame(e, float(t_edges[e]), carry[0], carry[1], st)
 
-    # final-state ParaView output + reconstructed state object
+    (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp) = carry
     taus_f = np.asarray(taus[-1]) if nsteps else state0.tau_elem
-    rho_f = np.asarray(rho_e)
-    degree_char = np.clip(1.0 - taus_f, 0.0, 1.0)
-    rho_v = mat.initial_solid_density()
-    rho_c = mat.char_solid_density()
-    den = rho_v - rho_c
-    cdf = np.clip((rho_v - rho_f) / den, 0.0, 1.0) if abs(den) > 1e-14 \
-        else np.zeros_like(rho_f)
-    state = AblationState(
-        extent=X, tau_elem=taus_f, rho_elem=rho_f,
-        pi_elem=np.asarray(pi_e), mdot_elem=np.asarray(mdot_e),
-        extent_elem=np.asarray(extent_e),
-        degree_char_elem=degree_char, char_density_fraction_elem=cdf,
-        pi_qp=np.asarray(pi_qp))
-    if save_paraview:
-        dc = VTUCollection(collection_name, fes, prefix_path=output_path)
-        fields = {
-            "temperature": np.asarray(T), "pressure": np.asarray(p),
-            "tau": state.tau_elem, "rho_s": state.rho_elem,
-            "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
-            "degree_char": state.degree_char_elem,
-            "char_density_fraction": state.char_density_fraction_elem,
-        }
-        for r in range(mat.num_reactions):
-            fields[f"X{r + 1}"] = state.extent_elem[r]
-        dc.save(nsteps, float(t_edges[-1]), fields)
+    state = build_state(X, taus_f, rho_e, pi_e, mdot_e, extent_e, pi_qp)
 
-    acc = cfg.get("acceptance", {})
-    with CsvWriter(os.path.join(output_path, "fiat_error_tolerances.csv"),
-                   ["signal", "tolerance"]) as w:
-        w.writerow(["temperature_rmse_max",
-                    float(acc.get("temperature_rmse_max", 150.0))])
-        w.writerow(["temperature_max_abs_max",
-                    float(acc.get("temperature_max_abs_max", 300.0))])
-        w.writerow(["m_dot_g_peak_rel_error_max",
-                    float(acc.get("m_dot_g_peak_rel_error_max", 0.5))])
-        w.writerow(["m_dot_g_peak_time_error_max",
-                    float(acc.get("m_dot_g_peak_time_error_max", 10.0))])
-        w.writerow(["front98_rmse_max",
-                    float(acc.get("front98_rmse_max", 0.01))])
-        w.writerow(["front2_rmse_max",
-                    float(acc.get("front2_rmse_max", 0.01))])
-
+    _write_tolerances_csv(cfg, output_path)
+    amort = wall / max(1, nsteps)
     with CsvWriter(os.path.join(output_path,
                                 cfg.get("timing_summary_csv",
                                         "driver_timing_summary.csv")),
@@ -629,7 +636,8 @@ def run_scan(cfg: dict) -> dict:
     newton_csv.close()
     timing_csv.close()
     print(f"scan_stepping: {nsteps} steps in {wall:.2f}s "
-          f"({amort * 1e3:.1f} ms/step, one fused XLA program)")
+          f"({amort * 1e3:.1f} ms/step; one fused XLA program per "
+          f"{output_every}-step output frame)")
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
             "fes": fes, "mesh": mesh}
 

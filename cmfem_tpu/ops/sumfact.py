@@ -144,10 +144,14 @@ class SumFactoredOperator:
         # Element-to-element variation below the geometric-factor rounding
         # floor counts as uniform: O(1) coordinates differenced into O(1/n)
         # elements lose a factor max(n) of relative precision, so the floor
-        # is eps * max(n) * max|D|.  Real coefficient variation is far
-        # above this.
-        tol = (4 * np.finfo(Dl4.dtype).eps * max(nx, ny, nz)
-               * np.abs(Dl4).max())
+        # is eps * max(n) * max|D|, capped at 1e-5 * max|D| so that real
+        # (if weak) coefficient variation on very large grids is never
+        # classified as uniform.  NOTE the detection cannot distinguish
+        # genuine sub-floor coefficient variation from rounding noise —
+        # bind(use_periodic=True) is an explicit assertion by the caller
+        # that the operator is uniform along the tiled axes.
+        tol = min(4 * np.finfo(Dl4.dtype).eps * max(nx, ny, nz), 1e-5) \
+            * np.abs(Dl4).max()
         D7 = Dl4.reshape(mm, nz, q1, ny, q1, nx, q1).astype(np.float64)
         Dsmall = D7.mean(axis=(1, 3, 5)).astype(Dl4.dtype)  # noise-averaged
         self.periodic = bool(

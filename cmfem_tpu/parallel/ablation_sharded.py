@@ -40,7 +40,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..physics.ablation import AblationSystem
-from ..solvers.krylov import gmres
+from ..solvers.blocksolve import (
+    equilibrated_block_factors, solve_equilibrated,
+)
 
 
 class ShardedAblationNewton:
@@ -258,40 +260,13 @@ class ShardedAblationNewton:
                                 nrm, wdS, Xrep, bc)
                 Fe = jnp.concatenate([FJT, FJp], axis=2)
                 Je = Je.at[elem_local, :nd, :].add(Fe)
-            # BC elimination + symmetric equilibration (one psum for the
-            # global diagonal), exactly as solvers.blocksolve._prepare_core
-            lm = lmask.astype(Je.dtype)
-            keep = 1.0 - lm
-            eye = jnp.eye(2 * nd, dtype=Je.dtype)
-            Je_bc = Je * keep[:, :, None] * keep[:, None, :] \
-                + eye[None] * lm[:, :, None]
-            diag_e = jnp.diagonal(Je_bc, axis1=1, axis2=2)
-            dvec = jax.lax.psum(self._scatter_local(eldofs, diag_e), axis)
-            s = jnp.where(mask2, 1.0,
-                          1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec),
-                                                     1e-300)))
-            s_e = self._gather_local(eldofs, s)
-            Je_s = Je_bc * s_e[:, :, None] * s_e[:, None, :]
-            # 2x2 point-block preconditioner factors (one more psum pair)
-            idx = jnp.arange(nd)
-            dTp_e = Je_s[:, idx, nd + idx]
-            dpT_e = Je_s[:, nd + idx, idx]
-            flat = eldofs.reshape(-1)
-            seg = lambda v: jax.lax.psum(
-                jax.ops.segment_sum(v.reshape(-1), flat, num_segments=n),
-                axis)
-            dJ = jax.lax.psum(
-                self._scatter_local(
-                    eldofs, jnp.diagonal(Je_s, axis1=1, axis2=2)), axis)
-            dTT = jnp.where(mask2[:n], 1.0, dJ[:n])
-            dpp = jnp.where(mask2[n:], 1.0, dJ[n:])
-            off_mask = mask2[:n] | mask2[n:]
-            dTp = jnp.where(off_mask, 0.0, seg(dTp_e))
-            dpT = jnp.where(off_mask, 0.0, seg(dpT_e))
-            det = dTT * dpp - dTp * dpT
-            det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
-            pb = jnp.stack([dpp / det, -dTp / det, -dpT / det, dTT / det])
-            return Je_s, pb, s
+            # shared BC-elimination/equilibration/PC kernel with the
+            # shared-DOF reductions expressed as one psum each
+            return equilibrated_block_factors(
+                Je, lmask, mask2,
+                lambda x: self._gather_local(eldofs, x),
+                lambda y_e: self._scatter_local(eldofs, y_e),
+                nd, n, reduce_fn=lambda v: jax.lax.psum(v, axis))
 
         return _prep(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
                      jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask,
@@ -307,8 +282,6 @@ class ShardedAblationNewton:
 
     def _solve_impl(self, Je_s, pb, s, b, rtol, atol):
         axis = self.axis
-        mask2 = self.mask2
-        n = self.n
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P()), out_specs=P())
@@ -318,17 +291,9 @@ class ShardedAblationNewton:
                                    self._gather_local(eldofs, y)))
             return jax.lax.psum(z, axis)
 
-        def apply_A(y):
-            return jnp.where(mask2, y, _matvec(self.eldofs, Je_s, y))
-
-        def M(r):
-            rT, rp = r[:n], r[n:]
-            return jnp.concatenate([pb[0] * rT + pb[1] * rp,
-                                    pb[2] * rT + pb[3] * rp])
-
-        res = gmres(apply_A, s * b, M=M, rtol=rtol, atol=atol,
-                    restart=self.restart, maxiter=self.maxiter)
-        return res._replace(x=s * res.x)
+        return solve_equilibrated(
+            lambda y: _matvec(self.eldofs, Je_s, y), pb, s, b,
+            self.mask2, self.n, rtol, atol, self.restart, self.maxiter)
 
     def solve(self, factors, b, rtol=1e-10, atol=0.0):
         """Distributed GMRES solve of J dx = b (factors from ``prepare``)."""

@@ -40,6 +40,68 @@ import numpy as np
 from .krylov import gmres
 
 
+def equilibrated_block_factors(Je, lmask, mask2, gather, scatter, nd, n,
+                               reduce_fn=lambda x: x):
+    """BC-eliminate and equilibrate (2nd, 2nd) element blocks; build the
+    2x2 point-block preconditioner.  The single source of truth for both
+    the single-device solver and the element-sharded multichip path
+    (which passes slab-local gather/scatter plus a psum ``reduce_fn``).
+
+    Returns (Je_s, pb, s): scaled blocks (the matvec), the per-dof inverse
+    2x2 coupling factors (the preconditioner), and the equilibration
+    vector s (2n,)."""
+    dtype = Je.dtype
+    lm = lmask.astype(dtype)                    # (nel, 2nd)
+    keep = 1.0 - lm
+    eye = jnp.eye(2 * nd, dtype=dtype)
+    Je_bc = Je * keep[:, :, None] * keep[:, None, :] \
+        + eye[None] * lm[:, :, None]
+    # global diagonal -> symmetric equilibration S J S
+    diag_e = jnp.diagonal(Je_bc, axis1=1, axis2=2)
+    dvec = reduce_fn(scatter(diag_e))
+    s = jnp.where(mask2, 1.0,
+                  1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec), 1e-300)))
+    s_e = gather(s)
+    Je_s = Je_bc * s_e[:, :, None] * s_e[:, None, :]
+    # 2x2 point-block PC: per-dof scaled [[dTT, dTp], [dpT, dpp]]
+    # (off-diagonal pairs gathered from the (i_T, i_p) block entries)
+    idx = jnp.arange(nd)
+    dTp_e = Je_s[:, idx, nd + idx]              # (nel, nd)
+    dpT_e = Je_s[:, nd + idx, idx]
+    dJ = reduce_fn(scatter(jnp.diagonal(Je_s, axis1=1, axis2=2)))
+    half = jnp.zeros((dTp_e.shape[0], nd), dtype)
+    seg_T = lambda v: reduce_fn(
+        scatter(jnp.concatenate([v, half], axis=1)))[:n]
+    dTT = jnp.where(mask2[:n], 1.0, dJ[:n])
+    dpp = jnp.where(mask2[n:], 1.0, dJ[n:])
+    off_mask = mask2[:n] | mask2[n:]
+    dTp = jnp.where(off_mask, 0.0, seg_T(dTp_e))
+    dpT = jnp.where(off_mask, 0.0, seg_T(dpT_e))
+    det = dTT * dpp - dTp * dpT
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    pb = jnp.stack([dpp / det, -dTp / det, -dpT / det, dTT / det])
+    return Je_s, pb, s
+
+
+def solve_equilibrated(matvec, pb, s, b, mask2, n, rtol, atol,
+                       restart, maxiter):
+    """GMRES on the equilibrated system with the 2x2 point-block PC;
+    ``matvec`` applies the scaled blocks (without the essential-identity
+    rows, which are pinned here).  Returns a SolveResult with x unscaled."""
+
+    def apply_A(y):
+        return jnp.where(mask2, y, matvec(y))
+
+    def M(r):
+        rT, rp = r[:n], r[n:]
+        return jnp.concatenate([pb[0] * rT + pb[1] * rp,
+                                pb[2] * rT + pb[3] * rp])
+
+    res = gmres(apply_A, s * b, M=M, rtol=rtol, atol=atol,
+                restart=restart, maxiter=maxiter)
+    return res._replace(x=s * res.x)
+
+
 class BlockNewtonKrylov:
     """Iterative solver for BC-eliminated block systems J dx = b.
 
@@ -78,44 +140,11 @@ class BlockNewtonKrylov:
     # -- Jacobian preparation (once per Newton rebuild) ---------------------
 
     def _prepare_core(self, Je):
-        """BC-eliminate and equilibrate the element blocks; build the 2x2
-        point-block preconditioner.
-
-        Returns (Je_s, pb, s): scaled blocks (the matvec), the per-dof
-        inverse 2x2 coupling factors (the preconditioner), and the
-        equilibration vector s (2n,)."""
-        n, nd = self.n, self.nd
-        dtype = Je.dtype
-        lm = self.lmask.astype(dtype)               # (ne, 2nd)
-        keep = 1.0 - lm
-        eye = jnp.eye(2 * nd, dtype=dtype)
-        Je_bc = Je * keep[:, :, None] * keep[:, None, :] \
-            + eye[None] * lm[:, :, None]
-        # global diagonal -> symmetric equilibration S J S
-        diag_e = jnp.diagonal(Je_bc, axis1=1, axis2=2)   # (ne, 2nd)
-        dvec = self._scatter(diag_e)
-        s = jnp.where(self.mask2, 1.0,
-                      1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec), 1e-300)))
-        s_e = self._gather(s)
-        Je_s = Je_bc * s_e[:, :, None] * s_e[:, None, :]
-        # 2x2 point-block PC: per-dof scaled [[dTT, dTp], [dpT, dpp]]
-        # (off-diagonal pairs gathered from the (i_T, i_p) block entries)
-        idx = jnp.arange(nd)
-        dTp_e = Je_s[:, idx, nd + idx]               # (ne, nd)
-        dpT_e = Je_s[:, nd + idx, idx]
-        flat = self.eldofs.reshape(-1)
-        seg = lambda v: jax.ops.segment_sum(v.reshape(-1), flat,
-                                            num_segments=n)
-        dJ = self._scatter(jnp.diagonal(Je_s, axis1=1, axis2=2))
-        dTT = jnp.where(self.mask2[:n], 1.0, dJ[:n])
-        dpp = jnp.where(self.mask2[n:], 1.0, dJ[n:])
-        off_mask = self.mask2[:n] | self.mask2[n:]
-        dTp = jnp.where(off_mask, 0.0, seg(dTp_e))
-        dpT = jnp.where(off_mask, 0.0, seg(dpT_e))
-        det = dTT * dpp - dTp * dpT
-        det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
-        pb = jnp.stack([dpp / det, -dTp / det, -dpT / det, dTT / det])
-        return Je_s, pb, s
+        """Shared BC-elimination/equilibration/PC build (see
+        ``equilibrated_block_factors``)."""
+        return equilibrated_block_factors(
+            Je, self.lmask, self.mask2, self._gather, self._scatter,
+            self.nd, self.n)
 
     def _assemble_element_blocks(self, JTT, JTp, JpT, Jpp):
         top = jnp.concatenate([JTT, JTp], axis=2)
@@ -162,25 +191,12 @@ class BlockNewtonKrylov:
         return jnp.concatenate([yT, yp])
 
     def _solve_impl(self, Je_s, pb, s, b, rtol, atol):
-        mask2 = self.mask2
-        n = self.n
+        def matvec(y):
+            return self._scatter(jnp.einsum("eij,ej->ei", Je_s,
+                                            self._gather(y)))
 
-        def apply_A(y):
-            # scaled-system matvec; essential rows are exact identities
-            z = self._scatter(jnp.einsum("eij,ej->ei", Je_s,
-                                         self._gather(y)))
-            return jnp.where(mask2, y, z)
-
-        def M(r):
-            rT, rp = r[:n], r[n:]
-            yT = pb[0] * rT + pb[1] * rp
-            yp = pb[2] * rT + pb[3] * rp
-            return jnp.concatenate([yT, yp])
-
-        b_s = s * b
-        res = gmres(apply_A, b_s, M=M, rtol=rtol, atol=atol,
-                    restart=self.restart, maxiter=self.maxiter)
-        return res._replace(x=s * res.x)
+        return solve_equilibrated(matvec, pb, s, b, self.mask2, self.n,
+                                  rtol, atol, self.restart, self.maxiter)
 
     def solve(self, factors, b, rtol=1e-10, atol=0.0):
         """Solve J dx = b to the given preconditioned-residual tolerance
