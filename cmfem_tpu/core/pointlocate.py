@@ -31,10 +31,26 @@ def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     npts = len(pts)
     elem_ids = np.full(npts, -1, dtype=np.int64)
     refs = np.zeros((npts, mesh.dim))
-    # candidate pairs: (point, element) where the point is in the bbox
-    inside_box = ((pts[:, None, :] >= lo[None]) &
-                  (pts[:, None, :] <= hi[None])).all(axis=2)  # (npts, ne)
-    ip, ie = np.nonzero(inside_box)
+    # candidate pairs: (point, element) where the point is in the bbox.
+    # For large (npts x ne) workloads (the ALE remap queries every QP of a
+    # moving mesh each step) the dense numpy sweep is replaced by the
+    # native bucket-grid locator (native/cmfem_native.cpp) — O(npts)
+    # candidates instead of an O(npts * ne) boolean matrix.
+    ip = ie = None
+    if npts * len(conn) > 1 << 20:
+        from ..native import NativeLocator
+
+        locator = NativeLocator.build(verts, conn, tol)
+        if locator is not None:
+            ip, ie = locator.query(pts)
+            # match the numpy sweep's deterministic (point, element) order
+            # so interface points resolve to the same donor element
+            order = np.lexsort((ie, ip))
+            ip, ie = ip[order], ie[order]
+    if ip is None:
+        inside_box = ((pts[:, None, :] >= lo[None]) &
+                      (pts[:, None, :] <= hi[None])).all(axis=2)
+        ip, ie = np.nonzero(inside_box)
     if len(ip) == 0:
         return elem_ids, refs
     ok, r = _invert_map_batched(mesh.geom, coords[ie], pts[ip], tol)

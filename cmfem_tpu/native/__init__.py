@@ -126,3 +126,64 @@ def rcb_partition_native(centroids: np.ndarray, nparts: int):
     parts = np.empty(n, dtype=np.int32)
     lib.rcb_partition(c.ctypes.data, n, dim, nparts, parts.ctypes.data)
     return parts
+
+
+class NativeLocator:
+    """Bucket-grid candidate generator for point location (the
+    ParMesh::FindPoints candidate stage).  Build once per mesh
+    configuration; ``query`` returns bbox-filtered (point, element)
+    candidate pairs for the batched inverse-map sweep."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+
+    @classmethod
+    def build(cls, vertices: np.ndarray, conn: np.ndarray, tol: float):
+        lib = load_native()
+        if lib is None:
+            return None
+        if not hasattr(lib, "_locator_bound"):
+            lib.locator_build.restype = ctypes.c_void_p
+            lib.locator_build.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_double,
+            ]
+            lib.locator_query.restype = ctypes.c_int64
+            lib.locator_query.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.locator_free.restype = None
+            lib.locator_free.argtypes = [ctypes.c_void_p]
+            lib._locator_bound = True
+        v = np.ascontiguousarray(vertices, dtype=np.float64)
+        c = np.ascontiguousarray(conn, dtype=np.int32)
+        nv, dim = v.shape
+        ne, nc = c.shape
+        h = lib.locator_build(v.ctypes.data, nv, dim, c.ctypes.data, ne, nc,
+                              float(tol))
+        if not h:
+            return None
+        return cls(lib, h)
+
+    def query(self, points: np.ndarray):
+        """(pair_pts, pair_elems) int64 candidate arrays."""
+        p = np.ascontiguousarray(points, dtype=np.float64)
+        npts = len(p)
+        cap = max(64, npts * 8)
+        while True:
+            pp = np.empty(cap, dtype=np.int64)
+            pe = np.empty(cap, dtype=np.int64)
+            n = self._lib.locator_query(self._h, p.ctypes.data, npts, cap,
+                                        pp.ctypes.data, pe.ctypes.data)
+            if n <= cap:
+                return pp[:n], pe[:n]
+            cap = int(n)
+
+    def __del__(self):
+        try:
+            self._lib.locator_free(self._h)
+        except Exception:
+            pass

@@ -9,6 +9,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -258,5 +259,138 @@ void rcb_partition(const double *centroids, int64_t n, int dim, int nparts,
   for (int64_t i = 0; i < n; ++i) idx[i] = i;
   rcb_recurse(centroids, dim, idx, 0, n, 0, nparts, parts);
 }
+
+
+// ---------------------------------------------------------------------------
+// Uniform bucket-grid point locator (the ParMesh::FindPoints candidate
+// stage).  Build once per mesh configuration (O(ne)); queries return
+// bbox-filtered (point, element) candidate pairs for the Python layer's
+// batched inverse-map Newton.  Replaces the dense O(npts * ne) bbox sweep
+// that dominates the ALE remap's host time on moving meshes
+// (ablation_test_case2_2_2D.cpp:3148-3273 analog).
+// ---------------------------------------------------------------------------
+
+struct Locator {
+  int dim = 2;
+  int64_t ne = 0;
+  int nb[3] = {1, 1, 1};
+  double lo[3] = {0, 0, 0};
+  double inv_h[3] = {1, 1, 1};
+  std::vector<double> elo, ehi;        // ne * dim element bboxes (padded)
+  std::vector<int64_t> offsets;        // CSR bucket -> entries
+  std::vector<int32_t> entries;
+};
+
+static inline int loc_clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+void *locator_build(const double *verts, int64_t nv, int dim,
+                    const int32_t *conn, int64_t ne, int nc, double tol) {
+  (void)nv;
+  auto L = new Locator();
+  L->dim = dim;
+  L->ne = ne;
+  L->elo.assign(ne * dim, 0.0);
+  L->ehi.assign(ne * dim, 0.0);
+  double glo[3] = {1e300, 1e300, 1e300}, ghi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t e = 0; e < ne; ++e) {
+    for (int d = 0; d < dim; ++d) {
+      double mn = 1e300, mx = -1e300;
+      for (int k = 0; k < nc; ++k) {
+        double v = verts[(int64_t)conn[e * nc + k] * dim + d];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+      }
+      L->elo[e * dim + d] = mn - tol;
+      L->ehi[e * dim + d] = mx + tol;
+      if (mn < glo[d]) glo[d] = mn;
+      if (mx > ghi[d]) ghi[d] = mx;
+    }
+  }
+  // ~4 elements per bucket on average along the full grid
+  double target = std::max(1.0, std::pow((double)ne / 4.0, 1.0 / dim));
+  int64_t nbuckets = 1;
+  for (int d = 0; d < dim; ++d) {
+    L->nb[d] = std::max(1, (int)target);
+    L->lo[d] = glo[d] - tol;
+    double span = (ghi[d] + tol) - L->lo[d];
+    L->inv_h[d] = span > 0 ? L->nb[d] / span : 1.0;
+    nbuckets *= L->nb[d];
+  }
+  // count pass
+  std::vector<int64_t> counts(nbuckets + 1, 0);
+  auto bucket_range = [&](int64_t e, int b0[3], int b1[3]) {
+    for (int d = 0; d < dim; ++d) {
+      b0[d] = loc_clampi(
+          (int)((L->elo[e * dim + d] - L->lo[d]) * L->inv_h[d]), 0,
+          L->nb[d] - 1);
+      b1[d] = loc_clampi(
+          (int)((L->ehi[e * dim + d] - L->lo[d]) * L->inv_h[d]), 0,
+          L->nb[d] - 1);
+    }
+    for (int d = dim; d < 3; ++d) { b0[d] = 0; b1[d] = 0; }
+  };
+  auto flat = [&](int ix, int iy, int iz) {
+    return ((int64_t)iz * L->nb[1] + iy) * L->nb[0] + ix;
+  };
+  for (int64_t e = 0; e < ne; ++e) {
+    int b0[3], b1[3];
+    bucket_range(e, b0, b1);
+    for (int iz = b0[2]; iz <= b1[2]; ++iz)
+      for (int iy = b0[1]; iy <= b1[1]; ++iy)
+        for (int ix = b0[0]; ix <= b1[0]; ++ix) counts[flat(ix, iy, iz) + 1]++;
+  }
+  L->offsets.assign(nbuckets + 1, 0);
+  for (int64_t b = 0; b < nbuckets; ++b)
+    L->offsets[b + 1] = L->offsets[b] + counts[b + 1];
+  L->entries.assign(L->offsets[nbuckets], 0);
+  std::vector<int64_t> cursor(L->offsets.begin(), L->offsets.end() - 1);
+  for (int64_t e = 0; e < ne; ++e) {
+    int b0[3], b1[3];
+    bucket_range(e, b0, b1);
+    for (int iz = b0[2]; iz <= b1[2]; ++iz)
+      for (int iy = b0[1]; iy <= b1[1]; ++iy)
+        for (int ix = b0[0]; ix <= b1[0]; ++ix)
+          L->entries[cursor[flat(ix, iy, iz)]++] = (int32_t)e;
+  }
+  return L;
+}
+
+int64_t locator_query(void *handle, const double *pts, int64_t npts,
+                      int64_t max_pairs, int64_t *pair_pts,
+                      int64_t *pair_elems) {
+  auto L = (Locator *)handle;
+  int dim = L->dim;
+  int64_t count = 0;
+  for (int64_t p = 0; p < npts; ++p) {
+    int ib[3] = {0, 0, 0};
+    bool in_grid = true;
+    for (int d = 0; d < dim; ++d) {
+      ib[d] = (int)((pts[p * dim + d] - L->lo[d]) * L->inv_h[d]);
+      if (ib[d] < 0 || ib[d] >= L->nb[d]) { in_grid = false; break; }
+    }
+    if (!in_grid) continue;
+    int64_t b = ((int64_t)ib[2] * L->nb[1] + ib[1]) * L->nb[0] + ib[0];
+    for (int64_t k = L->offsets[b]; k < L->offsets[b + 1]; ++k) {
+      int32_t e = L->entries[k];
+      bool inside = true;
+      for (int d = 0; d < dim; ++d) {
+        double v = pts[p * dim + d];
+        if (v < L->elo[(int64_t)e * dim + d] ||
+            v > L->ehi[(int64_t)e * dim + d]) { inside = false; break; }
+      }
+      if (!inside) continue;
+      if (count < max_pairs) {
+        pair_pts[count] = p;
+        pair_elems[count] = e;
+      }
+      ++count;
+    }
+  }
+  return count;
+}
+
+void locator_free(void *handle) { delete (Locator *)handle; }
 
 }  // extern "C"

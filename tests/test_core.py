@@ -277,3 +277,44 @@ def test_native_edge_enumeration_consistent():
         assert pairs.setdefault(int(k), int(i)) == int(i)
     # directions: +1 iff a < b
     np.testing.assert_array_equal(np.asarray(dirs), np.where(a < b, 1, -1))
+
+
+def test_native_locator_matches_numpy_sweep():
+    """The native bucket-grid candidate stage (native/cmfem_native.cpp
+    locator_*) resolves points to the same elements and reference coords
+    as the dense numpy bbox sweep, including out-of-mesh points."""
+    import numpy as np
+
+    from cmfem_tpu.core import make_cartesian_mesh_2d, make_cartesian_mesh_3d
+    from cmfem_tpu.core.pointlocate import locate_points
+    from cmfem_tpu.native import NativeLocator
+
+    for mesh in (make_cartesian_mesh_2d(17, 11),
+                 make_cartesian_mesh_2d(10, 9, geom="triangle"),
+                 make_cartesian_mesh_3d(5, 4, 3)):
+        loc = NativeLocator.build(np.asarray(mesh.vertices),
+                                  np.asarray(mesh.elem_conn), 1e-9)
+        if loc is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        lo, hi = mesh.bounding_box()
+        pts = lo + (hi - lo) * rng.random((400, mesh.dim))
+        pts[:20] = hi + 0.5  # outside
+        ids_ref, refs_ref = locate_points(mesh, pts)  # numpy path (small)
+        ip, ie = loc.query(pts)
+        order = np.lexsort((ie, ip))
+        ip, ie = ip[order], ie[order]
+        # native candidates must contain every numpy hit
+        found = ids_ref >= 0
+        assert found.sum() == 380
+        cand = {(int(a), int(b)) for a, b in zip(ip, ie)}
+        for pidx in np.nonzero(found)[0]:
+            assert (int(pidx), int(ids_ref[pidx])) in cand
+        # and the full pipeline agrees pair-for-pair on a large batch
+        big = lo + (hi - lo) * rng.random((12000, mesh.dim))
+        ids_n, refs_n = locate_points(mesh, big)      # native path if big
+        ids_chunk = np.concatenate([
+            locate_points(mesh, big[s:s + 500])[0]
+            for s in range(0, len(big), 500)])
+        assert (ids_n == ids_chunk).all()
