@@ -104,3 +104,28 @@ def test_case1_scan_stepping_matches_eager(case1_out):
     # per-iteration rows with a converged=1 terminator per step
     assert newton[0].startswith("step,time,iter,residual")
     assert sum(1 for r in newton[1:] if r.endswith(",1")) == 3
+
+
+@pytest.mark.slow
+def test_case1_order2_with_gmres_solver():
+    """Beyond-reference: the coupled (T,p) solve runs at H1 order 2 (the
+    reference's ablation drivers are order-1 only), including the
+    on-device block-GMRES linear solver on the 18-dof element blocks."""
+    import tempfile
+
+    import numpy as np
+
+    from cmfem_tpu.apps.ablation_case1 import run
+
+    with tempfile.TemporaryDirectory() as d:
+        out = run({
+            "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+            "material_file": f"{REF}/Input/material_tacot_case1.yaml",
+            "order": 2, "dt": 0.05, "t_final": 0.1,
+            "newton_print_level": 0, "save_paraview": False,
+            "output_every": 100, "output_path": d,
+            "linear_solver": "gmres",
+        })
+    assert np.isfinite(out["T"]).all()
+    assert out["T"].max() > 1600.0
+    assert out["state"].tau_elem.min() < 0.99
