@@ -51,10 +51,11 @@ class ShardedAblationNewton:
 
     def __init__(self, system: AblationSystem, dev_mesh: Mesh, ess_T, ess_p,
                  axis: str = "dd", restart: int = 400, maxiter: int = 10,
-                 seb=None):
+                 seb=None, ale_toggles=(True, True, True)):
         self.sys = system
         self.mesh = dev_mesh
         self.axis = axis
+        self.ale_toggles = tuple(ale_toggles)
         self.n = system.n
         self.nd = int(system.ops.eldofs.shape[1])
         self.restart = int(restart)
@@ -178,9 +179,22 @@ class ShardedAblationNewton:
 
     # -- residual -------------------------------------------------------------
 
-    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc):
+    def _ale_slabs(self, wq, gcl, nel, nq, dim, dtype):
+        """Local ALE mesh-velocity / GCL-Jacobian slabs (zeros / disabled
+        sentinels when not provided)."""
+        if wq is None:
+            wq = jnp.zeros((nel, nq, dim), dtype)
+        if gcl is None:
+            Jo = Jn = jnp.full((nel, nq), -1.0, dtype)
+        else:
+            Jo, Jn = gcl
+        return wq, Jo, Jn
+
+    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc, wq,
+                       gcl):
         axis = self.axis
-        elem_res = self.sys.elem_residual_fn(dt)
+        elem_res = self.sys.elem_residual_fn(
+            dt, gcl_enabled=gcl is not None, ale_toggles=self.ale_toggles)
         nq = self.wdetJ.shape[1]
         dim = self.invJ.shape[-1]
         with_seb = self.seb is not None
@@ -188,16 +202,18 @@ class ShardedAblationNewton:
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
-                           P(axis), P(axis), P(axis), P())
+                           P(axis), P(axis), P(axis), P(), P(axis),
+                           P(axis))
                  + tuple(P(axis) for _ in fvals),
                  out_specs=P())
-        def _res(eldofs, invJ, wdetJ, T, p, To, po, Xo, bc, *fargs):
+        def _res(eldofs, invJ, wdetJ, T, p, To, po, Xo, bc, wq, gcl,
+                 *fargs):
             T_e = T[eldofs]
             p_e = p[eldofs]
-            wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
-            gcl = jnp.full((eldofs.shape[0], nq), -1.0, T.dtype)
+            wqe, Jo, Jn = self._ale_slabs(wq, gcl, eldofs.shape[0], nq,
+                                          dim, T.dtype)
             rT_e, rp_e = jax.vmap(elem_res)(
-                T_e, p_e, invJ, wdetJ, To, po, Xo, wq, gcl, gcl)
+                T_e, p_e, invJ, wdetJ, To, po, Xo, wqe, Jo, Jn)
             y = self._scatter_local(eldofs, jnp.concatenate([rT_e, rp_e],
                                                             axis=1))
             if with_seb:
@@ -209,21 +225,29 @@ class ShardedAblationNewton:
             return jax.lax.psum(y, axis)
 
         R = _res(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
-                 jnp.asarray(p), T_old_q, p_old_q, X_old, bc, *fvals)
+                 jnp.asarray(p), T_old_q, p_old_q, X_old, bc, wq, gcl,
+                 *fvals)
         return jnp.where(self.mask2, 0.0, R)
 
-    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None):
+    def residual(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None,
+                 wq=None, gcl=None):
         """BC-masked global residual (2n,) — replicated output.  The
         per-element state arrays must be padded/sharded via ``pad_elem``;
-        ``bc`` is the aerothermal BoundaryState (SEB instances only)."""
+        ``bc`` is the aerothermal BoundaryState (SEB instances only);
+        ``wq`` ((ne, nq, dim) mesh velocity at QPs) and ``gcl``
+        ((J_old, J_new) per-QP Jacobian pairs) enable the case-2.2 ALE
+        advective and geometric-conservation terms — pad/shard them with
+        ``pad_elem`` too."""
         return self._residual_j(T, p, T_old_q, p_old_q, X_old,
-                                jnp.asarray(dt), bc)
+                                jnp.asarray(dt), bc, wq, gcl)
 
     # -- Jacobian preparation --------------------------------------------------
 
-    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc):
+    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc, wq,
+                      gcl):
         axis = self.axis
-        elem_res = self.sys.elem_residual_fn(dt)
+        elem_res = self.sys.elem_residual_fn(
+            dt, gcl_enabled=gcl is not None, ale_toggles=self.ale_toggles)
         nq = self.wdetJ.shape[1]
         dim = self.invJ.shape[-1]
         nd = self.nd
@@ -234,17 +258,19 @@ class ShardedAblationNewton:
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
-                           P(axis), P(axis), P(axis), P(axis), P())
+                           P(axis), P(axis), P(axis), P(axis), P(),
+                           P(axis), P(axis))
                  + tuple(P(axis) for _ in fvals),
                  out_specs=(P(axis), P(), P()))
-        def _prep(eldofs, invJ, wdetJ, T, p, To, po, Xo, lmask, bc, *fargs):
+        def _prep(eldofs, invJ, wdetJ, T, p, To, po, Xo, lmask, bc, wq,
+                  gcl, *fargs):
             T_e = T[eldofs]
             p_e = p[eldofs]
-            wq = jnp.zeros((eldofs.shape[0], nq, dim), T.dtype)
-            gcl = jnp.full((eldofs.shape[0], nq), -1.0, T.dtype)
+            wqe, Jo, Jn = self._ale_slabs(wq, gcl, eldofs.shape[0], nq,
+                                          dim, T.dtype)
             jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)))
             (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, invJ, wdetJ, To, po, Xo,
-                                         wq, gcl, gcl)
+                                         wqe, Jo, Jn)
             top = jnp.concatenate([JTT, JTp], axis=2)
             bot = jnp.concatenate([JpT, Jpp], axis=2)
             Je = jnp.concatenate([top, bot], axis=1)     # (nel, 2nd, 2nd)
@@ -270,13 +296,14 @@ class ShardedAblationNewton:
 
         return _prep(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
                      jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask,
-                     bc, *fvals)
+                     bc, wq, gcl, *fvals)
 
-    def prepare(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None):
+    def prepare(self, T, p, T_old_q, p_old_q, X_old, dt, bc=None,
+                wq=None, gcl=None):
         """AD-assemble, BC-eliminate, and equilibrate the element Jacobian
         blocks on-device; returns (Je_s sharded, pb, s)."""
         return self._prepare_j(T, p, T_old_q, p_old_q, X_old,
-                               jnp.asarray(dt), bc)
+                               jnp.asarray(dt), bc, wq, gcl)
 
     # -- linear solve -----------------------------------------------------------
 
@@ -305,12 +332,14 @@ class ShardedAblationNewton:
     # -- one full Newton iterate ------------------------------------------------
 
     def newton_step(self, T, p, T_old_q, p_old_q, X_old, dt, rtol=1e-10,
-                    bc=None):
+                    bc=None, wq=None, gcl=None):
         """One distributed Newton iterate: residual -> AD Jacobian ->
         equilibrated block GMRES -> update.  Returns (T', p', |R|, cycles).
         Essential DOFs are held fixed (the caller pre-sets BC values)."""
-        R = self.residual(T, p, T_old_q, p_old_q, X_old, dt, bc=bc)
-        fac = self.prepare(T, p, T_old_q, p_old_q, X_old, dt, bc=bc)
+        R = self.residual(T, p, T_old_q, p_old_q, X_old, dt, bc=bc, wq=wq,
+                          gcl=gcl)
+        fac = self.prepare(T, p, T_old_q, p_old_q, X_old, dt, bc=bc, wq=wq,
+                           gcl=gcl)
         res = self.solve(fac, -R, rtol=rtol)
         dx = res.x
         n = self.n

@@ -178,3 +178,61 @@ def test_sharded_seb_residual_and_step_match_single_device(small_problem,
     dx_sh = np.concatenate([np.asarray(T1 - T), np.asarray(p1 - p)])
     rel = np.linalg.norm(dx_sh - dx_ref) / np.linalg.norm(dx_ref)
     assert rel < 1e-6, rel
+
+
+def test_sharded_ale_gcl_residual_and_jacobian_match(small_problem,
+                                                     seb_problem):
+    """Case-2.2 ALE advective terms + GCL storage through the sharded
+    path: residual and one Newton step must match the single-device
+    system with the same wq/gcl inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmfem_tpu.parallel import ShardedAblationNewton, make_device_mesh
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+
+    sys_, fes, n, ess, T, p, T_old_q, p_old_q, X_old, dt = small_problem
+    bprime, model, branch, bc = seb_problem
+    ess_T = np.zeros(0, dtype=np.int64)
+    dev_mesh = make_device_mesh(len(jax.devices()))
+    sh = ShardedAblationNewton(sys_, dev_mesh, ess_T, ess, restart=200,
+                               maxiter=10, seb=(branch, model, bprime))
+
+    ne, nq = sys_.ne, sys_.nq
+    rng = np.random.default_rng(5)
+    wq = jnp.asarray(1e-6 * rng.standard_normal((ne, nq, 2)))
+    Jo = jnp.asarray(1.0 + 0.01 * rng.random((ne, nq)))
+    Jn = jnp.asarray(1.0 + 0.01 * rng.random((ne, nq)))
+
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess + n] = True
+    RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt, wq=wq,
+                           gcl=(Jo, Jn))
+    RT = RT + sys_.seb_face_residual(T, p, X_old, bc, branch, model, bprime)
+    R_ref = np.where(mask2, 0.0,
+                     np.concatenate([np.asarray(RT), np.asarray(Rp)]))
+
+    To_s, po_s, Xo_s = (sh.pad_elem(T_old_q), sh.pad_elem(p_old_q),
+                        sh.pad_elem(X_old))
+    wq_s = sh.pad_elem(wq)
+    gcl_s = (sh.pad_elem(Jo), sh.pad_elem(Jn))
+    R_sh = np.asarray(sh.residual(T, p, To_s, po_s, Xo_s, dt, bc=bc,
+                                  wq=wq_s, gcl=gcl_s))
+    scale = np.abs(R_ref).max()
+    assert np.abs(R_sh - R_ref).max() / scale < 1e-12
+
+    blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt,
+                                    wq=wq, gcl=(Jo, Jn))
+    face = sys_.seb_face_jacobians(T, p, X_old, bc, branch, model, bprime)
+    bks = BlockNewtonKrylov(fes.element_dofs, n, ess_T, ess, restart=200,
+                            maxiter=10)
+    fac = bks.prepare(blocks, face=face, face_elem=sys_.trace.elem)
+    res_ref = bks.solve(fac, -jnp.asarray(R_ref), rtol=1e-12)
+    assert bool(res_ref.converged)
+    dx_ref = np.asarray(res_ref.x)
+
+    T1, p1, _, _ = sh.newton_step(T, p, To_s, po_s, Xo_s, dt, rtol=1e-12,
+                                  bc=bc, wq=wq_s, gcl=gcl_s)
+    dx_sh = np.concatenate([np.asarray(T1 - T), np.asarray(p1 - p)])
+    rel = np.linalg.norm(dx_sh - dx_ref) / np.linalg.norm(dx_ref)
+    assert rel < 1e-6, rel
