@@ -170,11 +170,38 @@ def run(cfg: dict) -> dict:
     T = T.at[jnp.asarray(ess)].set(Tbc0)
     p = p.at[jnp.asarray(ess)].set(top_pressure)
 
+    # sharding_devices: N runs the whole Newton step element-sharded over
+    # an N-device jax.sharding.Mesh (the `mpirun -np N` replacement);
+    # per-step old-state arrays are padded/sharded at step start.
+    shard_n = int(cfg.get("sharding_devices", 0))
+    sh = None
+    shard_state = {}
+    if shard_n:
+        from ..parallel import ShardedAblationNewton, make_device_mesh
+
+        ndev = min(shard_n, len(jax.devices()))
+        if ndev != shard_n:
+            print(f"sharding_devices={shard_n} requested, "
+                  f"{len(jax.devices())} devices available; using {ndev}")
+        sh = ShardedAblationNewton(
+            sys_, make_device_mesh(ndev), ess, ess,
+            restart=int(cfg.get("gmres_restart", 400)),
+            maxiter=int(cfg.get("gmres_maxiter", 10)))
+        lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
+        print(f"element sharding over {ndev} devices "
+              f"({sh.ne_pad} padded elements)")
+
     @jax.jit
-    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt):
+    def residual_single(T, p, T_old_q, p_old_q, X_old, dt):
         RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
         R = jnp.concatenate([RT, Rp])
         return jnp.where(mask2_j, 0.0, R)
+
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt):
+        if sh is not None:
+            return sh.residual(T, p, shard_state["To"], shard_state["po"],
+                               shard_state["Xo"], dt)
+        return residual_single(T, p, T_old_q, p_old_q, X_old, dt)
 
     @jax.jit
     def jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt):
@@ -182,7 +209,24 @@ def run(cfg: dict) -> dict:
 
     iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n, ess, ess)
 
+    class _ShardedPrepared:
+        def __init__(self, factors):
+            self.factors = factors
+
+        def solve(self, rhs):
+            res = sh.solve(self.factors, jnp.asarray(rhs), rtol=lin_rtol)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            return np.asarray(res.x)
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt):
+        if sh is not None:
+            return _ShardedPrepared(sh.prepare(
+                T, p, shard_state["To"], shard_state["po"],
+                shard_state["Xo"], dt))
         blocks = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
         if iter_factory is not None:
             return iter_factory(blocks)
@@ -249,6 +293,10 @@ def run(cfg: dict) -> dict:
         T_old_q = ops.values_at_qp(T)
         p_old_q = ops.values_at_qp(p)
         X_old = state.extent
+        if sh is not None:
+            shard_state["To"] = sh.pad_elem(T_old_q)
+            shard_state["po"] = sh.pad_elem(p_old_q)
+            shard_state["Xo"] = sh.pad_elem(X_old)
 
         bc_t0 = _time.perf_counter()
         Tbc = evaluate_schedule(schedule, t)

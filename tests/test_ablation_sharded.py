@@ -236,3 +236,31 @@ def test_sharded_ale_gcl_residual_and_jacobian_match(small_problem,
     dx_sh = np.concatenate([np.asarray(T1 - T), np.asarray(p1 - p)])
     rel = np.linalg.norm(dx_sh - dx_ref) / np.linalg.norm(dx_ref)
     assert rel < 1e-6, rel
+
+
+@pytest.mark.slow
+def test_case1_driver_sharded_matches_lu():
+    """sharding_devices: 8 runs the case-1 driver's Newton steps
+    element-sharded over the virtual device mesh (the mpirun -np N
+    replacement) and reproduces the host-LU run."""
+    import tempfile
+
+    from cmfem_tpu.apps.ablation_case1 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case1.yaml",
+        "order": 1, "dt": 0.05, "t_final": 0.1,
+        "newton_print_level": 0, "save_paraview": False,
+        "output_every": 100,
+    }
+    with tempfile.TemporaryDirectory() as d1, \
+            tempfile.TemporaryDirectory() as d2:
+        out_lu = run({**base, "output_path": d1})
+        out_sh = run({**base, "output_path": d2, "sharding_devices": 8})
+    relT = (np.abs(out_lu["T"] - out_sh["T"]).max()
+            / np.abs(out_lu["T"]).max())
+    relp = (np.abs(out_lu["p"] - out_sh["p"]).max()
+            / np.abs(out_lu["p"]).max())
+    assert relT < 1e-6
+    assert relp < 1e-8
