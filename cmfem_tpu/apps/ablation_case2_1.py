@@ -196,14 +196,43 @@ def run(cfg: dict) -> dict:
 
     from functools import partial
 
+    # sharding_devices: N element-shards every Newton step over a device
+    # mesh (one ShardedAblationNewton per flux branch — the branch changes
+    # the traced program); per-step old-state slabs live in shard_state.
+    shard_n = int(cfg.get("sharding_devices", 0))
+    sh_cache = {}
+    shard_state = {}
+    lin_rtol_sh = float(cfg.get("linear_rtol", 1.0e-10))
+
+    def _get_sh(branch):
+        key = "dirichlet" if use_dirichlet else branch
+        if key not in sh_cache:
+            from ..parallel import ShardedAblationNewton, make_device_mesh
+
+            ndev = min(shard_n, len(jax.devices()))
+            seb = None if use_dirichlet else (branch, model, bprime)
+            sh_cache[key] = ShardedAblationNewton(
+                sys_, make_device_mesh(ndev), ess_T, ess,
+                restart=int(cfg.get("gmres_restart", 400)),
+                maxiter=int(cfg.get("gmres_maxiter", 10)), seb=seb)
+        return sh_cache[key]
+
     @partial(jax.jit, static_argnames=("branch",))
-    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
+    def residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
         RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
         if not use_dirichlet:
             RT = RT + sys_.seb_face_residual(T, p, X_old, bc, branch, model,
                                              bprime)
         R = jnp.concatenate([RT, Rp])
         return jnp.where(mask2_j, 0.0, R)
+
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
+        if shard_n:
+            return _get_sh(branch).residual(
+                T, p, shard_state["To"], shard_state["po"],
+                shard_state["Xo"], dt, bc=None if use_dirichlet else bc)
+        return residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc,
+                               branch)
 
     @partial(jax.jit, static_argnames=("branch",))
     def jacobian_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
@@ -216,7 +245,28 @@ def run(cfg: dict) -> dict:
     iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n,
                                             ess_T, ess)
 
+    class _ShardedPrepared:
+        def __init__(self, sh, factors):
+            self.sh = sh
+            self.factors = factors
+
+        def solve(self, rhs):
+            res = self.sh.solve(self.factors, jnp.asarray(rhs),
+                                rtol=lin_rtol_sh)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            return np.asarray(res.x)
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
+        if shard_n:
+            sh = _get_sh(branch)
+            return _ShardedPrepared(sh, sh.prepare(
+                T, p, shard_state["To"], shard_state["po"],
+                shard_state["Xo"], dt,
+                bc=None if use_dirichlet else bc))
         (JTT, JTp, JpT, Jpp), face = jacobian_fn(
             T, p, T_old_q, p_old_q, X_old, dt, bc, branch)
         if iter_factory is not None:
@@ -349,6 +399,11 @@ def run(cfg: dict) -> dict:
         bc_t0 = _time.perf_counter()
         bc = schedule.eval(t)
         branch = classify_branch(bc, model)
+        if shard_n:
+            sh0 = _get_sh(branch)
+            shard_state["To"] = sh0.pad_elem(T_old_q)
+            shard_state["po"] = sh0.pad_elem(p_old_q)
+            shard_state["Xo"] = sh0.pad_elem(X_old)
         if use_dirichlet:
             T = T.at[jnp.asarray(ess)].set(top_temperature_at(t))
         p = p.at[jnp.asarray(ess)].set(bc.p_w)

@@ -206,9 +206,28 @@ def run(cfg: dict) -> dict:
     p = jnp.full(n, bc0.p_w)
     p = p.at[jnp.asarray(ess)].set(bc0.p_w)
 
+    # sharding_devices: N element-shards every Newton step (one instance
+    # per flux branch; sharded geometry refreshed after each mesh move)
+    shard_n = int(cfg.get("sharding_devices", 0))
+    sh_cache = {}
+    shard_state = {}
+    lin_rtol_sh = float(cfg.get("linear_rtol", 1.0e-10))
+
+    def _get_sh(branch):
+        if branch not in sh_cache:
+            from ..parallel import ShardedAblationNewton, make_device_mesh
+
+            ndev = min(shard_n, len(jax.devices()))
+            sh_cache[branch] = ShardedAblationNewton(
+                sys_, make_device_mesh(ndev), np.zeros(0, dtype=np.int64),
+                ess, restart=int(cfg.get("gmres_restart", 400)),
+                maxiter=int(cfg.get("gmres_maxiter", 10)),
+                seb=(branch, model, bprime), ale_toggles=ale_toggles)
+        return sh_cache[branch]
+
     @partial(jax.jit, static_argnames=("branch",))
-    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq,
-                    gcl):
+    def residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc, branch,
+                        verts, wq, gcl):
         gf = ops.geometric_factors(verts)
         RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt, gf=gf,
                                wq=wq, gcl=gcl, ale_toggles=ale_toggles)
@@ -216,6 +235,16 @@ def run(cfg: dict) -> dict:
                                          bprime, vertices=verts)
         R = jnp.concatenate([RT, Rp])
         return jnp.where(mask2_j, 0.0, R)
+
+    def residual_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts,
+                    wq, gcl):
+        if shard_n:
+            s = shard_state
+            return _get_sh(branch).residual(
+                T, p, s["To"], s["po"], s["Xo"], dt, bc=bc, wq=s["wq"],
+                gcl=s["gcl"])
+        return residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc,
+                               branch, verts, wq, gcl)
 
     @partial(jax.jit, static_argnames=("branch",))
     def jacobian_fn(T, p, T_old_q, p_old_q, X_old, dt, bc, branch, verts, wq,
@@ -231,7 +260,29 @@ def run(cfg: dict) -> dict:
     iter_factory = make_block_linear_solver(
         cfg, fes.element_dofs, n, np.zeros(0, dtype=np.int64), ess)
 
+    class _ShardedPrepared:
+        def __init__(self, sh, factors):
+            self.sh = sh
+            self.factors = factors
+
+        def solve(self, rhs):
+            res = self.sh.solve(self.factors, jnp.asarray(rhs),
+                                rtol=lin_rtol_sh)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            return np.asarray(res.x)
+
     def factorize(args):
+        if shard_n:
+            (T_, p_, _To, _po, _Xo, dt_, bc_, branch_, _v, _w, _g) = args
+            sh = _get_sh(branch_)
+            s = shard_state
+            return _ShardedPrepared(sh, sh.prepare(
+                T_, p_, s["To"], s["po"], s["Xo"], dt_, bc=bc_, wq=s["wq"],
+                gcl=s["gcl"]))
         (JTT, JTp, JpT, Jpp), (FJT, FJp) = jacobian_fn(*args)
         if iter_factory is not None:
             return iter_factory((JTT, JTp, JpT, Jpp), face=(FJT, FJp),
@@ -452,6 +503,15 @@ def run(cfg: dict) -> dict:
         T_old_q = jnp.einsum("qn,en->eq", ops.B, T[ops.eldofs])
         p_old_q = jnp.einsum("qn,en->eq", ops.B, p[ops.eldofs])
         X_old = state.extent
+        if shard_n:
+            sh0 = _get_sh(branch)
+            sh0.update_geometry(v_now)
+            shard_state["To"] = sh0.pad_elem(T_old_q)
+            shard_state["po"] = sh0.pad_elem(p_old_q)
+            shard_state["Xo"] = sh0.pad_elem(X_old)
+            shard_state["wq"] = None if wq is None else sh0.pad_elem(wq)
+            shard_state["gcl"] = None if gcl is None else (
+                sh0.pad_elem(gcl[0]), sh0.pad_elem(gcl[1]))
 
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
 

@@ -148,6 +148,45 @@ class ShardedAblationNewton:
             a = np.concatenate([a, np.repeat(a[:1], self._pad, axis=0)])
         return jax.device_put(a, self._sharding)
 
+    def update_geometry(self, vertices):
+        """Refresh the sharded geometric factors (and SEB face geometry)
+        for moved mesh vertices — the case-2.2 ALE step.  The factor
+        arrays are call-time arguments of the jitted kernels, so no
+        retrace happens."""
+        gf = self.sys.ops.geometric_factors(jnp.asarray(vertices))
+        wdetJ = np.asarray(gf.wdetJ)
+        if self._pad:
+            wdetJ = np.concatenate(
+                [wdetJ, np.zeros((self._pad,) + wdetJ.shape[1:])])
+            self.invJ = self.pad_elem(gf.invJ)
+        else:
+            self.invJ = jax.device_put(np.asarray(gf.invJ), self._sharding)
+        self.wdetJ = jax.device_put(wdetJ, self._sharding)
+        if self.seb is not None:
+            tr = self.sys.trace
+            ff = tr.face_factors(vertices)
+            upd = {
+                "invJf": np.asarray(tr.element_invJ(vertices)),
+                "nrm": np.asarray(ff.normal),
+                "wdS": np.asarray(ff.wdS),
+            }
+            ndev = self.mesh.devices.size
+            nfmax = self.nf_local
+            elem = np.asarray(tr.elem, dtype=np.int64)
+            owner = elem // (self.ne_pad // ndev)
+            for k, a in upd.items():
+                out = np.repeat(a[:1][None], ndev, axis=0)
+                out = np.repeat(out, nfmax, axis=1) if nfmax > 1 else out
+                out = np.array(out)
+                if k == "wdS":
+                    out[:] = 0.0
+                for d in range(ndev):
+                    idx = np.nonzero(owner == d)[0]
+                    out[d, :len(idx)] = a[idx]
+                self._f[k] = jax.device_put(
+                    out.reshape((ndev * nfmax,) + a.shape[1:]),
+                    self._sharding)
+
     def _gather_local(self, eldofs, x):
         xT = x[:self.n][eldofs]
         xp = x[self.n:][eldofs]

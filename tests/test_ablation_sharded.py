@@ -264,3 +264,39 @@ def test_case1_driver_sharded_matches_lu():
             / np.abs(out_lu["p"]).max())
     assert relT < 1e-6
     assert relp < 1e-8
+
+
+@pytest.mark.slow
+def test_case21_and_case22_drivers_sharded_match_lu():
+    """sharding_devices: 8 on the SEB-coupled (2.1) and moving-mesh (2.2)
+    drivers reproduces the host-LU runs, including per-branch sharded
+    instances and per-step geometry refresh after recession."""
+    import tempfile
+
+    from cmfem_tpu.apps.ablation_case2_1 import run as run21
+    from cmfem_tpu.apps.ablation_case2_2 import run as run22
+
+    for runner, mat_file, bc_file in (
+            (run21, "material_tacot_case2_1.yaml",
+             "boundary_conditions_ablation_case2_1.dat"),
+            (run22, "material_tacot_case2_2.yaml",
+             "boundary_conditions_ablation_case2_2.dat")):
+        base = {
+            "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+            "material_file": f"{REF}/Input/{mat_file}",
+            "boundary_conditions_file": f"{REF}/Input/{bc_file}",
+            "order": 1, "dt": 0.05, "t_final": 0.1,
+            "newton_print_level": 0, "save_paraview": False,
+            "output_every": 100,
+        }
+        with tempfile.TemporaryDirectory() as d1, \
+                tempfile.TemporaryDirectory() as d2:
+            out_lu = runner({**base, "output_path": d1})
+            out_sh = runner({**base, "output_path": d2,
+                             "sharding_devices": 8})
+        relT = (np.abs(out_lu["T"] - out_sh["T"]).max()
+                / np.abs(out_lu["T"]).max())
+        relp = (np.abs(out_lu["p"] - out_sh["p"]).max()
+                / np.abs(out_lu["p"]).max())
+        assert relT < 1e-6, runner.__module__
+        assert relp < 1e-8, runner.__module__
