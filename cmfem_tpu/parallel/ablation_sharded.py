@@ -200,9 +200,16 @@ class ShardedAblationNewton:
                                  num_segments=self.n)
         return jnp.concatenate([yT, yp])
 
-    def _face_specs(self):
-        keys = ("Bf", "Gf", "invJf", "nrm", "wdS", "eldofs_f", "elem_local")
-        return keys, tuple(self._f[k] for k in keys)
+    _FACE_KEYS = ("Bf", "Gf", "invJf", "nrm", "wdS", "eldofs_f",
+                  "elem_local")
+
+    def _face_vals(self):
+        """Current SEB face arrays as a tuple — passed through the jit
+        boundary as call-time arguments so update_geometry's refresh
+        reaches the compiled kernels (empty when no SEB)."""
+        if self.seb is None:
+            return ()
+        return tuple(self._f[k] for k in self._FACE_KEYS)
 
     def _face_rT(self, T, p, Xo, bc, fargs):
         """Local face-flux residual contributions (nf_local, nd) plus the
@@ -229,15 +236,14 @@ class ShardedAblationNewton:
             Jo, Jn = gcl
         return wq, Jo, Jn
 
-    def _residual_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc, wq,
-                       gcl):
+    def _residual_impl(self, invJ_a, wdetJ_a, fvals, T, p, T_old_q,
+                       p_old_q, X_old, dt, bc, wq, gcl):
         axis = self.axis
         elem_res = self.sys.elem_residual_fn(
             dt, gcl_enabled=gcl is not None, ale_toggles=self.ale_toggles)
-        nq = self.wdetJ.shape[1]
-        dim = self.invJ.shape[-1]
+        nq = wdetJ_a.shape[1]
+        dim = invJ_a.shape[-1]
         with_seb = self.seb is not None
-        fvals = self._face_specs()[1] if with_seb else ()
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
@@ -263,7 +269,7 @@ class ShardedAblationNewton:
                 y = y + jnp.concatenate([yT_f, jnp.zeros_like(yT_f)])
             return jax.lax.psum(y, axis)
 
-        R = _res(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
+        R = _res(self.eldofs, invJ_a, wdetJ_a, jnp.asarray(T),
                  jnp.asarray(p), T_old_q, p_old_q, X_old, bc, wq, gcl,
                  *fvals)
         return jnp.where(self.mask2, 0.0, R)
@@ -277,23 +283,23 @@ class ShardedAblationNewton:
         ((J_old, J_new) per-QP Jacobian pairs) enable the case-2.2 ALE
         advective and geometric-conservation terms — pad/shard them with
         ``pad_elem`` too."""
-        return self._residual_j(T, p, T_old_q, p_old_q, X_old,
+        return self._residual_j(self.invJ, self.wdetJ, self._face_vals(),
+                                T, p, T_old_q, p_old_q, X_old,
                                 jnp.asarray(dt), bc, wq, gcl)
 
     # -- Jacobian preparation --------------------------------------------------
 
-    def _prepare_impl(self, T, p, T_old_q, p_old_q, X_old, dt, bc, wq,
-                      gcl):
+    def _prepare_impl(self, invJ_a, wdetJ_a, fvals, T, p, T_old_q,
+                      p_old_q, X_old, dt, bc, wq, gcl):
         axis = self.axis
         elem_res = self.sys.elem_residual_fn(
             dt, gcl_enabled=gcl is not None, ale_toggles=self.ale_toggles)
-        nq = self.wdetJ.shape[1]
-        dim = self.invJ.shape[-1]
+        nq = wdetJ_a.shape[1]
+        dim = invJ_a.shape[-1]
         nd = self.nd
         n = self.n
         mask2 = self.mask2
         with_seb = self.seb is not None
-        fvals = self._face_specs()[1] if with_seb else ()
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
@@ -333,7 +339,7 @@ class ShardedAblationNewton:
                 lambda y_e: self._scatter_local(eldofs, y_e),
                 nd, n, reduce_fn=lambda v: jax.lax.psum(v, axis))
 
-        return _prep(self.eldofs, self.invJ, self.wdetJ, jnp.asarray(T),
+        return _prep(self.eldofs, invJ_a, wdetJ_a, jnp.asarray(T),
                      jnp.asarray(p), T_old_q, p_old_q, X_old, self.lmask,
                      bc, wq, gcl, *fvals)
 
@@ -341,7 +347,8 @@ class ShardedAblationNewton:
                 wq=None, gcl=None):
         """AD-assemble, BC-eliminate, and equilibrate the element Jacobian
         blocks on-device; returns (Je_s sharded, pb, s)."""
-        return self._prepare_j(T, p, T_old_q, p_old_q, X_old,
+        return self._prepare_j(self.invJ, self.wdetJ, self._face_vals(),
+                               T, p, T_old_q, p_old_q, X_old,
                                jnp.asarray(dt), bc, wq, gcl)
 
     # -- linear solve -----------------------------------------------------------

@@ -12,9 +12,11 @@ which is exactly T^T A T with the shared-DOF exchange expressed as one
 collective.  Reductions (norms, dot products) are free: vectors are
 replicated, so plain jnp reductions are device-local and identical.
 
-For very large meshes a dof-partitioned variant with ``ppermute`` halo
-exchange would reduce memory; the replicated-vector scheme matches the
-problem sizes of the reference suite and keeps CG/GMRES unchanged.
+For very large meshes the dof-partitioned variant in
+``parallel.dofpart`` (owned-slab vectors + interface-psum halo exchange)
+reduces per-device memory ∝ 1/N; the replicated-vector scheme here
+matches the problem sizes of the reference suite and keeps CG/GMRES
+unchanged.
 """
 
 from __future__ import annotations
@@ -28,8 +30,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_device_mesh(n_devices: int | None = None, axis: str = "dd") -> Mesh:
+    """Build a 1-axis device mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` devices exist: an N-way run that
+    silently degrades to fewer devices is a false green (a sharded
+    correctness claim would then be vacuous).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_device_mesh: requested {n_devices} devices but only "
+                f"{len(devs)} exist ({devs[0].platform}); provision a "
+                "virtual CPU mesh (jax_num_cpu_devices / "
+                "xla_force_host_platform_device_count) before backend init."
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
