@@ -57,10 +57,11 @@ def equilibrated_block_factors(Je, lmask, mask2, gather, scatter, nd, n,
     Je_bc = Je * keep[:, :, None] * keep[:, None, :] \
         + eye[None] * lm[:, :, None]
     # global diagonal -> symmetric equilibration S J S
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     diag_e = jnp.diagonal(Je_bc, axis1=1, axis2=2)
     dvec = reduce_fn(scatter(diag_e))
     s = jnp.where(mask2, 1.0,
-                  1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec), 1e-300)))
+                  1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dvec), tiny)))
     s_e = gather(s)
     Je_s = Je_bc * s_e[:, :, None] * s_e[:, None, :]
     # 2x2 point-block PC: per-dof scaled [[dTT, dTp], [dpT, dpp]]
@@ -78,7 +79,7 @@ def equilibrated_block_factors(Je, lmask, mask2, gather, scatter, nd, n,
     dTp = jnp.where(off_mask, 0.0, seg_T(dTp_e))
     dpT = jnp.where(off_mask, 0.0, seg_T(dpT_e))
     det = dTT * dpp - dTp * dpT
-    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    det = jnp.where(jnp.abs(det) > tiny, det, 1.0)
     pb = jnp.stack([dpp / det, -dTp / det, -dpT / det, dTT / det])
     return Je_s, pb, s
 

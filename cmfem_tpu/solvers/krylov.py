@@ -69,9 +69,18 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
     """Restarted GMRES(m) with left preconditioning.
 
     maxiter counts outer restarts; total Krylov iterations <= restart*maxiter.
-    Static shapes: the Krylov basis is a fixed (restart+1, n) array."""
+    Static shapes: the Krylov basis is a fixed (restart+1, n) array, but the
+    Arnoldi loop is a ``while_loop`` with Givens-rotation residual tracking,
+    so a cycle stops at convergence/breakdown instead of always running m
+    matvecs.  The progressive Givens QR (instead of a terminal lstsq on the
+    full m columns) is what makes the solver f32-safe: post-breakdown noise
+    columns never enter the triangular solve, which a batched lstsq in f32
+    turns into garbage directions (the raw (T,p) ablation system solved in
+    f32 diverged through exactly that path)."""
     b = jnp.asarray(b)
     n = b.shape[0]
+    dtype = b.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     M = M or _identity
 
@@ -79,39 +88,66 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
     tol = jnp.maximum(rtol * bnorm, atol)
     m = restart
 
-    def arnoldi_step(carry, j):
-        V, H, brk = carry
+    def arnoldi_body(state):
+        V, R, g, cs, sn, j, res = state
         v = V[j]
         w = M(apply_A(v))
         # modified Gram-Schmidt (vectorized over previous basis; masked)
-        mask = (jnp.arange(m + 1) <= j).astype(w.dtype)
-        coeffs = (V @ w) * mask  # (m+1,)
-        w = w - V.T @ coeffs
-        # reorthogonalize once for f64 robustness
-        coeffs2 = (V @ w) * mask
-        w = w - V.T @ coeffs2
-        coeffs = coeffs + coeffs2
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
+        h = (V @ w) * mask
+        w = w - V.T @ h
+        # reorthogonalize once for robustness
+        h2 = (V @ w) * mask
+        w = w - V.T @ h2
+        h = h + h2
         hj1 = jnp.linalg.norm(w)
-        Hcol = coeffs.at[j + 1].set(hj1)
-        H = H.at[:, j].set(Hcol)
-        vnext = jnp.where(hj1 > 1e-300, w / hj1, w)
-        V = V.at[j + 1].set(vnext)
-        return (V, H, brk), None
+        V = V.at[j + 1].set(jnp.where(hj1 > tiny, w / hj1,
+                                      jnp.zeros_like(w)))
+        # apply the previous rotations to the new column
+        def rot(i, hv):
+            hi = cs[i] * hv[i] + sn[i] * hv[i + 1]
+            hi1 = -sn[i] * hv[i] + cs[i] * hv[i + 1]
+            return hv.at[i].set(hi).at[i + 1].set(hi1)
+
+        h = h.at[j + 1].set(hj1)
+        h = jax.lax.fori_loop(0, j, rot, h)
+        # new rotation annihilating h[j+1]
+        denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+        c = jnp.where(denom > tiny, h[j] / jnp.maximum(denom, tiny), 1.0)
+        s = jnp.where(denom > tiny, h[j + 1] / jnp.maximum(denom, tiny), 0.0)
+        h = h.at[j].set(denom).at[j + 1].set(0.0)
+        cs = cs.at[j].set(c)
+        sn = sn.at[j].set(s)
+        R = R.at[:, j].set(h)
+        g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+        return (V, R, g, cs, sn, j + 1, jnp.abs(g[j + 1]))
+
+    def arnoldi_cond(state):
+        _, _, _, _, _, j, res = state
+        return jnp.logical_and(j < m, res > tol)
 
     def restart_cycle(x):
         r = M(b - apply_A(x))
         beta = jnp.linalg.norm(r)
-
-        V = jnp.zeros((m + 1, n), dtype=b.dtype)
-        V = V.at[0].set(jnp.where(beta > 1e-300, r / beta, r))
-        H = jnp.zeros((m + 1, m), dtype=b.dtype)
-        (V, H, _), _ = jax.lax.scan(arnoldi_step, (V, H, False), jnp.arange(m))
-        # least squares: min || beta e1 - H y ||
-        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
-        y, _, _, _ = jnp.linalg.lstsq(H, e1, rcond=None)
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = V.at[0].set(jnp.where(beta > tiny, r / beta, r))
+        R = jnp.zeros((m + 1, m), dtype=dtype)
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        cs = jnp.zeros(m, dtype=dtype)
+        sn = jnp.zeros(m, dtype=dtype)
+        V, R, g, cs, sn, k, _ = jax.lax.while_loop(
+            arnoldi_cond, arnoldi_body, (V, R, g, cs, sn, jnp.asarray(0),
+                                         beta))
+        # triangular solve over the k active columns (inactive columns are
+        # zero: give them a unit diagonal and zero rhs so y vanishes there)
+        active = jnp.arange(m) < k
+        Rsolve = R[:m, :m] + jnp.diag(jnp.where(active, 0.0, 1.0)
+                                      .astype(dtype))
+        gg = jnp.where(active, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rsolve, gg, lower=False)
         x_new = x + V[:m].T @ y
         res = jnp.linalg.norm(M(b - apply_A(x_new)))
-        return x_new, res, beta
+        return x_new, res
 
     def cond(state):
         x, res, k = state
@@ -119,7 +155,7 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
 
     def body(state):
         x, res, k = state
-        x, res, _ = restart_cycle(x)
+        x, res = restart_cycle(x)
         return (x, res, k + 1)
 
     r_init = jnp.linalg.norm(M(b - apply_A(x0)))
