@@ -1,0 +1,241 @@
+"""DOF-partitioned distributed operator: per-device memory ∝ 1/N.
+
+The replicated-vector scheme in ``parallel.sharding`` keeps the whole DOF
+vector on every device — fine for the reference suite's sizes, but memory
+per device does not scale down with the device count.  This module is the
+unstructured analog of the reference's ``ParFiniteElementSpace`` true-dof
+machinery (linear_convection_diffusion_2D.cpp:312-322, SURVEY.md §2.4):
+
+- elements are grouped by an RCB partition (``parallel.partition``);
+- every DOF is *owned* by the lowest-numbered part that touches it; each
+  device stores only its owned slab plus ghost copies of the partition-
+  interface DOFs its elements touch;
+- an operator apply is
+
+    publish owned interface values -> ONE psum over an interface-length
+    vector (each slot written by exactly one owner, so the sum is a
+    broadcast) -> gather ghosts -> element-local B^T D B kernel ->
+    local segment-sum -> scatter ghost contributions back through a
+    second interface psum -> add to owners
+
+  i.e. two interface-sized collectives per apply; the interface is a
+  surface term (≪ the owned volume), so both memory and collective
+  payload scale.
+- dot products / norms reduce over the owned slabs only (padding slots
+  stay identically zero), so the jittable CG from ``solvers.krylov`` runs
+  unchanged on the distributed vectors under GSPMD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .partition import partition_elements
+
+
+class DofPartitionedOperator:
+    """Element- and DOF-partitioned matrix-free apply of a
+    (mass+)diffusion(+convection) operator over a 1-axis device mesh.
+
+    Vectors live as (ndev * nown_max,) arrays sharded over the mesh axis:
+    device d holds its owned DOF values in slots [d*nown_max, d*nown_max +
+    nown[d]) with zero padding above.  ``to_dist``/``from_dist`` convert
+    to/from the global entity numbering.
+    """
+
+    def __init__(self, ops, data, dev_mesh: Mesh, axis: str = "dd",
+                 parts=None):
+        self.ops = ops
+        self.mesh = dev_mesh
+        self.axis = axis
+        ndev = int(dev_mesh.devices.size)
+        self.ndev = ndev
+        fes = ops.fes
+        nglobal = fes.nscalar
+        self.nglobal = nglobal
+        ed = np.asarray(fes.element_dofs, dtype=np.int64)
+        ne, nd = ed.shape
+
+        if parts is None:
+            parts = partition_elements(fes.mesh, ndev)
+        parts = np.asarray(parts, dtype=np.int64)
+
+        # -- ownership: lowest part touching each dof ----------------------
+        owner = np.full(nglobal, ndev, dtype=np.int64)
+        for d in range(ndev):
+            dofs_d = np.unique(ed[parts == d])
+            owner[dofs_d] = np.minimum(owner[dofs_d], d)
+        assert owner.max() < ndev, "dof untouched by any element"
+
+        # interface dofs: touched by >= 2 parts (global slot numbering)
+        touch = np.zeros((nglobal,), dtype=np.int64)
+        touched_by = [np.unique(ed[parts == d]) for d in range(ndev)]
+        for dofs_d in touched_by:
+            touch[dofs_d] += 1
+        iface_global = np.nonzero(touch >= 2)[0]
+        nif = len(iface_global)
+        self.n_interface = nif
+        if2slot = np.full(nglobal, -1, dtype=np.int64)
+        if2slot[iface_global] = np.arange(nif)
+
+        # -- per-device owned / ghost layouts ------------------------------
+        owned = [np.nonzero(owner == d)[0] for d in range(ndev)]
+        nown_max = max(1, max(len(o) for o in owned))
+        self.nown_max = nown_max
+        self.nown = np.array([len(o) for o in owned])
+        # global -> (device, local) owned index
+        g2loc = np.full(nglobal, -1, dtype=np.int64)
+        for d in range(ndev):
+            g2loc[owned[d]] = np.arange(len(owned[d]))
+        self.owned = owned
+
+        ghosts = []
+        for d in range(ndev):
+            gd = touched_by[d][owner[touched_by[d]] != d]
+            ghosts.append(gd)
+        nghost_max = max(1, max(len(g) for g in ghosts))
+        self.nghost_max = nghost_max
+
+        # local element dof maps into [owned | ghost] per device, with the
+        # element batch grouped by part and padded to a common count
+        ne_max = max(1, int(np.bincount(parts, minlength=ndev).max()))
+        self.ne_max = ne_max
+        eldofs_loc = np.zeros((ndev, ne_max, nd), dtype=np.int64)
+        blocks_in = []
+        have = {}
+        for name in ("d00", "d01", "d10", "d11"):
+            v = getattr(data, name)
+            have[name] = v is not None
+            if v is not None:
+                blocks_in.append(np.asarray(v))
+        self._have = have
+        blocks_pack = [np.zeros((ndev, ne_max) + b.shape[1:], b.dtype)
+                       for b in blocks_in]
+        for d in range(ndev):
+            idx = np.nonzero(parts == d)[0]
+            loc = np.full(nglobal, -1, dtype=np.int64)
+            loc[owned[d]] = np.arange(len(owned[d]))
+            loc[ghosts[d]] = nown_max + np.arange(len(ghosts[d]))
+            eldofs_loc[d, :len(idx)] = loc[ed[idx]]
+            # padding elements point at owned slot 0 with zero D blocks
+            for bi, b in enumerate(blocks_in):
+                blocks_pack[bi][d, :len(idx)] = b[idx]
+
+        # forward-exchange publish maps: (local owned idx, iface slot) for
+        # this device's owned interface dofs; pad writes go to a dead slot
+        npub_max = max(1, max(
+            int(np.sum(owner[iface_global] == d)) for d in range(ndev))
+            if nif else 1)
+        pub_src = np.full((ndev, npub_max), 0, dtype=np.int64)
+        pub_dst = np.full((ndev, npub_max), nif, dtype=np.int64)  # dead
+        for d in range(ndev):
+            mine = iface_global[owner[iface_global] == d]
+            pub_src[d, :len(mine)] = g2loc[mine]
+            pub_dst[d, :len(mine)] = if2slot[mine]
+        # pad-slot reads of x_own[pub_src] hit slot 0 but land in the dead
+        # iface slot; reverse adds read the dead slot's 0 into owned slot 0
+        # -- make those reverse adds target a dead owned slot instead:
+        pub_src_rev = np.where(pub_dst < nif, pub_src, nown_max)
+
+        ghost_src = np.full((ndev, nghost_max), nif, dtype=np.int64)
+        for d in range(ndev):
+            ghost_src[d, :len(ghosts[d])] = if2slot[ghosts[d]]
+
+        sh = NamedSharding(dev_mesh, P(axis))
+        put = lambda a: jax.device_put(
+            a.reshape((ndev * a.shape[1],) + a.shape[2:]), sh)
+        self.eldofs_loc = put(eldofs_loc)
+        self.blocks = [put(b) for b in blocks_pack]
+        self.pub_src = put(pub_src)
+        self.pub_dst = put(pub_dst)
+        self.pub_src_rev = put(pub_src_rev)
+        self.ghost_src = put(ghost_src)
+        self.B = jnp.asarray(ops.B)
+        self.G = jnp.asarray(ops.G)
+        self._sharding = sh
+
+        @partial(jax.shard_map, mesh=dev_mesh,
+                 in_specs=(P(axis),) * (5 + len(self.blocks)),
+                 out_specs=P(axis))
+        def _apply(x_own, eldofs, pub_src, pub_dst, ghost_src, *blocks):
+            x_own = x_own.reshape(-1)
+            # forward halo exchange: one interface psum
+            pub = jnp.zeros(nif + 1, x_own.dtype).at[pub_dst.reshape(-1)] \
+                .add(x_own[pub_src.reshape(-1)])
+            pub = jax.lax.psum(pub, axis)[:nif]
+            ghosts_v = pub[ghost_src.reshape(-1)] if nif else \
+                jnp.zeros(nghost_max, x_own.dtype)
+            xloc = jnp.concatenate([x_own, ghosts_v])
+            it = iter(blocks)
+            d00 = next(it) if have["d00"] else None
+            d01 = next(it) if have["d01"] else None
+            d10 = next(it) if have["d10"] else None
+            d11 = next(it) if have["d11"] else None
+            u_e = xloc[eldofs]
+            uq = jnp.einsum("qn,en->eq", self.B, u_e)
+            gq = jnp.einsum("qnr,en->eqr", self.G, u_e)
+            bq = None
+            if d00 is not None:
+                bq = d00 * uq
+            if d01 is not None:
+                t = jnp.sum(d01 * gq, axis=-1)
+                bq = t if bq is None else bq + t
+            fq = None
+            if d10 is not None:
+                fq = d10 * uq[..., None]
+            if d11 is not None:
+                t = jnp.sum(d11 * gq[..., None, :], axis=-1)
+                fq = t if fq is None else fq + t
+            y_e = 0.0
+            if bq is not None:
+                y_e = jnp.einsum("qn,eq->en", self.B, bq)
+            if fq is not None:
+                y_e = y_e + jnp.einsum("qnr,eqr->en", self.G, fq)
+            y_loc = jax.ops.segment_sum(
+                y_e.reshape(-1), eldofs.reshape(-1),
+                num_segments=nown_max + nghost_max)
+            y_own = y_loc[:nown_max]
+            # reverse exchange: ghost contributions back to their owners
+            gcon = jnp.zeros(nif + 1, x_own.dtype).at[ghost_src.reshape(-1)] \
+                .add(y_loc[nown_max:])
+            gcon = jax.lax.psum(gcon, axis)
+            pub_src_rev_l = jnp.where(pub_dst.reshape(-1) < nif,
+                                      pub_src.reshape(-1), nown_max)
+            y_ext = jnp.concatenate([y_own, jnp.zeros(1, y_own.dtype)])
+            y_ext = y_ext.at[pub_src_rev_l].add(
+                gcon[jnp.minimum(pub_dst.reshape(-1), nif)])
+            return y_ext[:nown_max]
+
+        self._apply = _apply
+
+    # -- layout converters ----------------------------------------------------
+
+    def to_dist(self, x_global):
+        """Global entity-numbered (nglobal,) -> distributed owned slabs."""
+        x = np.asarray(x_global)
+        out = np.zeros((self.ndev, self.nown_max), x.dtype)
+        for d in range(self.ndev):
+            out[d, :len(self.owned[d])] = x[self.owned[d]]
+        return jax.device_put(out.reshape(-1), self._sharding)
+
+    def from_dist(self, x_dist):
+        """Distributed owned slabs -> global entity-numbered (nglobal,)."""
+        x = np.asarray(x_dist).reshape(self.ndev, self.nown_max)
+        out = np.zeros(self.nglobal, x.dtype)
+        for d in range(self.ndev):
+            out[self.owned[d]] = x[d, :len(self.owned[d])]
+        return out
+
+    def __call__(self, x_dist):
+        return self._apply(x_dist, self.eldofs_loc, self.pub_src,
+                           self.pub_dst, self.ghost_src, *self.blocks)
+
+    def per_device_floats(self):
+        """Peak per-device vector length (owned + ghost) — the memory-
+        scaling diagnostic: ∝ nglobal/ndev + interface."""
+        return self.nown_max + self.nghost_max
