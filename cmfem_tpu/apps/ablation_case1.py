@@ -23,6 +23,7 @@ import scipy.sparse.linalg as spla
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, num_steps, make_block_linear_solver,
+    run_tp_newton_loop,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -179,10 +180,7 @@ def run(cfg: dict) -> dict:
     if shard_n:
         from ..parallel import ShardedAblationNewton, make_device_mesh
 
-        ndev = min(shard_n, len(jax.devices()))
-        if ndev != shard_n:
-            print(f"sharding_devices={shard_n} requested, "
-                  f"{len(jax.devices())} devices available; using {ndev}")
+        ndev = shard_n
         sh = ShardedAblationNewton(
             sys_, make_device_mesh(ndev), ess, ess,
             restart=int(cfg.get("gmres_restart", 400)),
@@ -309,57 +307,26 @@ def run(cfg: dict) -> dict:
                                       dt_step, abs_tol=jc_abs, rel_tol=jc_rel)
             print(f"jacobian_check passed (max rel err {rel:.3e})")
 
-        # Newton loop (Jacobian refactorized every jacobian_rebuild_freq
-        # iterations, newton_petsc_solver.hpp:224)
+        # shared Newton loop (Jacobian refactorized every
+        # jacobian_rebuild_freq iterations, newton_petsc_solver.hpp:224)
         newton_t0 = _time.perf_counter()
-        nres = njac = nlin = nupd = 0.0
-        r0 = du0 = 1.0
-        converged = False
-        iters = 0
-        final_res = np.inf
-        lu = None
-        for it in range(newton_cfg.max_iter):
-            tt = _time.perf_counter()
-            R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step)
-            R = jax.block_until_ready(R)
-            nres += _time.perf_counter() - tt
-            res_norm = float(jnp.linalg.norm(R))
-            if it == 0:
-                r0 = max(1.0, res_norm)
-            rel_res = res_norm / r0
-            final_res = res_norm
-            if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol:
-                converged = True
-                iters = it
-                newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
-                                     0.0, du0, 0.0, 1])
-                break
-            tt = _time.perf_counter()
-            if lu is None or it % jacobian_rebuild_freq == 0:
-                lu = factorize(T, p, T_old_q, p_old_q, X_old, dt_step)
-                njac += _time.perf_counter() - tt
-                tt = _time.perf_counter()
-            dx = lu.solve(-np.asarray(R))
-            nlin += _time.perf_counter() - tt
-            tt = _time.perf_counter()
-            un = float(np.linalg.norm(dx))
-            if it == 0:
-                du0 = max(1.0, un)
-            T = T + jnp.asarray(dx[:n])
-            p = p + jnp.asarray(dx[n:])
-            T = T.at[jnp.asarray(ess)].set(Tbc)
-            p = p.at[jnp.asarray(ess)].set(top_pressure)
-            nupd += _time.perf_counter() - tt
-            newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
-                                 un, du0, un / du0, 0])
-            if newton_print_level > 0:
-                print(f"NR iteration {it}:\n|R|/|R0|= {rel_res}\n|R|= {res_norm}"
-                      f"\n|du|/|du0|= {un / du0}\n|du|= {un}")
+
+        def _enforce_bc(T, p):
+            return (T.at[jnp.asarray(ess)].set(Tbc),
+                    p.at[jnp.asarray(ess)].set(top_pressure))
+
+        T, p, iters, ntim = run_tp_newton_loop(
+            T, p,
+            residual=lambda T, p: residual_fn(T, p, T_old_q, p_old_q,
+                                              X_old, dt_step),
+            factorize=lambda T, p: factorize(T, p, T_old_q, p_old_q,
+                                             X_old, dt_step),
+            enforce_bc=_enforce_bc, newton_cfg=newton_cfg,
+            rebuild_freq=jacobian_rebuild_freq, newton_csv=newton_csv,
+            step=step, t=t, n=n, print_level=newton_print_level)
+        nres, njac, nlin, nupd = (ntim["nres"], ntim["njac"], ntim["nlin"],
+                                  ntim["nupd"])
         newton_sec = _time.perf_counter() - newton_t0
-        if not converged:
-            raise RuntimeError(
-                f"Newton did not converge at step {step}, final residual="
-                f"{final_res}")
 
         st_t0 = _time.perf_counter()
         state = sys_.advance_state(state, T, p, dt_step)

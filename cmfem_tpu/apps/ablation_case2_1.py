@@ -26,7 +26,7 @@ import scipy.sparse.linalg as spla
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir, make_block_linear_solver,
+    ensure_outdir, make_block_linear_solver, run_tp_newton_loop,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -209,7 +209,7 @@ def run(cfg: dict) -> dict:
         if key not in sh_cache:
             from ..parallel import ShardedAblationNewton, make_device_mesh
 
-            ndev = min(shard_n, len(jax.devices()))
+            ndev = shard_n
             seb = None if use_dirichlet else (branch, model, bprime)
             sh_cache[key] = ShardedAblationNewton(
                 sys_, make_device_mesh(ndev), ess_T, ess,
@@ -377,6 +377,7 @@ def run(cfg: dict) -> dict:
         return bdiag
 
     write_outputs(step, t)
+    jc_checked_branches = set()
     totals = {k: 0.0 for k in ("bc", "newton", "nres", "nlin", "nupd",
                                "state", "output", "step")}
     steps_executed = 0
@@ -409,61 +410,45 @@ def run(cfg: dict) -> dict:
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
         bc_sec = _time.perf_counter() - bc_t0
 
-        if jacobian_check and step == 1 and not use_dirichlet:
+        if jacobian_check and step == 1:
             rel = sys_.jacobian_check(T, p, T_old_q, p_old_q, X_old, dt_step,
                                       abs_tol=jc_abs, rel_tol=jc_rel)
             print(f"jacobian_check (domain blocks) passed "
                   f"(max rel err {rel:.3e})")
+        if jacobian_check and not use_dirichlet \
+                and branch not in jc_checked_branches:
+            # once per surface-flux branch, skipping non-smooth states
+            # (ablation_test_case2_1_2D.cpp:1809-1832)
+            jc_checked_branches.add(branch)
+            rel = sys_.jacobian_check(T, p, T_old_q, p_old_q, X_old, dt_step,
+                                      abs_tol=jc_abs, rel_tol=jc_rel,
+                                      seb=(branch, model, bprime), bc=bc)
+            if rel is None:
+                print(f"jacobian_check (domain+face, branch={branch}) "
+                      f"skipped: non-smooth state (B' table clamp active)")
+            else:
+                print(f"jacobian_check (domain+face, branch={branch}) "
+                      f"passed (max rel err {rel:.3e})")
 
         newton_t0 = _time.perf_counter()
-        nres = nlin = nupd = 0.0
-        r0 = du0 = 1.0
-        converged = False
-        iters = 0
-        final_res = np.inf
-        lu = None
-        for it in range(newton_cfg.max_iter):
-            tt = _time.perf_counter()
-            R = residual_fn(T, p, T_old_q, p_old_q, X_old, dt_step, bc, branch)
-            R = jax.block_until_ready(R)
-            nres += _time.perf_counter() - tt
-            res_norm = float(jnp.linalg.norm(R))
-            if it == 0:
-                r0 = max(1.0, res_norm)
-            rel_res = res_norm / r0
-            final_res = res_norm
-            if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol:
-                converged = True
-                iters = it
-                newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
-                                     0.0, du0, 0.0, 1])
-                break
-            tt = _time.perf_counter()
-            if lu is None or it % jacobian_rebuild_freq == 0:
-                lu = factorize(T, p, T_old_q, p_old_q, X_old, dt_step,
-                               bc, branch)
-            dx = lu.solve(-np.asarray(R))
-            nlin += _time.perf_counter() - tt
-            tt = _time.perf_counter()
-            un = float(np.linalg.norm(dx))
-            if it == 0:
-                du0 = max(1.0, un)
-            T = T + jnp.asarray(dx[:n])
-            p = p + jnp.asarray(dx[n:])
+
+        def _enforce_bc(T, p):
             if use_dirichlet:
                 T = T.at[jnp.asarray(ess)].set(top_temperature_at(t))
-            p = p.at[jnp.asarray(ess)].set(bc.p_w)
-            nupd += _time.perf_counter() - tt
-            newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
-                                 un, du0, un / du0, 0])
-            if newton_print_level > 0:
-                print(f"NR iteration {it}:\n|R|/|R0|= {rel_res}\n"
-                      f"|R|= {res_norm}\n|du|/|du0|= {un / du0}\n|du|= {un}")
+            return T, p.at[jnp.asarray(ess)].set(bc.p_w)
+
+        T, p, iters, ntim = run_tp_newton_loop(
+            T, p,
+            residual=lambda T, p: residual_fn(T, p, T_old_q, p_old_q,
+                                              X_old, dt_step, bc, branch),
+            factorize=lambda T, p: factorize(T, p, T_old_q, p_old_q,
+                                             X_old, dt_step, bc, branch),
+            enforce_bc=_enforce_bc, newton_cfg=newton_cfg,
+            rebuild_freq=jacobian_rebuild_freq, newton_csv=newton_csv,
+            step=step, t=t, n=n, print_level=newton_print_level)
+        nres, njac, nlin, nupd = (ntim["nres"], ntim["njac"], ntim["nlin"],
+                                  ntim["nupd"])
         newton_sec = _time.perf_counter() - newton_t0
-        if not converged:
-            raise RuntimeError(
-                f"Newton did not converge at step {step}, final residual="
-                f"{final_res}")
 
         st_t0 = _time.perf_counter()
         state = sys_.advance_state(state, T, p, dt_step)
@@ -482,8 +467,8 @@ def run(cfg: dict) -> dict:
                 save_restart(restart_write, step, t, T, p, state.extent)
         out_sec = _time.perf_counter() - out_t0
         step_sec = _time.perf_counter() - step_t0
-        timing_csv.writerow([step, bc_sec, newton_sec, nres, 0.0, nlin, nupd,
-                             state_sec, out_sec, step_sec])
+        timing_csv.writerow([step, bc_sec, newton_sec, nres, njac, nlin,
+                             nupd, state_sec, out_sec, step_sec])
         for k, v in zip(("bc", "newton", "nres", "nlin", "nupd", "state",
                          "output", "step"),
                         (bc_sec, newton_sec, nres, nlin, nupd, state_sec,

@@ -105,6 +105,84 @@ def num_steps(t_final: float, dt: float) -> int:
     return int(math.ceil(t_final / dt - 1.0e-12))
 
 
+def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
+                       newton_cfg, rebuild_freq, newton_csv, step, t, n,
+                       print_level=0, print_multiline=True):
+    """The shared damped-free Newton loop of the three ablation drivers
+    (PetscNewtonSolver::SolveImpl semantics, newton_petsc_solver.hpp:166-268:
+    r0 = max(1, |R0|), abs/rel tolerance, Jacobian rebuild frequency, BC
+    re-enforcement after every update, per-iteration CSV logging).
+
+    residual(T, p) -> R (2n,) BC-masked stacked residual;
+    factorize(T, p) -> object with .solve(rhs) -> np.ndarray (host LU or
+    on-device block GMRES — see make_block_linear_solver);
+    enforce_bc(T, p) -> (T, p) re-pinning essential values.
+
+    Newton CSV row schema (all three drivers):
+    [step, t, it, |R|, r0, |R|/r0, |du|, du0, |du|/du0, converged].
+
+    Returns (T, p, iters, timing) with timing keys nres/njac/nlin/nupd;
+    raises RuntimeError on non-convergence (fail-fast, SURVEY.md §5.3).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    nres = njac = nlin = nupd = 0.0
+    r0 = du0 = 1.0
+    converged = False
+    iters = 0
+    final_res = np.inf
+    lu = None
+    for it in range(newton_cfg.max_iter):
+        tt = _time.perf_counter()
+        R = residual(T, p)
+        R = jax.block_until_ready(R)
+        nres += _time.perf_counter() - tt
+        res_norm = float(jnp.linalg.norm(R))
+        if it == 0:
+            r0 = max(1.0, res_norm)
+        rel_res = res_norm / r0
+        final_res = res_norm
+        if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol:
+            converged = True
+            iters = it
+            newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                                 0.0, du0, 0.0, 1])
+            break
+        if lu is None or it % rebuild_freq == 0:
+            tt = _time.perf_counter()
+            lu = factorize(T, p)
+            njac += _time.perf_counter() - tt
+        tt = _time.perf_counter()
+        dx = lu.solve(-np.asarray(R))
+        nlin += _time.perf_counter() - tt
+        tt = _time.perf_counter()
+        un = float(np.linalg.norm(dx))
+        if it == 0:
+            du0 = max(1.0, un)
+        T = T + jnp.asarray(dx[:n])
+        p = p + jnp.asarray(dx[n:])
+        T, p = enforce_bc(T, p)
+        nupd += _time.perf_counter() - tt
+        newton_csv.writerow([step, t, it, res_norm, r0, rel_res,
+                             un, du0, un / du0, 0])
+        if print_level > 0:
+            if print_multiline:
+                print(f"NR iteration {it}:\n|R|/|R0|= {rel_res}\n"
+                      f"|R|= {res_norm}\n|du|/|du0|= {un / du0}\n|du|= {un}")
+            else:
+                print(f"NR iteration {it}: |R|/|R0|= {rel_res} "
+                      f"|R|= {res_norm}")
+    if not converged:
+        raise RuntimeError(
+            f"Newton did not converge at step {step}, final residual="
+            f"{final_res}")
+    return T, p, iters, {"nres": nres, "njac": njac, "nlin": nlin,
+                         "nupd": nupd}
+
+
 def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p):
     """Optional on-device iterative solver for the ablation (T,p) Newton
     systems (YAML key ``linear_solver``, SURVEY.md §7.3 direct-solver

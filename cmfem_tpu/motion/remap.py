@@ -21,6 +21,107 @@ from ..core.pointlocate import locate_points
 from ..core.reference_elements import QUAD, TRIANGLE
 
 
+class StructuredStripRemap:
+    """Device-resident (jittable) semi-Lagrangian extent remap for
+    structured quad strips under VERTICAL-ONLY mesh motion — the scan-path
+    replacement for the host-side ``remap_extents_ale`` (the reference's
+    FindPoints-based RemapExtentsALE, ablation_test_case2_2_2D.cpp:
+    3148-3273).
+
+    On the reference's transfinite strip meshes the x coordinates never
+    change (the recession velocity is vertical, and the vector-Laplacian
+    smoothing keeps it so), which makes each QP's column index and ref-u
+    weight STATIC.  The donor search reduces to a per-QP ``searchsorted``
+    over the current y lattice of its column, and the bilinear inverse map
+    is closed-form: x(u) is independent of v on a vertical-motion
+    trapezoid, so u = u_own and v = (y - y_lo(u)) / (y_hi(u) - y_lo(u))
+    exactly.  Donors therefore match the generic host path bit-for-bit
+    away from element-edge ties.
+    """
+
+    def __init__(self, mesh, ops):
+        import jax.numpy as jnp
+
+        if mesh.geom != QUAD:
+            raise NotImplementedError(
+                "StructuredStripRemap requires a structured quad strip")
+        verts0 = np.asarray(mesh.vertices)
+        # tolerance-clustered column x values (GMSH emits float jitter)
+        xsorted = np.sort(np.unique(verts0[:, 0]))
+        span = max(float(xsorted[-1] - xsorted[0]), 1e-30)
+        tol = 1e-8 * span
+        reps = [float(xsorted[0])]
+        for v in xsorted[1:]:
+            if v - reps[-1] > tol:
+                reps.append(float(v))
+        xs = np.asarray(reps)
+        nv = len(verts0)
+        nxv = len(xs)
+        if nv % nxv:
+            raise ValueError("mesh is not a tensor-product strip lattice")
+        nyv = nv // nxv
+        edges = 0.5 * (xs[1:] + xs[:-1])
+        col_of = np.searchsorted(edges, verts0[:, 0])
+        vert_lat = np.full((nyv, nxv), -1, dtype=np.int64)
+        for c in range(nxv):
+            vids = np.nonzero(col_of == c)[0]
+            if len(vids) != nyv:
+                raise ValueError("unequal column heights in strip lattice")
+            vert_lat[:, c] = vids[np.argsort(verts0[vids, 1],
+                                             kind="stable")]
+        elem_lat = np.full((nyv - 1, nxv - 1), -1, dtype=np.int64)
+        for e, conn in enumerate(np.asarray(mesh.elem_conn)):
+            c = int(col_of[conn].min())
+            incol = conn[col_of[conn] == c]
+            ylow = verts0[incol, 1].min()
+            r = int(np.searchsorted(verts0[vert_lat[:, c], 1], ylow))
+            r = min(max(r, 0), nyv - 2)
+            elem_lat[r, c] = e
+        if (elem_lat < 0).any():
+            raise ValueError("mesh elements do not tile the strip lattice")
+
+        xq0 = np.asarray(ops.gf.xq).reshape(-1, 2)   # x column is static
+        ic = np.clip(np.searchsorted(xs, xq0[:, 0], side="right") - 1,
+                     0, nxv - 2)
+        sx = (xq0[:, 0] - xs[ic]) / (xs[ic + 1] - xs[ic])
+        self.ne, self.nq = np.asarray(ops.gf.wdetJ).shape
+        self.nyv = nyv
+        self.vert_lat = jnp.asarray(vert_lat)
+        self.elem_lat = jnp.asarray(elem_lat)
+        self.ic = jnp.asarray(ic)
+        self.sx = jnp.asarray(sx)
+        self.qp_ref = jnp.asarray(np.asarray(ops.quad.points))
+
+    def __call__(self, extent, verts, xq, wq, dt):
+        """Jittable remap: extent (ne, nq, nr), verts (nv, 2) CURRENT
+        (pre-move), xq (ne, nq, 2) current QP coords, wq (ne, nq, 2) mesh
+        velocity at QPs, dt scalar.  Returns the remapped extents."""
+        import jax
+        import jax.numpy as jnp
+
+        ne, nq = self.ne, self.nq
+        nr = extent.shape[-1]
+        ylat = verts[:, 1][self.vert_lat]                 # (nyv, nxv)
+        Yl = ylat[:, self.ic]                             # (nyv, M)
+        Yr = ylat[:, self.ic + 1]
+        yedges = ((1.0 - self.sx) * Yl + self.sx * Yr).T  # (M, nyv)
+        y_t = (xq[..., 1] + wq[..., 1] * dt).reshape(-1)
+        row = jax.vmap(
+            lambda ye, yt: jnp.searchsorted(ye, yt, side="right"))(
+            yedges, y_t) - 1
+        row = jnp.clip(row, 0, self.nyv - 2)
+        ylo = jnp.take_along_axis(yedges, row[:, None], axis=1)[:, 0]
+        yhi = jnp.take_along_axis(yedges, row[:, None] + 1, axis=1)[:, 0]
+        vref = (y_t - ylo) / jnp.maximum(yhi - ylo, 1e-300)
+        donor = self.elem_lat[row, self.ic]
+        d2 = (self.sx[:, None] - self.qp_ref[None, :, 0]) ** 2 \
+            + (vref[:, None] - self.qp_ref[None, :, 1]) ** 2
+        qnear = jnp.argmin(d2, axis=1)
+        Xf = extent.reshape(-1, nr)
+        Xn = jnp.clip(Xf[donor * nq + qnear], 0.0, 1.0)
+        return Xn.reshape(ne, nq, nr)
+
+
 def _invert_in_own_element(geom, ecoords, pts):
     """Batched inverse map of pts (m, 2) in their own elements
     ecoords (m, nc, 2). Returns (ref (m, 2), inside (m,))."""

@@ -245,13 +245,23 @@ class AblationSystem:
     def jacobian_check(self, T, p, T_old_q, p_old_q, X_old, dt,
                        abs_tol=1e-6, rel_tol=1e-4, n_dirs=3, fd_eps=1e-7,
                        gf=None, wq=None, gcl=None,
-                       ale_toggles=(True, True, True), seed=0):
+                       ale_toggles=(True, True, True), seed=0,
+                       seb=None, bc=None, vertices=None,
+                       skip_nonsmooth=True):
         """AD-vs-FD Jacobian consistency check (the reference's opt-in
         jacobian_check, ablation_test_case2_1_2D.cpp:1016-1046,
         :1287-1302): the element-block-assembled Jacobian action J v is
         compared against a finite-difference directional derivative of the
         global residual for n_dirs random directions.  Raises with the
-        argmax row on mismatch; returns the max relative error."""
+        argmax row on mismatch; returns the max relative error.
+
+        With ``seb=(branch, model, bprime)`` and ``bc`` the SEB *face*
+        blocks are assembled into the test matrix and the face residual
+        into R — the per-flux-branch face-Jacobian consistency check of
+        the reference (ablation_test_case2_1_2D.cpp:1809-1832).  Like the
+        reference, states where the B' table clamps (non-smooth — central
+        FD straddles the kink the AD one-sidedly zeroes) are skipped:
+        returns None when ``skip_nonsmooth`` and clamps are active."""
         import numpy as _np
         import scipy.sparse as _sp
 
@@ -266,12 +276,45 @@ class AblationSystem:
         rows = _np.concatenate([rows_b, rows_b, rows_b + n, rows_b + n])
         cols = _np.concatenate([cols_b, cols_b + n, cols_b, cols_b + n])
         vals = _np.concatenate([_np.asarray(b).reshape(-1) for b in blocks])
+        if seb is not None:
+            branch, model, bprime = seb
+            chem_on = bc is not None and int(bc.chemistryOn) != 0
+            if skip_nonsmooth and bprime is not None and chem_on:
+                # clamps only make the residual non-smooth when the B'
+                # outputs actually enter the flux (chemistry on): with
+                # chemistry off h_w/B'c are zeroed out of q_surf.
+                tr = self.trace
+                Xrep = jnp.asarray(X_old)[tr.elem, 0]
+                terms = self.top_boundary_terms(T, p, Xrep, bc, branch,
+                                                model, bprime,
+                                                vertices=vertices)
+                nclamp = float(terms.get("clamps_p", 0.0)) + \
+                    float(terms.get("clamps_bg", 0.0)) + \
+                    float(terms.get("clamps_t", 0.0))
+                if nclamp > 0:
+                    return None
+            JTf, Jpf = self.seb_face_jacobians(T, p, X_old, bc, branch,
+                                               model, bprime,
+                                               vertices=vertices)
+            fed = _np.asarray(self.trace.eldofs, dtype=_np.int64)
+            ndf = fed.shape[1]
+            rows_f = _np.repeat(fed, ndf, axis=1).reshape(-1)
+            cols_f = _np.tile(fed, (1, ndf)).reshape(-1)
+            rows = _np.concatenate([rows, rows_f, rows_f])
+            cols = _np.concatenate([cols, cols_f, cols_f + n])
+            vals = _np.concatenate([vals, _np.asarray(JTf).reshape(-1),
+                                    _np.asarray(Jpf).reshape(-1)])
         J = _sp.coo_matrix((vals, (rows, cols)), shape=(2 * n, 2 * n)).tocsr()
 
         def R(x):
             RT, Rp = self.residual(x[:n], x[n:], T_old_q, p_old_q, X_old, dt,
                                    gf=gf, wq=wq, gcl=gcl,
                                    ale_toggles=ale_toggles)
+            if seb is not None:
+                branch, model, bprime = seb
+                RT = RT + self.seb_face_residual(
+                    x[:n], x[n:], X_old, bc, branch, model, bprime,
+                    vertices=vertices)
             return _np.concatenate([_np.asarray(RT), _np.asarray(Rp)])
 
         x0 = _np.concatenate([_np.asarray(T), _np.asarray(p)])
@@ -293,6 +336,57 @@ class AblationSystem:
                     f"Jacobian check failed at row {i}: "
                     f"AD(Jv)={jv[i]:.6e} FD={fd[i]:.6e} "
                     f"(abs err {err[i]:.3e}, scale {scale:.3e})")
+
+        if seb is not None:
+            # dedicated face-block check with its OWN scale (the reference
+            # verifies the SEB integrator's Grad against an FD of its
+            # Vector as a separate block, VerifyJacobianBlockClose,
+            # ablation_test_case2_1_2D.cpp:1016-1046 — a face error hidden
+            # under the global residual scale would pass the check above)
+            branch, model, bprime = seb
+            Jf = _sp.coo_matrix(
+                (_np.concatenate([_np.asarray(JTf).reshape(-1),
+                                  _np.asarray(Jpf).reshape(-1)]),
+                 (_np.concatenate([rows_f, rows_f]),
+                  _np.concatenate([cols_f, cols_f + n]))),
+                shape=(n, 2 * n)).tocsr()
+
+            def Rf(x):
+                return _np.asarray(self.seb_face_residual(
+                    x[:n], x[n:], X_old, bc, branch, model, bprime,
+                    vertices=vertices))
+
+            def face_dir_check(v, h):
+                fd = (Rf(x0 + h * v) - Rf(x0 - h * v)) / (2 * h)
+                jv = Jf @ v
+                err = _np.abs(jv - fd)
+                scale = max(float(_np.abs(fd).max()), 1.0)
+                return err, jv, fd, scale
+
+            fails = 0
+            for _ in range(n_dirs):
+                v = rng.standard_normal(2 * n)
+                v *= _np.maximum(1.0, _np.abs(x0)) / _np.linalg.norm(v)
+                err, jv, fd, scale = face_dir_check(v, fd_eps)
+                if err.max() > (abs_tol + rel_tol) * scale:
+                    # discriminate a genuine Jacobian error (h-independent)
+                    # from a central difference straddling an interior
+                    # spline knot (first-order kink error whose hit window
+                    # shrinks with h): retry with a fresh direction at h/8
+                    # — the reference's non-smooth-state skip generalized
+                    # to interior table kinks
+                    v2 = rng.standard_normal(2 * n)
+                    v2 *= _np.maximum(1.0, _np.abs(x0)) / _np.linalg.norm(v2)
+                    err2, jv2, fd2, scale2 = face_dir_check(v2, fd_eps / 8)
+                    if err2.max() > (abs_tol + rel_tol) * scale2:
+                        i = int(err2.argmax())
+                        raise RuntimeError(
+                            f"Jacobian check failed at face row {i} "
+                            f"(branch={branch}): AD(Jv)={jv2[i]:.6e} "
+                            f"FD={fd2[i]:.6e} (abs err {err2[i]:.3e}, "
+                            f"scale {scale2:.3e})")
+                    continue
+                max_rel = max(max_rel, float(err.max()) / scale)
         return max_rel
 
     def advance_state_arrays(self, X_old, T, p, dt):

@@ -164,3 +164,113 @@ def test_case21_restart_validation(tmp_path):
         load_restart(path, 11, 4, 3, 2)
     with pytest.raises(ValueError, match="world size"):
         load_restart(path, 10, 4, 3, 2, world_size=2)
+
+
+def test_jacobian_check_covers_seb_face_blocks_per_branch():
+    """AD face Jacobian vs FD, once per surface-flux branch (the
+    reference's per-branch face consistency check,
+    ablation_test_case2_1_2D.cpp:1809-1832)."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+    from cmfem_tpu.physics.bprime import BPrimeTable
+    from cmfem_tpu.physics.seb import (
+        SurfaceFluxModel, BRANCH_CHEMISTRY_BLOWING,
+        BRANCH_CHEMISTRY_NO_BLOWING, BRANCH_COOLING_STANDARD,
+        BRANCH_COOLING_EXACT,
+    )
+    from cmfem_tpu.physics.surface_bc import BoundaryState
+
+    mesh = make_cartesian_mesh_2d(2, 5, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    ess = np.asarray(fes.boundary_dofs([3]))
+    T = jnp.full(n, 600.0).at[jnp.asarray(ess)].set(1100.0)
+    # vertical pressure gradient -> positive wall Darcy outflow so the
+    # blowing fixed point lands B'g inside the table (no clamp skip)
+    ypos = np.asarray(fes.node_positions)[:, 1]
+    p = jnp.asarray(5.0e4 + 4.0e4 * (0.05 - ypos))
+    dt = 0.05
+    T_old_q = ops.values_at_qp(jnp.full(n, 600.0))
+    p_old_q = ops.values_at_qp(p)
+
+    bprime = BPrimeTable.synthetic_tacot()
+    model = SurfaceFluxModel(lam=0.5, q_rad=0.0)
+    bc_hot = BoundaryState(p_w=5.0e4, rhoeUeCH=0.01, h_r=2.0e6,
+                           chemistryOn=1)
+    bc_cool = BoundaryState(p_w=5.0e4, rhoeUeCH=0.0, h_r=0.0,
+                            chemistryOn=0)
+    cases = [
+        (BRANCH_CHEMISTRY_BLOWING, model, bc_hot),
+        (BRANCH_CHEMISTRY_NO_BLOWING, model, bc_hot),
+        (BRANCH_COOLING_STANDARD, model, bc_cool),
+        (BRANCH_COOLING_EXACT,
+         SurfaceFluxModel(lam=0.5, q_rad=0.0,
+                          pato_compat_mode="cooling_exact"), bc_cool),
+    ]
+    checked = 0
+    for branch, mdl, bc in cases:
+        rel = sys_.jacobian_check(T, p, T_old_q, p_old_q, state.extent, dt,
+                                  abs_tol=1e-6, rel_tol=1e-4,
+                                  seb=(branch, mdl, bprime), bc=bc)
+        if rel is not None:   # None = non-smooth state skipped, like the ref
+            checked += 1
+    assert checked >= 2, "all branches hit non-smooth skip"
+
+
+def test_jacobian_check_catches_wrong_face_jacobian(monkeypatch):
+    """The face check must actually FAIL when the face Jacobian is wrong
+    (guards against a vacuous check)."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+    from cmfem_tpu.physics.bprime import BPrimeTable
+    from cmfem_tpu.physics.seb import (SurfaceFluxModel,
+                                       BRANCH_CHEMISTRY_BLOWING)
+    from cmfem_tpu.physics.surface_bc import BoundaryState
+
+    mesh = make_cartesian_mesh_2d(2, 5, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    ess = np.asarray(fes.boundary_dofs([3]))
+    T = jnp.full(n, 600.0).at[jnp.asarray(ess)].set(1100.0)
+    # smooth (in-table B') state: vertical pressure gradient, as in the
+    # per-branch test above — otherwise the non-smooth skip fires and the
+    # corruption is never checked
+    ypos = np.asarray(fes.node_positions)[:, 1]
+    p = jnp.asarray(5.0e4 + 4.0e4 * (0.05 - ypos))
+    dt = 0.05
+    T_old_q = ops.values_at_qp(jnp.full(n, 600.0))
+    p_old_q = ops.values_at_qp(p)
+    bprime = BPrimeTable.synthetic_tacot()
+    model = SurfaceFluxModel(lam=0.5, q_rad=0.0)
+    bc = BoundaryState(p_w=5.0e4, rhoeUeCH=0.01, h_r=2.0e6,
+                       chemistryOn=1)
+
+    # uncorrupted check must actually run (smooth state) and pass
+    rel0 = sys_.jacobian_check(T, p, T_old_q, p_old_q, state.extent, dt,
+                               seb=(BRANCH_CHEMISTRY_BLOWING, model,
+                                    bprime), bc=bc)
+    assert rel0 is not None
+
+    orig = sys_.seb_face_jacobians
+
+    def corrupted(*a, **k):
+        JT, Jp = orig(*a, **k)
+        return 1.5 * JT, Jp
+
+    monkeypatch.setattr(sys_, "seb_face_jacobians", corrupted)
+    with pytest.raises(RuntimeError, match="Jacobian check failed"):
+        sys_.jacobian_check(T, p, T_old_q, p_old_q, state.extent, dt,
+                            seb=(BRANCH_CHEMISTRY_BLOWING, model, bprime),
+                            bc=bc)

@@ -256,3 +256,56 @@ def test_case22_test_variant_gcl_and_metrics(tmp_path):
                      "recession_enabled": False,
                      "amaryllis_mass_file": ""})
     np.testing.assert_allclose(out2["T"], out3["T"], rtol=0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_case22_scan_matches_eager(tmp_path):
+    """VERDICT r1 #9: the fused scan path (device-resident recession +
+    Laplacian smoothing + structured remap + SEB Newton) must match the
+    eager per-step driver on a smoke config."""
+    from cmfem_tpu.apps.ablation_case2_2 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file":
+            f"{REF}/Input/boundary_conditions_ablation_case2_2.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        "recession_density_mode": "char_surface",
+        "max_step_recession": 2.0e-4,
+        # same on-device linear solver on both paths so the only deltas
+        # are remap donor ties and scan arithmetic
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 2})
+
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+    assert np.abs(out_s["vertices"] - out_e["vertices"]).max() < 1e-12
+    assert out_s["recession_total"] == pytest.approx(
+        out_e["recession_total"], rel=1e-8)
+    # same CSV schemas on both paths
+    for name in ("mass_metrics.csv", "temperature_probes.csv",
+                 "boundary_diagnostics.csv", "pressure_probes.csv",
+                 "mesh_diagnostics.csv", "mass_eq_probe_diagnostics.csv"):
+        he = (tmp_path / "eager" / name).read_text().splitlines()
+        hs = (tmp_path / "scan" / name).read_text().splitlines()
+        assert he[0] == hs[0], name
+        assert len(he) == len(hs), name
+    # probe histories match to solver tolerance
+    pe = np.loadtxt(tmp_path / "eager" / "temperature_probes.csv",
+                    delimiter=",", skiprows=1)
+    ps = np.loadtxt(tmp_path / "scan" / "temperature_probes.csv",
+                    delimiter=",", skiprows=1)
+    mask = np.isfinite(pe)
+    assert np.array_equal(mask, np.isfinite(ps))
+    assert np.abs(pe[mask] - ps[mask]).max() < 1e-5

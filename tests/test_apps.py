@@ -24,6 +24,25 @@ def test_linear_cd_2d_runs(tmp_path):
                           "convection_diffusion_2D.pvd")
 
 
+@pytest.mark.parametrize("order,rel_l2_max", [(1, 2.6e-2), (2, 1.2e-3),
+                                              (3, 3.7e-5)])
+def test_linear_cd_2d_orders_1_to_3(tmp_path, order, rel_l2_max):
+    """Order sweep on the reference's own mesh: the reference's
+    Input/input_2d.yaml runs order 3 (SURVEY.md §5.7); measured rel-L2
+    2.43e-2 / 1.07e-3 / 3.42e-5 at orders 1/2/3 — each bound is ~7% above
+    its measurement, so a convergence-order regression trips it."""
+    from cmfem_tpu.apps.linear_cd_2d import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": order,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out = run(cfg)
+    assert out["rel_l2"] < rel_l2_max
+
+
 def test_linear_cd_circle_runs(tmp_path):
     from cmfem_tpu.apps.linear_cd_2d_circle import run
 
