@@ -1,15 +1,21 @@
 """Headline benchmark: matrix-free operator apply MDOF/s + CG wall-clock.
 
-Problem: 3D convection-diffusion, order-2 hexes, matrix-free partial
+Problem: 3D convection-diffusion, order-2/3/4 hexes, matrix-free partial
 assembly (BASELINE.json metric).  Prints ONE JSON line:
-  {"metric": ..., "value": MDOF/s, "unit": "MDOF/s", "vs_baseline": value/500}
+  {"metric": ..., "value": MDOF/s, "unit": "MDOF/s", "vs_baseline": v/500,
+   "orders": {...}, "mg": {...}, "ablation": {...}}
 vs_baseline is against the north-star target of 500 MDOF/s on one v5e chip.
+Every number published in README/PARITY comes from this artifact (captured
+as BENCH_r{N}.json by the driver) — no hand-carried numbers.
 
-Paths benchmarked:
-  structured-pallas : lattice gather/scatter + fused VMEM BtDB kernel (TPU)
-  structured-xla    : lattice gather/scatter + fused XLA kernel
-  unstructured-xla  : gather/segment_sum + fused XLA kernel (generic path)
-Best path is reported.  All matmuls at Precision.HIGHEST (true f32).
+Sections (each guarded; a failure degrades to stderr, never kills the run):
+  orders   : operator-apply sweep over BENCH_ORDERS (default 2,3,4)
+  mg       : SPD (mass+diffusion) CG preconditioned by geometric multigrid
+             vs Jacobi (the production use of solvers/multigrid.py — the
+             reference's petsc*.opts PC analog)
+  ablation : wall-clock of one f32 coupled (T,p) ablation Newton step
+             (residual + AD Jacobian + equilibrated block GMRES) on this
+             chip — the flagship physics TPU-resident (VERDICT r1 #2)
 """
 
 import json
@@ -22,24 +28,45 @@ os.environ["CMFEM_X64"] = "0"
 import numpy as np
 
 
-def main():
-    if os.environ.get("CMFEM_FORCE_CPU", "0") == "1":
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    import jax
-    import jax.numpy as jnp
+ITERS = 50
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def make_loop(jax, jnp, fn):
+    """Time a fully-jitted loop of applies: per-call dispatch through the
+    axon relay is ~60ms, so eager ops between applies would swamp the
+    measurement.  The normalization keeps values bounded and defeats CSE."""
+
+    @jax.jit
+    def many(u, *extra):
+        def body(_, u):
+            y = fn(u, *extra)
+            return y / (1.0 + jnp.max(jnp.abs(y)))
+
+        return jax.lax.fori_loop(0, ITERS, body, u)
+
+    return many
+
+
+def timeit(jax, many, u, *extra):
+    y = many(u, *extra)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    y = many(u, *extra)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_operator(jax, jnp, n, order, platform, run_cg=True):
+    """Best-path operator-apply MDOF/s at one order; returns a result dict
+    and (when run_cg) the CG-measured throughput."""
     from cmfem_tpu.core import FESpace, make_cartesian_mesh_3d
     from cmfem_tpu.ops import SpaceOps, BilinearForm
     from cmfem_tpu.ops.partial import (
         PAOperator, StructuredGrid3D, StructuredPAOperator,
     )
+    from cmfem_tpu.ops.sumfact import SumFactoredOperator
     from cmfem_tpu.solvers import cg, jacobi_preconditioner
 
-    n = int(os.environ.get("BENCH_N", "48"))
-    order = int(os.environ.get("BENCH_ORDER", "2"))
-    platform = jax.devices()[0].platform
     t0 = time.perf_counter()
     mesh = make_cartesian_mesh_3d(n, n, n)
     fes = FESpace(mesh, order)
@@ -56,47 +83,16 @@ def main():
     assert grid.ndofs == ndofs
     setup_s = time.perf_counter() - t0
 
-    ITERS = 50
-
-    def make_loop(fn):
-        """Time a fully-jitted loop of applies: per-call dispatch through the
-        axon relay is ~60ms, so eager ops between applies would swamp the
-        measurement.  The normalization keeps values bounded and defeats CSE."""
-
-        @jax.jit
-        def many(u, *extra):
-            def body(_, u):
-                y = fn(u, *extra)
-                return y / (1.0 + jnp.max(jnp.abs(y)))
-
-            return jax.lax.fori_loop(0, ITERS, body, u)
-
-        return many
-
-    def timeit(many, u, *extra):
-        y = many(u, *extra)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        y = many(u, *extra)
-        jax.block_until_ready(y)
-        return (time.perf_counter() - t0) / ITERS
-
-    from cmfem_tpu.ops.sumfact import SumFactoredOperator
-
     sfop = SumFactoredOperator(ops, data, n, n, n, order)
     candidates = [("sumfact", lambda: sfop.bind())]
     if sfop.z_periodic and sfop.compressed:
-        # uniform-z-extrusion specialization: D collapses to q1 z-planes,
-        # cutting its HBM read (the dominant traffic) by the factor nz
         candidates.append(("sumfact-periodic",
                            lambda: sfop.bind(use_periodic=True)))
     KK = sfop.Ky * sfop.Kx
     if platform == "tpu" and sfop.compressed and KK % 256 == 0:
-        # VMEM-fused z-chain: V/W quadrature fields never touch HBM
         candidates.append(("sumfact-pallas",
                            lambda: sfop.bind(use_pallas=True, tile=256)))
         if sfop.z_periodic:
-            # + D compressed to q1 z-rows (HBM read of D cut by nz)
             candidates.append(
                 ("sumfact-pallas-periodic",
                  lambda: sfop.bind(use_pallas=True, tile=256,
@@ -119,23 +115,30 @@ def main():
         try:
             bound = make_bound()
             fn, extra = bound[0], bound[1:]
-            many = make_loop(fn)
-            dt = timeit(many, u0, *extra)
+            many = make_loop(jax, jnp, fn)
+            dt = timeit(jax, many, u0, *extra)
             results[name] = ndofs / dt / 1e6
             if results[name] >= max(results.values()):
                 best_bound = (fn, extra)
         except Exception as e:  # pragma: no cover
-            print(f"# {name} path failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            print(f"# order={order} {name} path failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
     best_name = max(results, key=results.get)
     mdofs = results[best_name]
 
-    # CG wall-clock through the best operator (secondary, stderr)
+    out = {"n": n, "ndofs": ndofs, "paths": {k: round(v, 1)
+                                             for k, v in results.items()},
+           "best": best_name, "apply_mdofs": round(mdofs, 1),
+           "setup_s": round(setup_s, 1)}
+    if not run_cg:
+        return out
+
+    # CG wall-clock through the best operator
     diag = form.assemble_diagonal(data).astype(jnp.float32)
-    # diagonal is numbering-dependent; for the structured operator permute
-    # entity-numbered diag to lattice numbering via node positions
-    pos_f = np.round(np.asarray(fes.node_positions) * (grid.NX - 1)).astype(np.int64)
-    lattice_idx = (pos_f[:, 2] * grid.NY + pos_f[:, 1]) * grid.NX + pos_f[:, 0]
+    pos_f = np.round(np.asarray(fes.node_positions)
+                     * (grid.NX - 1)).astype(np.int64)
+    lattice_idx = (pos_f[:, 2] * grid.NY + pos_f[:, 1]) * grid.NX \
+        + pos_f[:, 0]
     diag_lat = jnp.zeros(ndofs, jnp.float32).at[lattice_idx].set(diag)
     b = jnp.ones(ndofs, dtype=jnp.float32)
     fn_best, extra_best = best_bound
@@ -143,7 +146,8 @@ def main():
     @jax.jit
     def solve(b, diag_lat, *extra):
         M = jacobi_preconditioner(diag_lat)
-        return cg(lambda v: fn_best(v, *extra), b, M=M, rtol=1e-5, maxiter=200)
+        return cg(lambda v: fn_best(v, *extra), b, M=M, rtol=1e-5,
+                  maxiter=200)
 
     r = solve(b, diag_lat, *extra_best)
     jax.block_until_ready(r.x)
@@ -152,27 +156,201 @@ def main():
     jax.block_until_ready(r.x)
     cg_s = time.perf_counter() - t0
     cg_mdofs = ndofs * max(int(r.iters), 1) / cg_s / 1e6
-    print(f"# platform={platform} n={n}^3 order={order} ndofs={ndofs} "
-          f"setup={setup_s:.1f}s "
-          f"paths={ {k: round(v, 1) for k, v in results.items()} } "
-          f"cg: {int(r.iters)} iters in {cg_s:.3f}s "
-          f"({cg_mdofs:.0f} MDOF/s through CG)",
-          file=sys.stderr)
+    out["cg_iters"] = int(r.iters)
+    out["cg_s"] = round(cg_s, 3)
+    out["cg_mdofs"] = round(cg_mdofs, 1)
+    return out
 
-    # Headline: operator applies per second in the operator's real calling
-    # context (inside the jitted CG solve, where XLA fuses the apply with the
-    # Krylov vector ops).  Each CG iteration performs one full operator apply
-    # PLUS the preconditioner and ~5 BLAS-1 passes, so this under-counts raw
-    # apply throughput if anything.  The standalone loop-harness number is
-    # reported alongside on stderr.
-    headline = max(mdofs, cg_mdofs)
+
+def bench_mg(jax, jnp, n, order):
+    """SPD (mass + diffusion) solve: MG-preconditioned CG vs Jacobi-CG —
+    solvers/multigrid.py in its production role (reference petsc*.opts
+    PC analog)."""
+    from cmfem_tpu.ops import BilinearForm
+    from cmfem_tpu.solvers import cg, jacobi_preconditioner
+    from cmfem_tpu.solvers.multigrid import StructuredMG
+
+    def make_form(ops):
+        return BilinearForm(ops).add_mass(1.0).add_diffusion(0.1)
+
+    mg = StructuredMG.build(n, order, make_form)
+    lvl0 = mg.levels[0]
+    fn0, D0 = lvl0["op"].bind()
+    mask0 = lvl0["mask"]
+    diag0 = lvl0["diag"]
+    Mmg, arrs = mg.bind()
+    ndofs = int(diag0.shape[0])
+
+    def apply_A(v, D):
+        av = fn0(jnp.where(mask0, 0.0, v), D)
+        return jnp.where(mask0, v, av)
+
+    b = jnp.ones(ndofs, jnp.float32)
+
+    @jax.jit
+    def solve_mg(b, D, arrs):
+        return cg(lambda v: apply_A(v, D), b,
+                  M=lambda r: Mmg(r, arrs), rtol=1e-8, maxiter=200)
+
+    @jax.jit
+    def solve_jac(b, D, diag):
+        return cg(lambda v: apply_A(v, D), b,
+                  M=jacobi_preconditioner(diag), rtol=1e-8, maxiter=2000)
+
+    out = {"n": n, "order": order, "ndofs": ndofs}
+    for name, fn, args in (("mg", solve_mg, (b, D0, arrs)),
+                           ("jacobi", solve_jac, (b, D0, diag0))):
+        r = fn(*args)
+        jax.block_until_ready(r.x)
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r.x)
+        out[f"{name}_iters"] = int(r.iters)
+        out[f"{name}_s"] = round(time.perf_counter() - t0, 4)
+        out[f"{name}_converged"] = bool(r.converged)
+    out["speedup_vs_jacobi"] = round(out["jacobi_s"] / out["mg_s"], 2)
+    return out
+
+
+def bench_ablation(jax, jnp, nx, ny):
+    """One f32 coupled (T,p) ablation Newton step on this chip: jitted
+    residual + AD element-Jacobian/equilibration prepare + point-block
+    GMRES solve (the MUMPS-replacement path, solvers/blocksolve.py).
+    The flagship physics of the suite running TPU-resident."""
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    mesh = make_cartesian_mesh_2d(nx, ny, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    ess = np.asarray(fes.boundary_dofs([3]))
+    dt = 0.05
+    T = jnp.full(n, 300.0).at[jnp.asarray(ess)].set(1644.0)
+    p = jnp.full(n, 101325.0)
+    T_old_q = ops.values_at_qp(jnp.full(n, 300.0))
+    p_old_q = ops.values_at_qp(p)
+    X_old = state.extent
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    mask2_j = jnp.asarray(mask2)
+    bks = BlockNewtonKrylov(fes.element_dofs, n, ess, ess, restart=150,
+                            maxiter=10)
+
+    @jax.jit
+    def residual(T, p):
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X_old, dt)
+        return jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp]))
+
+    @jax.jit
+    def jac_blocks(T, p):
+        return sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
+
+    def step(T, p):
+        R = residual(T, p)
+        fac = bks.prepare(jac_blocks(T, p))
+        res = bks.solve(fac, -R, rtol=1e-4)
+        return T + res.x[:n], p + res.x[n:], R, res
+
+    # warm up (compiles), then run one more step and time each phase
+    T1, p1, R0, res0 = step(T, p)
+    jax.block_until_ready(T1)
+    t0 = time.perf_counter()
+    R = residual(T1, p1)
+    jax.block_until_ready(R)
+    t_res = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fac = bks.prepare(jac_blocks(T1, p1))
+    jax.block_until_ready(fac)
+    t_prep = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = bks.solve(fac, -R, rtol=1e-4)
+    jax.block_until_ready(res.x)
+    t_solve = time.perf_counter() - t0
+    rnorm0 = float(jnp.linalg.norm(R0))
+    rnorm1 = float(jnp.linalg.norm(residual(*step(T1, p1)[:2])))
+    return {"ne": sys_.ne, "ndofs_tp": 2 * n,
+            "residual_ms": round(1e3 * t_res, 2),
+            "prepare_ms": round(1e3 * t_prep, 2),
+            "solve_ms": round(1e3 * t_solve, 2),
+            "newton_step_ms": round(1e3 * (t_res + t_prep + t_solve), 2),
+            "gmres_cycles": int(res.iters),
+            "R0": rnorm0, "R_after_2_steps": rnorm1,
+            "residual_reduction_ok": bool(rnorm1 < rnorm0)}
+
+
+def main():
+    if os.environ.get("CMFEM_FORCE_CPU", "0") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    platform = jax.devices()[0].platform
+    n = int(os.environ.get("BENCH_N", "48"))
+    orders = [int(o) for o in
+              os.environ.get("BENCH_ORDERS", "2,3,4").split(",")]
+
+    order_results = {}
+    headline = 0.0
+    headline_desc = ""
+    for order in orders:
+        # order 4 at n=48 is 7.2M dofs with a 5^3-point rule; halve the
+        # mesh to keep the D arrays comfortably inside HBM
+        n_o = n if order < 4 else max(8, n // 2)
+        try:
+            r = bench_operator(jax, jnp, n_o, order, platform,
+                               run_cg=(order == orders[0]))
+            order_results[str(order)] = r
+            val = max(r["apply_mdofs"], r.get("cg_mdofs", 0.0))
+            print(f"# order={order} {r}", file=sys.stderr)
+            if val > headline:
+                headline = val
+                src = ("CG" if r.get("cg_mdofs", 0.0) >= r["apply_mdofs"]
+                       else r["best"])
+                headline_desc = (f"order-{order} hex, sum-factorized "
+                                 f"matrix-free, measured through {src}")
+        except Exception as e:  # pragma: no cover
+            print(f"# order={order} sweep failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    mg_results = {}
+    try:
+        mg_results = bench_mg(jax, jnp, min(n, 32), 2)
+        print(f"# mg {mg_results}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# mg section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    abl_results = {}
+    try:
+        abl_results = bench_ablation(jax, jnp,
+                                     int(os.environ.get("BENCH_ABL_NX", "32")),
+                                     int(os.environ.get("BENCH_ABL_NY", "512")))
+        print(f"# ablation {abl_results}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# ablation section failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
-        "metric": f"operator-apply MDOF/s (3D CDR, order-{order} hex, "
-                  f"sum-factorized matrix-free, measured through "
-                  f"{'CG' if cg_mdofs >= mdofs else best_name})",
+        "metric": f"operator-apply MDOF/s (3D CDR, {headline_desc})",
         "value": round(headline, 1),
         "unit": "MDOF/s",
         "vs_baseline": round(headline / 500.0, 3),
+        "platform": platform,
+        "orders": order_results,
+        "mg": mg_results,
+        "ablation": abl_results,
     }))
 
 

@@ -38,9 +38,7 @@ def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     # candidates instead of an O(npts * ne) boolean matrix.
     ip = ie = None
     if npts * len(conn) > 1 << 20:
-        from ..native import NativeLocator
-
-        locator = NativeLocator.build(verts, conn, tol)
+        locator = _cached_native_locator(mesh, verts, conn, tol)
         if locator is not None:
             ip, ie = locator.query(pts)
             # match the numpy sweep's deterministic (point, element) order
@@ -54,17 +52,39 @@ def locate_points(mesh: Mesh, points: np.ndarray, vertices=None, tol=1e-9):
     if len(ip) == 0:
         return elem_ids, refs
     ok, r = _invert_map_batched(mesh.geom, coords[ie], pts[ip], tol)
-    # first containing element per point (stable order: nonzero is sorted)
+    # first containing element per point: candidates arrive sorted by
+    # (point, element), so the first occurrence of each point id among the
+    # hits is the deterministic donor (vectorized — no Python loop)
     hit = np.nonzero(ok)[0]
-    first = {}
-    for k in hit:
-        p = ip[k]
-        if p not in first:
-            first[p] = k
-    for p, k in first.items():
-        elem_ids[p] = ie[k]
-        refs[p] = r[k]
+    if len(hit):
+        _, first_idx = np.unique(ip[hit], return_index=True)
+        k = hit[first_idx]
+        elem_ids[ip[k]] = ie[k]
+        refs[ip[k]] = r[k]
     return elem_ids, refs
+
+
+# one-entry locator cache: repeated fixed-mesh probe sampling (scan
+# drivers, per-step probes) reuses the O(ne) bucket grid; any change in
+# mesh identity, vertex contents, or tol invalidates it.
+_locator_cache: dict = {}
+
+
+def _cached_native_locator(mesh, verts, conn, tol):
+    import hashlib
+
+    from ..native import NativeLocator
+
+    digest = hashlib.blake2b(
+        np.ascontiguousarray(verts).tobytes(), digest_size=16).digest()
+    key = (id(mesh), float(tol))
+    hit = _locator_cache.get(key)
+    if hit is not None and hit[0] == digest:
+        return hit[1]
+    locator = NativeLocator.build(verts, conn, tol)
+    _locator_cache.clear()
+    _locator_cache[key] = (digest, locator)
+    return locator
 
 
 def _invert_map_batched(geom, ecoords, x, tol):

@@ -35,57 +35,46 @@ def segmented_rmse_max(t, a, b, t0, t1, valid_mask=None):
     return rmse(a[mask], b[mask]), max_abs(a[mask], b[mask])
 
 
-def load_acceptance_from_yaml(path, defaults):
-    """Parse the acceptance: block of a driver input YAML (text scan, like
-    the reference — survives non-YAML-strict files)."""
-    vals = dict(defaults)
+def _safe_load_yaml(path):
+    """yaml.safe_load with an empty-dict fallback for missing/invalid
+    files (the harnesses must tolerate absent inputs, §4.2)."""
+    import yaml
+
     path = Path(path)
     if not path.exists():
-        return vals
-    in_block = False
-    for raw in path.read_text().splitlines():
-        line = raw.rstrip()
-        stripped = line.strip()
-        if not stripped or stripped.startswith("#"):
-            continue
-        if stripped == "acceptance:":
-            in_block = True
-            continue
-        if in_block and not line.startswith(" "):
-            break
-        if in_block and ":" in stripped:
-            k, v = stripped.split(":", 1)
+        return {}
+    try:
+        data = yaml.safe_load(path.read_text())
+    except yaml.YAMLError:
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def load_acceptance_from_yaml(path, defaults):
+    """Acceptance tolerances from the driver input YAML's `acceptance:`
+    block, overlaid on the harness defaults (SURVEY.md §4.2)."""
+    vals = dict(defaults)
+    block = _safe_load_yaml(path).get("acceptance")
+    if isinstance(block, dict):
+        for k, v in block.items():
             try:
-                vals[k.strip()] = float(v.strip())
-            except ValueError:
+                vals[str(k)] = float(v)
+            except (TypeError, ValueError):
                 pass
     return vals
 
 
 def load_probe_depths_from_yaml(path):
     """Probe depths measured from the hot surface (first probe_y entry)."""
-    path = Path(path)
-    if not path.exists():
+    raw = _safe_load_yaml(path).get("probe_y")
+    if not isinstance(raw, (list, tuple)):
         return []
     probe_y = []
-    in_block = False
-    for raw in path.read_text().splitlines():
-        line = raw.rstrip()
-        stripped = line.strip()
-        if not stripped or stripped.startswith("#"):
-            continue
-        if stripped == "probe_y:":
-            in_block = True
-            continue
-        if in_block:
-            if line.startswith("  -"):
-                try:
-                    probe_y.append(float(line.split("-", 1)[1].strip()))
-                except ValueError:
-                    pass
-                continue
-            if not line.startswith(" "):
-                break
+    for v in raw:
+        try:
+            probe_y.append(float(v))
+        except (TypeError, ValueError):
+            pass
     if not probe_y:
         return []
     y_wall = probe_y[0]

@@ -367,8 +367,15 @@ int64_t locator_query(void *handle, const double *pts, int64_t npts,
     int ib[3] = {0, 0, 0};
     bool in_grid = true;
     for (int d = 0; d < dim; ++d) {
-      ib[d] = (int)((pts[p * dim + d] - L->lo[d]) * L->inv_h[d]);
-      if (ib[d] < 0 || ib[d] >= L->nb[d]) { in_grid = false; break; }
+      double v = pts[p * dim + d];
+      // inclusive padded-bbox test, then clamp the bucket index into the
+      // grid: a point sitting exactly at bbox_max+tol computes ib == nb
+      // but must still yield candidates (matching the numpy sweep's
+      // inclusive `pts <= hi` comparison).
+      double hi = L->lo[d] + (double)L->nb[d] / L->inv_h[d];
+      if (v < L->lo[d] || v > hi) { in_grid = false; break; }
+      ib[d] = loc_clampi((int)((v - L->lo[d]) * L->inv_h[d]), 0,
+                         L->nb[d] - 1);
     }
     if (!in_grid) continue;
     int64_t b = ((int64_t)ib[2] * L->nb[1] + ib[1]) * L->nb[0] + ib[0];
