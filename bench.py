@@ -260,21 +260,25 @@ def bench_ablation(jax, jnp, nx, ny):
         res = bks.solve(fac, -R, rtol=1e-4)
         return T + res.x[:n], p + res.x[n:], R, res
 
-    # warm up (compiles), then run one more step and time each phase
+    # warm up (compiles), then time each phase over a few reps taking the
+    # best (a single post-warmup measurement occasionally absorbs a relay
+    # or allocator hiccup orders of magnitude above steady state)
     T1, p1, R0, res0 = step(T, p)
     jax.block_until_ready(T1)
-    t0 = time.perf_counter()
-    R = residual(T1, p1)
-    jax.block_until_ready(R)
-    t_res = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fac = bks.prepare(jac_blocks(T1, p1))
-    jax.block_until_ready(fac)
-    t_prep = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = bks.solve(fac, -R, rtol=1e-4)
-    jax.block_until_ready(res.x)
-    t_solve = time.perf_counter() - t0
+
+    def best_of(fn, reps=3):
+        ts = []
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    t_res, R = best_of(lambda: residual(T1, p1))
+    t_prep, fac = best_of(lambda: bks.prepare(jac_blocks(T1, p1)))
+    t_solve, res = best_of(lambda: bks.solve(fac, -R, rtol=1e-4))
     rnorm0 = float(jnp.linalg.norm(R0))
     rnorm1 = float(jnp.linalg.norm(residual(*step(T1, p1)[:2])))
     return {"ne": sys_.ne, "ndofs_tp": 2 * n,
@@ -326,7 +330,7 @@ def main():
 
     mg_results = {}
     try:
-        mg_results = bench_mg(jax, jnp, min(n, 32), 2)
+        mg_results = bench_mg(jax, jnp, min(n, 48), 2)
         print(f"# mg {mg_results}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# mg section failed: {type(e).__name__}: {e}",

@@ -75,11 +75,46 @@ def run(cfg: dict) -> dict:
     ess = fes.boundary_dofs()
     bc = EssentialBC(fes.nscalar, ess)
     diag = jnp.where(bc.mask, 1.0, lhs.assemble_diagonal(ldata))
-    M = jacobi_preconditioner(diag)
     ess_pts = fes.node_positions[np.asarray(ess)]
 
     rtol = float(cfg.get("solver_rtol", 1e-12))
     maxiter = int(cfg.get("solver_maxiter", 2000))
+
+    # linear_solver: jacobi (default) | mg — geometric multigrid over the
+    # driver's own refinement chain + p-coarsening, the production PC
+    # analog of the reference's petsc*.opts AMG configurations
+    solver = str(cfg.get("linear_solver", "jacobi")).lower()
+    if solver == "mg":
+        from ..solvers import GeometricMG
+
+        base = load_mesh_from_cfg(
+            {**cfg, "serial_ref_levels": 0, "par_ref_levels": 0})
+        nref = int(cfg.get("serial_ref_levels", 0)) \
+            + int(cfg.get("par_ref_levels", 0))
+        if nref < 1 and order < 2:
+            raise ValueError(
+                "linear_solver: mg needs a hierarchy — set "
+                "serial_ref_levels >= 1 and/or order >= 2")
+        chain = [base]
+        for _ in range(nref):
+            chain.insert(0, chain[0].uniform_refine(1))
+        specs = [(chain[0], order)]
+        if order > 1:
+            specs.append((chain[0], 1))
+        specs += [(m, 1) for m in chain[1:]]
+        mg = GeometricMG.build(
+            specs, lambda o: BilinearForm(o).add_mass(1.0)
+            .add_diffusion(alpha * dt))
+        Mmg, mg_arrays = mg.bind()
+        M = lambda r: Mmg(r, mg_arrays)
+        print(f"MG hierarchy: {len(specs)} levels "
+              f"({[s[0].num_elements for s in specs]} elems at orders "
+              f"{[s[1] for s in specs]})")
+    elif solver in ("jacobi", "cg"):
+        M = jacobi_preconditioner(diag)
+    else:
+        raise ValueError(f"linear_solver must be 'jacobi' or 'mg', "
+                         f"got {solver!r}")
 
     apply_A = lambda v: lhs.apply(ldata, v)
 
@@ -118,17 +153,19 @@ def run(cfg: dict) -> dict:
 
     compute_and_save(0, 0.0)
     last = (0.0, 0.0)
+    solve_iters = []
     for step in range(1, nsteps + 1):
         t = step * dt
         f_vec = domain_lf(ops, lambda x: forcing(x, t))
         bdr_vals = exact(ess_pts, t)
         u, iters, resid = step_fn(u, f_vec, jnp.asarray(bdr_vals))
+        solve_iters.append(int(iters))
         last = compute_and_save(step, t)
 
     csv.close()
     print(f"\nFinal L2 error at t={nsteps * dt}: {last[0]}")
     return {"final_l2": last[0], "final_linf": last[1], "u": np.asarray(u),
-            "fes": fes}
+            "fes": fes, "solve_iters": solve_iters}
 
 
 def main(argv=None):

@@ -1,6 +1,6 @@
 from .krylov import cg, gmres, SolveResult
 from .precond import jacobi_preconditioner, chebyshev_preconditioner, power_iteration_lmax
-from .multigrid import StructuredMG
+from .multigrid import GeometricMG, StructuredMG
 from .direct import dense_solve
 from .newton import NewtonConfig, NewtonResult, newton_solve
 from .blocksolve import BlockNewtonKrylov
@@ -17,5 +17,6 @@ __all__ = [
     "NewtonResult",
     "newton_solve",
     "StructuredMG",
+    "GeometricMG",
     "BlockNewtonKrylov",
 ]

@@ -59,6 +59,156 @@ def _lattice_diag(fes: FESpace, form, data, grid: StructuredGrid3D):
     return out
 
 
+class GeometricMG:
+    """Geometric interpolation multigrid for UNSTRUCTURED meshes — the
+    production-PC analog of the reference's PETSc AMG option files for
+    the 2D drivers (Input/petsc*.opts).  The hierarchy is p-coarsening
+    (order -> 1 on the solve mesh) followed by the driver's own
+    refinement chain (refined mesh -> loaded mesh); transfer operators
+    are exact H1 interpolation stencils of each coarse space at the next
+    finer space's node positions (``h1_sampling_stencil``), so nested
+    refinement gives the standard P / P^T pair without any parent
+    bookkeeping.  Smoothing is Jacobi-scaled Chebyshev (matmul-only).
+
+    Levels are (FESpace, SpaceOps, BilinearForm data) fine -> coarse;
+    every big array travels as a jit argument via ``bind()``.
+    """
+
+    def __init__(self, levels, smooth_degree: int = 3,
+                 coarse_degree: int = 24):
+        self.levels = levels
+        self.smooth_degree = smooth_degree
+        self.coarse_degree = coarse_degree
+
+    @staticmethod
+    def build(specs, make_form, quad_order=None):
+        """specs: list of (mesh, order) fine -> coarse (nested domains —
+        every finer level's nodes must lie inside the coarser mesh).
+        ``make_form(ops) -> BilinearForm`` defines the SPD PDE on every
+        level.  Essential dofs are each level's full boundary."""
+        from ..core.fespace import FESpace as _FESpace
+        from ..core.pointlocate import h1_sampling_stencil
+
+        levels = []
+        prev_fes = None
+        for (mesh_l, order_l) in specs:
+            fes = _FESpace(mesh_l, order_l)
+            ops = SpaceOps(fes, quad_order=quad_order or max(2, 2 * order_l))
+            form = make_form(ops)
+            data = form.assemble()
+            mask = np.zeros(fes.nscalar, bool)
+            mask[np.asarray(fes.boundary_dofs())] = True
+            diag = np.asarray(form.assemble_diagonal(data))
+            diag = np.where(mask, 1.0, diag)
+            lvl = {
+                "form": form,
+                "data": data,
+                "n": fes.nscalar,
+                "diag": jnp.asarray(diag),
+                "mask": jnp.asarray(mask),
+            }
+            if prev_fes is not None:
+                # interpolation of THIS (coarse) space at the previous
+                # (fine) level's nodes: u_f = P u_c
+                pd, pw = h1_sampling_stencil(fes,
+                                             np.asarray(
+                                                 prev_fes.node_positions))
+                if not np.isfinite(pw).all():
+                    raise ValueError(
+                        "GeometricMG: fine nodes fall outside the coarse "
+                        "mesh (non-nested hierarchy)")
+                levels[-1]["Pd"] = jnp.asarray(pd)
+                levels[-1]["Pw"] = jnp.asarray(pw)
+            levels.append(lvl)
+            prev_fes = fes
+
+        # Chebyshev eigenvalue estimates of the Jacobi-scaled constrained
+        # operators
+        for lvl in levels:
+            form, data = lvl["form"], lvl["data"]
+            mask = lvl["mask"]
+            dinv = 1.0 / lvl["diag"]
+
+            def Aop(v, form=form, data=data, mask=mask, dinv=dinv):
+                av = form.apply(data, jnp.where(mask, 0.0, v))
+                return dinv * jnp.where(mask, v, av)
+
+            lvl["lmax"] = float(power_iteration_lmax(
+                jax.jit(Aop), lvl["n"], iters=20,
+                dtype=lvl["diag"].dtype)) * 1.05
+        return GeometricMG(levels)
+
+    def bind(self):
+        """(M(r, arrays), arrays): jittable V-cycle preconditioner."""
+        nlev = len(self.levels)
+        forms = [lvl["form"] for lvl in self.levels]
+        meta = [{"lmax": lvl["lmax"], "n": lvl["n"]} for lvl in self.levels]
+        arrays = []
+        for lvl in self.levels:
+            arrays.append((lvl["data"], lvl["diag"], lvl["mask"],
+                           lvl.get("Pd", jnp.zeros((0, 1), jnp.int64)),
+                           lvl.get("Pw", jnp.zeros((0, 1)))))
+        smooth_degree = self.smooth_degree
+        coarse_degree = self.coarse_degree
+
+        def apply_level(k, v, arrs):
+            data, diag, mask, _, _ = arrs[k]
+            av = forms[k].apply(data, jnp.where(mask, 0.0, v))
+            return jnp.where(mask, v, av)
+
+        def chebyshev(k, r, arrs, degree):
+            _, diag, mask, _, _ = arrs[k]
+            lmax = meta[k]["lmax"]
+            lmin = lmax / 30.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            dinv = 1.0 / diag
+
+            def Aop(v):
+                return dinv * apply_level(k, v, arrs)
+
+            rs = dinv * r
+            z = rs / theta
+            d = z
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(degree - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = rho_new * (2.0 / delta * (rs - Aop(z)) + rho * d)
+                z = z + d
+                rho = rho_new
+            return z
+
+        def restrict(k, r, arrs):
+            """fine k -> coarse k+1 via P^T (scatter of the stencil)."""
+            _, _, _, Pd, Pw = arrs[k]
+            nc = meta[k + 1]["n"]
+            rc = jax.ops.segment_sum((Pw * r[:, None]).reshape(-1),
+                                     Pd.reshape(-1), num_segments=nc)
+            return jnp.where(arrs[k + 1][2], 0.0, rc)
+
+        def prolong(k, e, arrs):
+            _, _, _, Pd, Pw = arrs[k]
+            ef = jnp.einsum("in,in->i", Pw, e[Pd])
+            return jnp.where(arrs[k][2], 0.0, ef)
+
+        def vcycle(k, r, arrs):
+            if k == nlev - 1:
+                return chebyshev(k, r, arrs, coarse_degree)
+            z = chebyshev(k, r, arrs, smooth_degree)
+            res = r - apply_level(k, z, arrs)
+            ec = vcycle(k + 1, restrict(k, res, arrs), arrs)
+            z = z + prolong(k, ec, arrs)
+            res = r - apply_level(k, z, arrs)
+            z = z + chebyshev(k, res, arrs, smooth_degree)
+            return z
+
+        def M(r, arrs):
+            return vcycle(0, r, arrs)
+
+        return M, tuple(arrays)
+
+
 class StructuredMG:
     """V-cycle preconditioner over a list of structured-lattice levels.
 

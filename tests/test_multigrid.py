@@ -122,3 +122,38 @@ def test_mg_vcycle_is_jittable():
     z2 = jax.jit(M)(2.0 * r, arrs)
     np.testing.assert_allclose(np.asarray(z2), 2 * np.asarray(z),
                                rtol=1e-12, atol=0)
+
+
+def test_geometric_mg_unstructured_driver(tmp_path):
+    """GeometricMG in its production role: the diffusion_mms driver with
+    linear_solver: mg on the reference's triangle mesh — iteration counts
+    stay low and roughly mesh-independent across refinement, and the
+    solution matches the Jacobi-CG run (reference analog: the petsc*.opts
+    AMG configurations, SURVEY.md §2.3)."""
+    from cmfem_tpu.apps.diffusion_mms import run
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    base = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 1,
+        "dt": 0.02,
+        "t_final": 0.06,
+        "alpha": 1.0,
+        "save_paraview": False,
+        "solver_rtol": 1e-10,
+    }
+    iters_by_ref = {}
+    for nref in (1, 2):
+        out_mg = run({**base, "serial_ref_levels": nref,
+                      "linear_solver": "mg",
+                      "output_path": str(tmp_path / f"mg{nref}")})
+        out_j = run({**base, "serial_ref_levels": nref,
+                     "output_path": str(tmp_path / f"j{nref}")})
+        assert np.abs(out_mg["u"] - out_j["u"]).max() \
+            / np.abs(out_j["u"]).max() < 1e-7
+        iters_by_ref[nref] = (max(out_mg["solve_iters"]),
+                              max(out_j["solve_iters"]))
+    # MG beats Jacobi and stays (roughly) mesh-independent
+    for nref, (mg_it, j_it) in iters_by_ref.items():
+        assert mg_it < j_it / 2, iters_by_ref
+    assert iters_by_ref[2][0] <= iters_by_ref[1][0] + 3, iters_by_ref
