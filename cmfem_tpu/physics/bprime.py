@@ -155,22 +155,30 @@ class BPrimeTable:
         bg_min, bg_max = bgs[0], bgs[-1]
         bg_q = jnp.clip(bg, bg_min, bg_max)
         clamped_bg = (bg < bg_min) | (bg > bg_max)
-        hj = jnp.clip(jnp.searchsorted(jnp.asarray(bgs), bg_q, side="left"),
-                      1, Lbg - 1)
+        bgs_j = jnp.asarray(bgs)
+        # vectorized-comparison interval + one-hot selection (per-query
+        # gathers scalarize on TPU; see tacot.spline_eval)
+        hj = jnp.clip(jnp.sum(bg_q[..., None] > bgs_j, axis=-1), 1, Lbg - 1)
         lj = hj - 1
-        bg0 = jnp.asarray(bgs)[lj]
-        bg1 = jnp.asarray(bgs)[hj]
+        oh_lj = (lj[..., None] == jnp.arange(Lbg))
+        oh_hj = (hj[..., None] == jnp.arange(Lbg))
+        bg0 = jnp.sum(bgs_j * oh_lj, axis=-1)
+        bg1 = jnp.sum(bgs_j * oh_hj, axis=-1)
         wbg = (bg_q - bg0) / (bg1 - bg0)
         on_node = (jnp.abs(bg_q - bg0) <= 1e-12 * jnp.maximum(1.0, jnp.abs(bg_q))) | \
                   (jnp.abs(bg_q - bg1) <= 1e-12 * jnp.maximum(1.0, jnp.abs(bg_q)))
         nonsmooth_bg = clamped_bg | on_node
 
+        def sel_bg(a, oh):
+            # a (Lp, Lbg, ...) one-hot contracted over the Lbg axis
+            am = jnp.moveaxis(a, 1, -1)             # (Lp, ..., Lbg)
+            return jnp.sum(am * oh.astype(am.dtype), axis=-1)
+
         def interp_bg(vals, ders):
-            # vals (Lp, Lbg, ...) -> per p-level (Lp, ...)
-            v0 = jnp.take_along_axis(vals, lj[None, None], axis=1)[:, 0]
-            v1 = jnp.take_along_axis(vals, hj[None, None], axis=1)[:, 0]
-            d0 = jnp.take_along_axis(ders, lj[None, None], axis=1)[:, 0]
-            d1 = jnp.take_along_axis(ders, hj[None, None], axis=1)[:, 0]
+            v0 = sel_bg(vals, oh_lj)
+            v1 = sel_bg(vals, oh_hj)
+            d0 = sel_bg(ders, oh_lj)
+            d1 = sel_bg(ders, oh_hj)
             val = (1 - wbg) * v0 + wbg * v1
             dT = (1 - wbg) * d0 + wbg * d1
             dbg = jnp.where(clamped_bg, 0.0, (v1 - v0) / (bg1 - bg0))
@@ -190,17 +198,23 @@ class BPrimeTable:
             bc_dT, hw_dT = out_sel(bc_dT_p), out_sel(hw_dT_p)
             bc_dbg, hw_dbg = out_sel(bc_dbg_p), out_sel(hw_dbg_p)
         else:
-            hi = jnp.clip(jnp.searchsorted(jnp.asarray(ps), p_q, side="left"),
-                          1, Lp - 1)
+            ps_j = jnp.asarray(ps)
+            hi = jnp.clip(jnp.sum(p_q[..., None] > ps_j, axis=-1), 1,
+                          Lp - 1)
             lo = hi - 1
-            lp0 = jnp.log(jnp.maximum(jnp.asarray(ps)[lo], 1e-30))
-            lp1 = jnp.log(jnp.maximum(jnp.asarray(ps)[hi], 1e-30))
+            oh_lo = (lo[..., None] == jnp.arange(Lp))
+            oh_hi = (hi[..., None] == jnp.arange(Lp))
+            lp0 = jnp.log(jnp.maximum(jnp.sum(ps_j * oh_lo, axis=-1),
+                                      1e-30))
+            lp1 = jnp.log(jnp.maximum(jnp.sum(ps_j * oh_hi, axis=-1),
+                                      1e-30))
             lpq = jnp.log(jnp.maximum(p_q, 1e-30))
             w = (lpq - lp0) / (lp1 - lp0)
 
             def mix(a):
-                a0 = jnp.take_along_axis(a, lo[None], axis=0)[0]
-                a1 = jnp.take_along_axis(a, hi[None], axis=0)[0]
+                am = jnp.moveaxis(a, 0, -1)          # (..., Lp)
+                a0 = jnp.sum(am * oh_lo.astype(am.dtype), axis=-1)
+                a1 = jnp.sum(am * oh_hi.astype(am.dtype), axis=-1)
                 return (1 - w) * a0 + w * a1
 
             bc_o, hw_o = mix(bc_p), mix(hw_p)

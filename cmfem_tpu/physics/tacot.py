@@ -236,17 +236,35 @@ def _make_extent_solver(mat: "TacotMaterial"):
         x_old = jnp.clip(extent_old, 0.0, 1.0)
         Tc, arr, tpow, _, _ = _pieces(T, x_old)
         active = (Tc >= T_thr) & (arr > 0.0) & (dt > 0.0)
+        # convergence-gated Newton (max `iters`, the reference's cap): the
+        # scalar iteration converges in a handful of steps, so the
+        # while_loop exits early instead of always paying 30 sweeps; the
+        # derivative is the IFT custom_jvp below, so the loop itself is
+        # never differentiated.  Tolerance is dtype-scaled (extents live
+        # in [0, 1]).
+        tol = 100.0 * jnp.finfo(jnp.result_type(x_old)).eps
 
-        def body(x, _):
+        def cond(carry):
+            _, it, delta = carry
+            return (it < iters) & (delta > tol)
+
+        def body(carry):
+            x, it, _ = carry
             _, _, _, xpow, dxpow = _pieces(T, x)
             rate = arr * xpow * tpow
             f = x - x_old - dt * rate
             dfdx = 1.0 + dt * arr * m_exp * dxpow * tpow
             dx = f / jnp.maximum(dfdx, 1e-14)
-            x_new = jnp.clip(x - dx, x_old, 1.0)
-            return jnp.where(active, x_new, x_old), None
+            x_new = jnp.where(active, jnp.clip(x - dx, x_old, 1.0), x_old)
+            return x_new, it + 1, jnp.max(jnp.abs(x_new - x))
 
-        x, _ = jax.lax.scan(body, x_old, None, length=iters)
+        # seed delta from x_old so it carries the same sharding/varying
+        # type as the body output under shard_map (an unvarying inf
+        # literal trips the while_loop carry check on manual axes)
+        delta0 = jnp.asarray(jnp.inf, x_old.dtype) + 0.0 * jnp.max(
+            jnp.abs(x_old))
+        x, _, _ = jax.lax.while_loop(
+            cond, body, (x_old, jnp.asarray(0), delta0))
         return jnp.clip(jnp.where(active, x, x_old), x_old, 1.0)
 
     @solve.defjvp
