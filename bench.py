@@ -171,7 +171,10 @@ def bench_mg(jax, jnp, n, order):
     from cmfem_tpu.solvers.multigrid import StructuredMG
 
     def make_form(ops):
-        return BilinearForm(ops).add_mass(1.0).add_diffusion(0.1)
+        # pure diffusion with Dirichlet walls — the Poisson-like solve the
+        # reference's AMG option files target; a mass-dominated operator
+        # would hand Jacobi an artificially easy conditioning story
+        return BilinearForm(ops).add_diffusion(1.0)
 
     mg = StructuredMG.build(n, order, make_form)
     lvl0 = mg.levels[0]
@@ -309,9 +312,11 @@ def main():
     headline = 0.0
     headline_desc = ""
     for order in orders:
-        # order 4 at n=48 is 7.2M dofs with a 5^3-point rule; halve the
-        # mesh to keep the D arrays comfortably inside HBM
-        n_o = n if order < 4 else max(8, n // 2)
+        # order 4 at n=48 is 7.2M dofs with a 5^3-point rule; shrink the
+        # mesh to keep the D arrays comfortably inside HBM.  Use 2n/3
+        # rounded to a multiple of 16 so Ky*Kx stays 256-divisible and the
+        # fused Pallas paths stay eligible (q1=5: KK=25 n^2).
+        n_o = n if order < 4 else max(16, (2 * n // 3) // 16 * 16)
         try:
             r = bench_operator(jax, jnp, n_o, order, platform,
                                run_cg=(order == orders[0]))
