@@ -245,8 +245,11 @@ def bench_ablation(jax, jnp, nx, ny):
     mask2[ess] = True
     mask2[ess + n] = True
     mask2_j = jnp.asarray(mask2)
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
     bks = BlockNewtonKrylov(fes.element_dofs, n, ess, ess, restart=150,
-                            maxiter=10)
+                            maxiter=10,
+                            dof_lattice=strip_dof_lattice(
+                                fes.node_positions))
 
     @jax.jit
     def residual(T, p):

@@ -205,7 +205,8 @@ def run(cfg: dict) -> dict:
     def jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt):
         return sys_.element_jacobians(T, p, T_old_q, p_old_q, X_old, dt)
 
-    iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n, ess, ess)
+    iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n, ess, ess,
+                                            node_positions=fes.node_positions)
 
     class _ShardedPrepared:
         def __init__(self, factors):

@@ -243,7 +243,8 @@ def run(cfg: dict) -> dict:
         return blocks, face
 
     iter_factory = make_block_linear_solver(cfg, fes.element_dofs, n,
-                                            ess_T, ess)
+                                            ess_T, ess,
+                                            node_positions=fes.node_positions)
 
     class _ShardedPrepared:
         def __init__(self, sh, factors):

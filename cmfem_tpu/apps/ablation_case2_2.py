@@ -418,7 +418,8 @@ def run(cfg: dict) -> dict:
         return blocks, face
 
     iter_factory = make_block_linear_solver(
-        cfg, fes.element_dofs, n, np.zeros(0, dtype=np.int64), ess)
+        cfg, fes.element_dofs, n, np.zeros(0, dtype=np.int64), ess,
+        node_positions=fes.node_positions)
 
     class _ShardedPrepared:
         def __init__(self, sh, factors):

@@ -183,7 +183,8 @@ def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
                          "nupd": nupd}
 
 
-def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p):
+def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p,
+                             node_positions=None):
     """Optional on-device iterative solver for the ablation (T,p) Newton
     systems (YAML key ``linear_solver``, SURVEY.md §7.3 direct-solver
     replacement).
@@ -193,7 +194,12 @@ def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p):
     producing objects with the same ``.solve(rhs) -> ndarray`` surface as
     ``scipy.sparse.linalg.splu`` so the Newton loops are solver-agnostic.
     Tuning keys: ``linear_rtol`` (default 1e-10), ``gmres_restart`` (400),
-    ``gmres_maxiter`` (10 cycles)."""
+    ``gmres_maxiter`` (10 cycles).
+
+    When ``node_positions`` is given and the scalar dofs form a
+    tensor-product strip lattice (the reference's transfinite ablation
+    meshes), the solver uses the gather-free stencil matvec
+    (``gmres_lattice: false`` opts out)."""
     mode = str(cfg.get("linear_solver", "lu")).lower()
     if mode in ("lu", "direct", "mumps"):
         return None
@@ -204,11 +210,20 @@ def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p):
     import numpy as np
 
     from ..solvers import BlockNewtonKrylov
+    from ..solvers.blocksolve import strip_dof_lattice
+
+    dof_lattice = None
+    if node_positions is not None and bool(cfg.get("gmres_lattice", True)):
+        try:
+            dof_lattice = strip_dof_lattice(node_positions)
+        except ValueError:
+            dof_lattice = None
 
     bks = BlockNewtonKrylov(
         element_dofs, n, ess_T, ess_p,
         restart=int(cfg.get("gmres_restart", 400)),
-        maxiter=int(cfg.get("gmres_maxiter", 10)))
+        maxiter=int(cfg.get("gmres_maxiter", 10)),
+        dof_lattice=dof_lattice)
     rtol = float(cfg.get("linear_rtol", 1.0e-10))
 
     class _Prepared:

@@ -40,6 +40,40 @@ import numpy as np
 from .krylov import gmres
 
 
+def strip_dof_lattice(positions, tol_factor=1e-8):
+    """Recover an (NY, NX) dof lattice from scalar-dof positions of a
+    tensor-product strip mesh (the reference's transfinite ablation
+    strips, Mesh/ablation_strip.geo).  Columns are tolerance-clustered on
+    x (GMSH emits float jitter); each column must hold the same number of
+    dofs, sorted by y.  Raises ValueError when the dofs are not a
+    tensor-product lattice."""
+    pos = np.asarray(positions)
+    if pos.ndim != 2 or pos.shape[1] < 2:
+        raise ValueError("strip_dof_lattice needs (n, >=2) positions")
+    xy = pos[:, :2]
+    n = len(xy)
+    xsorted = np.sort(np.unique(xy[:, 0]))
+    span = max(float(xsorted[-1] - xsorted[0]), 1e-30)
+    tol = tol_factor * span
+    reps = [float(xsorted[0])]
+    for v in xsorted[1:]:
+        if v - reps[-1] > tol:
+            reps.append(float(v))
+    nx = len(reps)
+    if n % nx:
+        raise ValueError("dofs do not tile an x-column lattice")
+    ny = n // nx
+    edges = 0.5 * (np.asarray(reps[1:]) + np.asarray(reps[:-1]))
+    col_of = np.searchsorted(edges, xy[:, 0])
+    lat = np.full((ny, nx), -1, dtype=np.int64)
+    for c in range(nx):
+        ids = np.nonzero(col_of == c)[0]
+        if len(ids) != ny:
+            raise ValueError("unequal column heights in dof lattice")
+        lat[:, c] = ids[np.argsort(xy[ids, 1], kind="stable")]
+    return lat
+
+
 def equilibrated_block_factors(Je, lmask, mask2, gather, scatter, nd, n,
                                reduce_fn=lambda x: x):
     """BC-eliminate and equilibrate (2nd, 2nd) element blocks; build the
@@ -119,7 +153,7 @@ class BlockNewtonKrylov:
     """
 
     def __init__(self, element_dofs, n, ess_T, ess_p,
-                 restart: int = 400, maxiter: int = 10):
+                 restart: int = 400, maxiter: int = 10, dof_lattice=None):
         ed = np.asarray(element_dofs, dtype=np.int64)
         self.ne, self.nd = ed.shape
         self.n = int(n)
@@ -134,18 +168,87 @@ class BlockNewtonKrylov:
         self.lmask = jnp.asarray(np.concatenate([lT, lp], axis=1))
         self.restart = int(restart)
         self.maxiter = int(maxiter)
+        self._init_lattice(ed, mask, dof_lattice)
         self._prepare = jax.jit(self._prepare_impl)
         self._prepare_face = jax.jit(self._prepare_impl_face)
         self._solve = jax.jit(self._solve_impl)
+
+    def _init_lattice(self, ed, mask, dof_lattice):
+        """Precompute the stencil-assembly map for lattice (DIA) mode.
+
+        On a tensor-product dof lattice the assembled Jacobian is a small
+        stencil of 2x2 field blocks per dof (9-point at order 1, 25-point
+        at order 2, ...), so the GMRES matvec becomes shifted-window
+        multiplies over the (NY, NX) grid — no per-iteration gather or
+        segment_sum, both of which scalarize on TPU (measured 91 ms ->
+        see bench ablation section).  The assembly scatter runs once per
+        Jacobian rebuild inside ``prepare``.
+        """
+        self.lattice = None
+        if dof_lattice is None:
+            return
+        lat = np.asarray(dof_lattice, dtype=np.int64)
+        NY, NX = lat.shape
+        if NY * NX != self.n:
+            raise ValueError("dof_lattice must enumerate every scalar dof")
+        latflat = lat.reshape(-1)                   # lattice pos -> dof
+        perm = np.empty(self.n, np.int64)
+        perm[latflat] = np.arange(self.n)           # dof -> lattice pos
+        ly, lx = perm // NX, perm % NX
+        # offset of entry (e, a, b): coord(col dof) - coord(row dof)
+        oy = ly[ed][:, None, :] - ly[ed][:, :, None]   # (ne, nd, nd)
+        ox = lx[ed][:, None, :] - lx[ed][:, :, None]
+        # bijective key for |ox| <= NX; decode with the +NX bias so
+        # negative x-offsets round to the correct row
+        off_keys = oy * (2 * NX + 1) + ox
+        uniq, off_idx = np.unique(off_keys.ravel(), return_inverse=True)
+        qy = (uniq + NX) // (2 * NX + 1)
+        offs = np.stack([qy, uniq - qy * (2 * NX + 1)], axis=1)
+        KO = len(uniq)
+        pad = int(max(np.abs(offs).max(), 1))
+        row_pos = (ly[ed][:, :, None] * NX
+                   + lx[ed][:, :, None]) * np.ones((1, 1, self.nd),
+                                                   dtype=np.int64)
+        stencil_idx = off_idx.reshape(ed.shape[0], self.nd, self.nd) \
+            * (NY * NX) + row_pos
+        self.lattice = {
+            "NY": NY, "NX": NX, "KO": KO, "pad": pad,
+            "offs": [(int(a), int(b)) for a, b in offs],
+            "idx": jnp.asarray(stencil_idx.reshape(-1)),
+            "latflat2": jnp.asarray(
+                np.concatenate([latflat, latflat + self.n])),
+            "dofperm2": jnp.asarray(
+                np.concatenate([perm, perm + self.n])),
+            "latflat": jnp.asarray(latflat),
+            "mask2_lat": jnp.asarray(
+                np.concatenate([mask[:self.n][latflat],
+                                mask[self.n:][latflat]])),
+        }
 
     # -- Jacobian preparation (once per Newton rebuild) ---------------------
 
     def _prepare_core(self, Je):
         """Shared BC-elimination/equilibration/PC build (see
-        ``equilibrated_block_factors``)."""
-        return equilibrated_block_factors(
+        ``equilibrated_block_factors``); in lattice mode additionally
+        assembles the scaled blocks into the (4, KO, NY, NX) stencil and
+        permutes the PC/scaling vectors into lattice layout."""
+        Je_s, pb, s = equilibrated_block_factors(
             Je, self.lmask, self.mask2, self._gather, self._scatter,
             self.nd, self.n)
+        if self.lattice is None:
+            return Je_s, pb, s
+        L = self.lattice
+        nd = self.nd
+        ngrid = L["KO"] * L["NY"] * L["NX"]
+        blocks = jnp.stack([Je_s[:, :nd, :nd], Je_s[:, :nd, nd:],
+                            Je_s[:, nd:, :nd], Je_s[:, nd:, nd:]])
+        idx4 = (L["idx"][None] + (jnp.arange(4) * ngrid)[:, None])
+        S = jax.ops.segment_sum(blocks.reshape(-1), idx4.reshape(-1),
+                                num_segments=4 * ngrid)
+        S = S.reshape(4, L["KO"], L["NY"], L["NX"])
+        pb_lat = pb[:, L["latflat"]]
+        s_lat = s[L["latflat2"]]
+        return S, pb_lat, s_lat
 
     def _assemble_element_blocks(self, JTT, JTp, JpT, Jpp):
         top = jnp.concatenate([JTT, JTp], axis=2)
@@ -192,12 +295,43 @@ class BlockNewtonKrylov:
         return jnp.concatenate([yT, yp])
 
     def _solve_impl(self, Je_s, pb, s, b, rtol, atol):
+        if self.lattice is not None:
+            return self._solve_impl_lattice(Je_s, pb, s, b, rtol, atol)
+
         def matvec(y):
             return self._scatter(jnp.einsum("eij,ej->ei", Je_s,
                                             self._gather(y)))
 
         return solve_equilibrated(matvec, pb, s, b, self.mask2, self.n,
                                   rtol, atol, self.restart, self.maxiter)
+
+    def _solve_impl_lattice(self, S, pb, s, b, rtol, atol):
+        """Stencil (DIA) matvec: y[f] = sum_g sum_off S[f,g,off] *
+        shift(x[g], off) as padded shifted-window multiplies — no gather
+        or scatter per GMRES iteration."""
+        L = self.lattice
+        NY, NX, pad = L["NY"], L["NX"], L["pad"]
+        n = self.n
+
+        def matvec(y):
+            xT = y[:n].reshape(NY, NX)
+            xp = y[n:].reshape(NY, NX)
+            pads = ((pad, pad), (pad, pad))
+            xTp = jnp.pad(xT, pads)
+            xpp = jnp.pad(xp, pads)
+            yT = jnp.zeros((NY, NX), y.dtype)
+            yp = jnp.zeros((NY, NX), y.dtype)
+            for k, (oy, ox) in enumerate(L["offs"]):
+                wT = xTp[pad + oy:pad + oy + NY, pad + ox:pad + ox + NX]
+                wp = xpp[pad + oy:pad + oy + NY, pad + ox:pad + ox + NX]
+                yT = yT + S[0, k] * wT + S[1, k] * wp
+                yp = yp + S[2, k] * wT + S[3, k] * wp
+            return jnp.concatenate([yT.reshape(-1), yp.reshape(-1)])
+
+        bl = b[L["latflat2"]]
+        res = solve_equilibrated(matvec, pb, s, bl, L["mask2_lat"], n,
+                                 rtol, atol, self.restart, self.maxiter)
+        return res._replace(x=res.x[L["dofperm2"]])
 
     def solve(self, factors, b, rtol=1e-10, atol=0.0):
         """Solve J dx = b to the given preconditioned-residual tolerance

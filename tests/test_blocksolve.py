@@ -195,3 +195,89 @@ def test_case1_driver_gmres_matches_lu():
             / np.abs(out_lu["p"]).max())
     assert relT < 1e-6
     assert relp < 1e-8
+
+
+def test_block_gmres_lattice_mode_matches_default():
+    """Stencil (DIA) lattice mode: identical system, gather-free matvec —
+    must match both the dense oracle and the default-mode solve."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+
+    mesh = make_cartesian_mesh_2d(5, 7, sx=0.0025, sy=0.05)
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ed = np.asarray(fes.element_dofs)
+    ne, nd = ed.shape
+    rng = np.random.default_rng(2)
+    eyed = np.eye(nd) * nd * 4.0
+    JTT = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e2
+    Jpp = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e-6
+    JTp = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    JpT = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    ess = np.asarray(fes.boundary_dofs())
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    A = _dense_from_blocks(ed, n, (JTT, JTp, JpT, Jpp), mask2)
+    b = np.where(mask2, 0.0, rng.standard_normal(2 * n))
+    x_ref = np.linalg.solve(A, b)
+    blocks = (jnp.asarray(JTT), jnp.asarray(JTp),
+              jnp.asarray(JpT), jnp.asarray(Jpp))
+
+    lat = strip_dof_lattice(fes.node_positions)
+    assert sorted(lat.reshape(-1)) == list(range(n))
+    bks_lat = BlockNewtonKrylov(ed, n, ess, ess, restart=80, maxiter=10,
+                                dof_lattice=lat)
+    res = bks_lat.solve(bks_lat.prepare(blocks), jnp.asarray(b),
+                        rtol=1e-12)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+    assert np.abs(x[mask2]).max() == 0.0
+
+    bks = BlockNewtonKrylov(ed, n, ess, ess, restart=80, maxiter=10)
+    x_def = np.asarray(bks.solve(bks.prepare(blocks), jnp.asarray(b),
+                                 rtol=1e-12).x)
+    assert np.linalg.norm(x - x_def) / np.linalg.norm(x_def) < 1e-8
+
+
+def test_block_gmres_lattice_mode_order2():
+    """Order-2 dof lattice (25-point stencil) with face blocks folded in."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+
+    mesh = make_cartesian_mesh_2d(3, 4, sx=0.0025, sy=0.05)
+    fes = FESpace(mesh, 2)
+    n = fes.nscalar
+    ed = np.asarray(fes.element_dofs)
+    ne, nd = ed.shape
+    rng = np.random.default_rng(3)
+    eyed = np.eye(nd) * nd * 6.0
+    JTT = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e2
+    Jpp = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e-6
+    JTp = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    JpT = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    ess = np.asarray(fes.boundary_dofs())
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    A = _dense_from_blocks(ed, n, (JTT, JTp, JpT, Jpp), mask2)
+    b = np.where(mask2, 0.0, rng.standard_normal(2 * n))
+    x_ref = np.linalg.solve(A, b)
+
+    lat = strip_dof_lattice(fes.node_positions)
+    bks = BlockNewtonKrylov(ed, n, ess, ess, restart=120, maxiter=10,
+                            dof_lattice=lat)
+    assert bks.lattice["KO"] == 25
+    res = bks.solve(bks.prepare((jnp.asarray(JTT), jnp.asarray(JTp),
+                                 jnp.asarray(JpT), jnp.asarray(Jpp))),
+                    jnp.asarray(b), rtol=1e-12)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
