@@ -88,6 +88,20 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
     if sfop.z_periodic and sfop.compressed:
         candidates.append(("sumfact-periodic",
                            lambda: sfop.bind(use_periodic=True)))
+    if platform == "tpu" and sfop.compressed:
+        # whole-operator fusion: one kernel per y-element slab; the
+        # non-periodic variant streams this slab's full D planes through
+        # VMEM, so gate it on the slab size (double-buffered)
+        # measured cutoff on v5e: a 5.1MB slab (order 4, n=32) compiles,
+        # 5.9MB (order 3, n=48) exhausts VMEM with the double buffer
+        d_slab = sfop.D.shape[0] * sfop.Kz * sfop.q1 * sfop.Kx * 4
+        if d_slab <= 5_300_000:
+            candidates.append(("sumfact-fused",
+                               lambda: sfop.bind(use_fused=True)))
+        if sfop.z_periodic:
+            candidates.append(
+                ("sumfact-fused-periodic",
+                 lambda: sfop.bind(use_fused=True, use_periodic=True)))
     KK = sfop.Ky * sfop.Kx
     if platform == "tpu" and sfop.compressed and KK % 256 == 0:
         candidates.append(("sumfact-pallas",

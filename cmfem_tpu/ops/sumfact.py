@@ -174,7 +174,8 @@ class SumFactoredOperator:
         self.Dz = jnp.asarray(Dz, dtype) if self.z_periodic else None
 
     def bind(self, use_pallas: bool = False, tile: int = 256,
-             interpret: bool = False, use_periodic: bool = False):
+             interpret: bool = False, use_periodic: bool = False,
+             use_fused: bool = False):
         """(fn(u, D) -> y, D) with all big arrays as jit args.
 
         use_pallas fuses the z-contraction -> D-apply -> transposed
@@ -192,6 +193,10 @@ class SumFactoredOperator:
             raise ValueError(
                 "periodic sumfact path requires z-periodic compressed "
                 "D (uniform z-extrusion, z-uniform coefficients)")
+        if use_fused:
+            if not self.compressed:
+                raise ValueError("fused sumfact path requires compressed D")
+            return self._bind_fused(interpret, periodic=use_periodic)
         if use_periodic and not use_pallas:
             return self._bind_periodic(), self.Dz
         if use_pallas:
@@ -314,6 +319,150 @@ class SumFactoredOperator:
             return y3.reshape(-1)
 
         return fn
+
+    def _bind_fused(self, interpret: bool = False, periodic: bool = False):
+        """Whole-operator fusion: ONE Pallas kernel per y-element slab does
+        the x-interpolation, y-interpolation (unrolled scalar FMAs — the
+        1D basis is a (q1, p+1) constant), z-contraction, D application,
+        and all three transposed chains, so every quadrature-point field
+        lives only in VMEM.  HBM traffic collapses to: read the (p+1)-row
+        u slab + this slab's D planes, write the (p+1)-row partial output
+        (overlap-added across slabs with regular slices outside).  With
+        use_periodic the D read drops by the factor nz as well, leaving
+        the apply essentially MXU-bound.
+
+        Grid = ny y-element slabs; adjacent slabs share one dof row, so
+        the x-chain work on shared rows is duplicated (p+1 vs p rows) —
+        a (p+1)/p flop overhead bought for zero gather/scatter and zero
+        QP-field HBM traffic."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        p, p1, q1 = self.p, self.p + 1, self.q1
+        nx, ny, nz = self.n
+        NX, NZ = self.NX, self.NZ
+        Kz, Kx = self.Kz, self.Kx
+        m = self.m
+        mm = self.D.shape[0]
+        pairs = self._pairs
+        dtype = self.dtype
+        B1, G1, _ = _lagrange_tab_1d(p, q1)
+        Bc = [[float(B1[q, a]) for a in range(p1)] for q in range(q1)]
+        Gc = [[float(G1[q, a]) for a in range(p1)] for q in range(q1)]
+
+        if periodic:
+            Dre = np.asarray(self.Dz).reshape(mm, q1, ny, q1, Kx)
+            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(ny, mm * q1, q1 * Kx)
+            d_rows = q1
+        else:
+            Dre = np.asarray(self.D).reshape(mm, Kz, ny, q1, Kx)
+            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(ny, mm * Kz, q1 * Kx)
+            d_rows = Kz
+        D_arg = jnp.asarray(Dre, dtype)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
+
+        def ycon(ts, C):
+            # list of p1 (NZ, Kx) rows -> (NZ, q1*Kx), compile-time weights
+            cols = []
+            for q in range(q1):
+                acc = C[q][0] * ts[0]
+                for a in range(1, p1):
+                    acc = acc + C[q][a] * ts[a]
+                cols.append(acc)
+            return jnp.concatenate(cols, axis=1)
+
+        def kernel(axT_ref, daxT_ref, ax_ref, dax_ref, az_ref, azt_ref,
+                   daz_ref, dazt_ref, u_ref, d_ref, y_ref):
+            # per-dof-row x contraction via static lane slices (lane-dim
+            # reshapes are unsupported relayouts in Mosaic)
+            u = u_ref[0]                              # (NZ, p1*NX)
+            t0xa, txxa = [], []
+            for a in range(p1):
+                ua = u[:, a * NX:(a + 1) * NX]
+                t0xa.append(dot(ua, axT_ref[...]))
+                txxa.append(dot(ua, daxT_ref[...]))
+            t0y = ycon(t0xa, Bc)                      # (NZ, q1*Kx) value
+            txy = ycon(txxa, Bc)                      # d/dxi_x
+            tyy = ycon(t0xa, Gc)                      # d/dxi_y
+            Azl = az_ref[...]
+            V = [dot(Azl, t0y), dot(Azl, txy), dot(Azl, tyy),
+                 dot(daz_ref[...], t0y)]              # (Kz, q1*Kx)
+            Dl = d_ref[0].reshape(mm, d_rows, q1 * Kx)
+            if periodic:
+                V = [v.reshape(nz, q1, q1 * Kx) for v in V]
+                pl_ = lambda i: Dl[i][None]
+            else:
+                pl_ = lambda i: Dl[i]
+            W0 = pl_(0) * V[0]
+            for s in range(1, m):
+                W0 = W0 + pl_(s) * V[s]
+            Wg = [None] * (m - 1)
+            for k, (r, s) in enumerate(pairs):
+                plane = pl_(m + k)
+                t = plane * V[s]
+                Wg[r - 1] = t if Wg[r - 1] is None else Wg[r - 1] + t
+                if s != r:
+                    t2 = plane * V[r]
+                    Wg[s - 1] = t2 if Wg[s - 1] is None else Wg[s - 1] + t2
+            if periodic:
+                W0 = W0.reshape(Kz, q1 * Kx)
+                Wg = [w.reshape(Kz, q1 * Kx) for w in Wg]
+            Azt = azt_ref[...]
+            U0 = dot(Azt, W0) + dot(dazt_ref[...], Wg[2])  # (NZ, q1*Kx)
+            Ux = dot(Azt, Wg[0])
+            Uy = dot(Azt, Wg[1])
+            # transposed y stage (row a sums B[q,a] value+x chains and
+            # G[q,a] y-gradient chain) + per-row transposed x contraction
+            for a in range(p1):
+                acc0 = accx = None
+                for q in range(q1):
+                    sl = slice(q * Kx, (q + 1) * Kx)
+                    c0 = Bc[q][a] * U0[:, sl] + Gc[q][a] * Uy[:, sl]
+                    cx = Bc[q][a] * Ux[:, sl]
+                    acc0 = c0 if acc0 is None else acc0 + c0
+                    accx = cx if accx is None else accx + cx
+                ya = dot(acc0, ax_ref[...]) + dot(accx, dax_ref[...])
+                y_ref[0, :, a * NX:(a + 1) * NX] = ya
+
+        AxT = jnp.asarray(self.Ax.T)
+        DAxT = jnp.asarray(self.DAx.T)
+        Axm = jnp.asarray(self.Ax)
+        DAxm = jnp.asarray(self.DAx)
+        Az = jnp.asarray(self.Az)
+        DAz = jnp.asarray(self.DAz)
+
+        def fn(u, Dr):
+            u3 = u.astype(dtype).reshape(NZ, self.NY, NX)
+            u_slabs = jnp.stack(
+                [u3[:, j * p:j * p + p1, :] for j in range(ny)]
+            ).reshape(ny, NZ, p1 * NX)
+            vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            outs = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ny, NZ, p1 * NX), dtype),
+                grid=(ny,),
+                in_specs=[vm] * 8 + [
+                    pl.BlockSpec((1, NZ, p1 * NX), lambda j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, mm * d_rows, q1 * Kx),
+                                 lambda j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, NZ, p1 * NX), lambda j: (j, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(AxT, DAxT, Axm, DAxm, Az, Az.T, DAz, DAz.T, u_slabs, Dr)
+            ysl = outs.reshape(ny, NZ, p1, NX)
+            base = jnp.transpose(ysl[:, :, :p, :], (1, 0, 2, 3))
+            last = jnp.transpose(ysl[:, :, p, :], (1, 0, 2))
+            base = base.at[:, 1:, 0, :].add(last[:, :-1, :])
+            y3 = jnp.concatenate(
+                [base.reshape(NZ, ny * p, NX), last[:, -1:, :]], axis=1)
+            return y3.reshape(-1)
+
+        return fn, D_arg
 
     def _bind_pallas(self, tile: int, interpret: bool = False,
                      periodic: bool = False):
