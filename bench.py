@@ -98,10 +98,21 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
         if d_slab <= 5_300_000:
             candidates.append(("sumfact-fused",
                                lambda: sfop.bind(use_fused=True)))
+        # 2-element slabs double every VMEM footprint for wider matmuls
+        fields2 = 14 * sfop.NZ * 2 * sfop.q1 * sfop.Kx * 4
+        if n % 2 == 0 and 2 * d_slab <= 5_300_000 and fields2 <= 12_000_000:
+            candidates.append(("sumfact-fused-s2",
+                               lambda: sfop.bind(use_fused=True, slab=2)))
         if sfop.z_periodic:
             candidates.append(
                 ("sumfact-fused-periodic",
                  lambda: sfop.bind(use_fused=True, use_periodic=True)))
+            fields4 = 14 * sfop.NZ * 4 * sfop.q1 * sfop.Kx * 4
+            if n % 4 == 0 and fields4 <= 12_000_000:
+                candidates.append(
+                    ("sumfact-fused-periodic-s4",
+                     lambda: sfop.bind(use_fused=True, use_periodic=True,
+                                       slab=4)))
     KK = sfop.Ky * sfop.Kx
     if platform == "tpu" and sfop.compressed and KK % 256 == 0:
         candidates.append(("sumfact-pallas",

@@ -175,7 +175,7 @@ class SumFactoredOperator:
 
     def bind(self, use_pallas: bool = False, tile: int = 256,
              interpret: bool = False, use_periodic: bool = False,
-             use_fused: bool = False):
+             use_fused: bool = False, slab: int = 1):
         """(fn(u, D) -> y, D) with all big arrays as jit args.
 
         use_pallas fuses the z-contraction -> D-apply -> transposed
@@ -196,7 +196,8 @@ class SumFactoredOperator:
         if use_fused:
             if not self.compressed:
                 raise ValueError("fused sumfact path requires compressed D")
-            return self._bind_fused(interpret, periodic=use_periodic)
+            return self._bind_fused(interpret, periodic=use_periodic,
+                                    slab=slab)
         if use_periodic and not use_pallas:
             return self._bind_periodic(), self.Dz
         if use_pallas:
@@ -320,7 +321,8 @@ class SumFactoredOperator:
 
         return fn
 
-    def _bind_fused(self, interpret: bool = False, periodic: bool = False):
+    def _bind_fused(self, interpret: bool = False, periodic: bool = False,
+                    slab: int = 1):
         """Whole-operator fusion: ONE Pallas kernel per y-element slab does
         the x-interpolation, y-interpolation (unrolled scalar FMAs — the
         1D basis is a (q1, p+1) constant), z-contraction, D application,
@@ -331,10 +333,12 @@ class SumFactoredOperator:
         use_periodic the D read drops by the factor nz as well, leaving
         the apply essentially MXU-bound.
 
-        Grid = ny y-element slabs; adjacent slabs share one dof row, so
-        the x-chain work on shared rows is duplicated (p+1 vs p rows) —
-        a (p+1)/p flop overhead bought for zero gather/scatter and zero
-        QP-field HBM traffic."""
+        Grid = ny/slab slabs of ``slab`` y-elements; adjacent slabs share
+        one dof row, so the x-chain work on shared rows is duplicated —
+        a small flop overhead bought for zero gather/scatter and zero
+        QP-field HBM traffic.  slab > 1 widens every matmul's N dimension
+        by the factor slab (fewer, fatter MXU calls) at the cost of
+        slab x the VMEM footprint."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -349,14 +353,21 @@ class SumFactoredOperator:
         B1, G1, _ = _lagrange_tab_1d(p, q1)
         Bc = [[float(B1[q, a]) for a in range(p1)] for q in range(q1)]
         Gc = [[float(G1[q, a]) for a in range(p1)] for q in range(q1)]
+        T = int(slab)
+        if ny % T:
+            raise ValueError(f"slab={T} must divide ny={ny}")
+        G_ = ny // T
+        TQ = T * q1                       # y-QP rows per slab
+        TP = T * p                        # owned dof rows per slab
+        TP1 = TP + 1                      # loaded dof rows per slab
 
         if periodic:
-            Dre = np.asarray(self.Dz).reshape(mm, q1, ny, q1, Kx)
-            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(ny, mm * q1, q1 * Kx)
+            Dre = np.asarray(self.Dz).reshape(mm, q1, G_, TQ, Kx)
+            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * q1, TQ * Kx)
             d_rows = q1
         else:
-            Dre = np.asarray(self.D).reshape(mm, Kz, ny, q1, Kx)
-            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(ny, mm * Kz, q1 * Kx)
+            Dre = np.asarray(self.D).reshape(mm, Kz, G_, TQ, Kx)
+            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * Kz, TQ * Kx)
             d_rows = Kz
         D_arg = jnp.asarray(Dre, dtype)
 
@@ -364,34 +375,36 @@ class SumFactoredOperator:
             return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
 
         def ycon(ts, C):
-            # list of p1 (NZ, Kx) rows -> (NZ, q1*Kx), compile-time weights
+            # TP1 (NZ, Kx) dof rows -> (NZ, TQ*Kx) y-QP rows in (t, q)
+            # order (matching the D slab grouping), compile-time weights
             cols = []
-            for q in range(q1):
-                acc = C[q][0] * ts[0]
-                for a in range(1, p1):
-                    acc = acc + C[q][a] * ts[a]
-                cols.append(acc)
+            for t in range(T):
+                for q in range(q1):
+                    acc = C[q][0] * ts[t * p]
+                    for a in range(1, p1):
+                        acc = acc + C[q][a] * ts[t * p + a]
+                    cols.append(acc)
             return jnp.concatenate(cols, axis=1)
 
         def kernel(axT_ref, daxT_ref, ax_ref, dax_ref, az_ref, azt_ref,
                    daz_ref, dazt_ref, u_ref, d_ref, y_ref):
             # per-dof-row x contraction via static lane slices (lane-dim
             # reshapes are unsupported relayouts in Mosaic)
-            u = u_ref[0]                              # (NZ, p1*NX)
+            u = u_ref[0]                              # (NZ, TP1*NX)
             t0xa, txxa = [], []
-            for a in range(p1):
+            for a in range(TP1):
                 ua = u[:, a * NX:(a + 1) * NX]
                 t0xa.append(dot(ua, axT_ref[...]))
                 txxa.append(dot(ua, daxT_ref[...]))
-            t0y = ycon(t0xa, Bc)                      # (NZ, q1*Kx) value
+            t0y = ycon(t0xa, Bc)                      # (NZ, TQ*Kx) value
             txy = ycon(txxa, Bc)                      # d/dxi_x
             tyy = ycon(t0xa, Gc)                      # d/dxi_y
             Azl = az_ref[...]
             V = [dot(Azl, t0y), dot(Azl, txy), dot(Azl, tyy),
                  dot(daz_ref[...], t0y)]              # (Kz, q1*Kx)
-            Dl = d_ref[0].reshape(mm, d_rows, q1 * Kx)
+            Dl = d_ref[0].reshape(mm, d_rows, TQ * Kx)
             if periodic:
-                V = [v.reshape(nz, q1, q1 * Kx) for v in V]
+                V = [v.reshape(nz, q1, TQ * Kx) for v in V]
                 pl_ = lambda i: Dl[i][None]
             else:
                 pl_ = lambda i: Dl[i]
@@ -407,24 +420,29 @@ class SumFactoredOperator:
                     t2 = plane * V[r]
                     Wg[s - 1] = t2 if Wg[s - 1] is None else Wg[s - 1] + t2
             if periodic:
-                W0 = W0.reshape(Kz, q1 * Kx)
-                Wg = [w.reshape(Kz, q1 * Kx) for w in Wg]
+                W0 = W0.reshape(Kz, TQ * Kx)
+                Wg = [w.reshape(Kz, TQ * Kx) for w in Wg]
             Azt = azt_ref[...]
-            U0 = dot(Azt, W0) + dot(dazt_ref[...], Wg[2])  # (NZ, q1*Kx)
+            U0 = dot(Azt, W0) + dot(dazt_ref[...], Wg[2])  # (NZ, TQ*Kx)
             Ux = dot(Azt, Wg[0])
             Uy = dot(Azt, Wg[1])
-            # transposed y stage (row a sums B[q,a] value+x chains and
-            # G[q,a] y-gradient chain) + per-row transposed x contraction
-            for a in range(p1):
+            # transposed y stage (global dof row r sums the B[q,a]
+            # value+x chains and G[q,a] y-gradient chain over every
+            # (t, q) with a = r - t*p in range) + transposed x contraction
+            for r_ in range(TP1):
                 acc0 = accx = None
-                for q in range(q1):
-                    sl = slice(q * Kx, (q + 1) * Kx)
-                    c0 = Bc[q][a] * U0[:, sl] + Gc[q][a] * Uy[:, sl]
-                    cx = Bc[q][a] * Ux[:, sl]
-                    acc0 = c0 if acc0 is None else acc0 + c0
-                    accx = cx if accx is None else accx + cx
+                for t in range(T):
+                    a = r_ - t * p
+                    if a < 0 or a > p:
+                        continue
+                    for q in range(q1):
+                        sl = slice((t * q1 + q) * Kx, (t * q1 + q + 1) * Kx)
+                        c0 = Bc[q][a] * U0[:, sl] + Gc[q][a] * Uy[:, sl]
+                        cx = Bc[q][a] * Ux[:, sl]
+                        acc0 = c0 if acc0 is None else acc0 + c0
+                        accx = cx if accx is None else accx + cx
                 ya = dot(acc0, ax_ref[...]) + dot(accx, dax_ref[...])
-                y_ref[0, :, a * NX:(a + 1) * NX] = ya
+                y_ref[0, :, r_ * NX:(r_ + 1) * NX] = ya
 
         AxT = jnp.asarray(self.Ax.T)
         DAxT = jnp.asarray(self.DAx.T)
@@ -436,30 +454,31 @@ class SumFactoredOperator:
         def fn(u, Dr):
             u3 = u.astype(dtype).reshape(NZ, self.NY, NX)
             u_slabs = jnp.stack(
-                [u3[:, j * p:j * p + p1, :] for j in range(ny)]
-            ).reshape(ny, NZ, p1 * NX)
+                [u3[:, j * TP:j * TP + TP1, :] for j in range(G_)]
+            ).reshape(G_, NZ, TP1 * NX)
             vm = pl.BlockSpec(memory_space=pltpu.VMEM)
             outs = pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((ny, NZ, p1 * NX), dtype),
-                grid=(ny,),
+                out_shape=jax.ShapeDtypeStruct((G_, NZ, TP1 * NX), dtype),
+                grid=(G_,),
                 in_specs=[vm] * 8 + [
-                    pl.BlockSpec((1, NZ, p1 * NX), lambda j: (j, 0, 0),
+                    pl.BlockSpec((1, NZ, TP1 * NX), lambda j: (j, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mm * d_rows, q1 * Kx),
+                    pl.BlockSpec((1, mm * d_rows, TQ * Kx),
                                  lambda j: (j, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, NZ, p1 * NX), lambda j: (j, 0, 0),
+                out_specs=pl.BlockSpec((1, NZ, TP1 * NX),
+                                       lambda j: (j, 0, 0),
                                        memory_space=pltpu.VMEM),
                 interpret=interpret,
             )(AxT, DAxT, Axm, DAxm, Az, Az.T, DAz, DAz.T, u_slabs, Dr)
-            ysl = outs.reshape(ny, NZ, p1, NX)
-            base = jnp.transpose(ysl[:, :, :p, :], (1, 0, 2, 3))
-            last = jnp.transpose(ysl[:, :, p, :], (1, 0, 2))
+            ysl = outs.reshape(G_, NZ, TP1, NX)
+            base = jnp.transpose(ysl[:, :, :TP, :], (1, 0, 2, 3))
+            last = jnp.transpose(ysl[:, :, TP, :], (1, 0, 2))
             base = base.at[:, 1:, 0, :].add(last[:, :-1, :])
             y3 = jnp.concatenate(
-                [base.reshape(NZ, ny * p, NX), last[:, -1:, :]], axis=1)
+                [base.reshape(NZ, G_ * TP, NX), last[:, -1:, :]], axis=1)
             return y3.reshape(-1)
 
         return fn, D_arg

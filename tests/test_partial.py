@@ -222,8 +222,19 @@ def test_sumfact_fused_slab_matches_xla():
         fnf, Df = sfop.bind(use_fused=True, interpret=True)
         np.testing.assert_allclose(np.asarray(fnf(u, Df)) / scale,
                                    y_ref / scale, atol=1e-13)
+        # multi-element slabs (wider matmul N per grid step)
+        if ny % 2 == 0:
+            fnf2, Df2 = sfop.bind(use_fused=True, interpret=True, slab=2)
+            np.testing.assert_allclose(np.asarray(fnf2(u, Df2)) / scale,
+                                       y_ref / scale, atol=1e-13)
         if sfop.z_periodic:
             fnfp, Dfp = sfop.bind(use_fused=True, use_periodic=True,
                                   interpret=True)
             np.testing.assert_allclose(np.asarray(fnfp(u, Dfp)) / scale,
                                        y_ref / scale, atol=1e-13)
+            if ny % 2 == 0:
+                fnf2p, Df2p = sfop.bind(use_fused=True, use_periodic=True,
+                                        interpret=True, slab=2)
+                np.testing.assert_allclose(
+                    np.asarray(fnf2p(u, Df2p)) / scale,
+                    y_ref / scale, atol=1e-13)
