@@ -291,32 +291,67 @@ def bench_ablation(jax, jnp, nx, ny):
         res = bks.solve(fac, -R, rtol=1e-4)
         return T + res.x[:n], p + res.x[n:], R, res
 
-    # warm up (compiles), then time each phase over a few reps taking the
-    # best (a single post-warmup measurement occasionally absorbs a relay
-    # or allocator hiccup orders of magnitude above steady state)
+    # warm up (compiles) and check the Newton direction actually reduces
+    # the residual
     T1, p1, R0, res0 = step(T, p)
     jax.block_until_ready(T1)
-
-    def best_of(fn, reps=3):
-        ts = []
-        out = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            jax.block_until_ready(out)
-            ts.append(time.perf_counter() - t0)
-        return min(ts), out
-
-    t_res, R = best_of(lambda: residual(T1, p1))
-    t_prep, fac = best_of(lambda: bks.prepare(jac_blocks(T1, p1)))
-    t_solve, res = best_of(lambda: bks.solve(fac, -R, rtol=1e-4))
     rnorm0 = float(jnp.linalg.norm(R0))
     rnorm1 = float(jnp.linalg.norm(residual(*step(T1, p1)[:2])))
+
+    # Phase timings are feedback-chained fori_loops inside ONE jit:
+    # a single eager call measures mostly the axon relay's ~30 ms
+    # dispatch latency, not the device (measured 33 ms eager vs ~1.4 ms
+    # amortized for the same residual), and a loop without the feedback
+    # term is loop-invariant, so XLA hoists the body and times nothing.
+    # The production drivers amortize dispatch the same way (scan paths).
+    REPS = 20
+
+    def loop_ms(many, *args):
+        r = many(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = many(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    @jax.jit
+    def many_res(T, p):
+        def body(_, c):
+            T, p = c
+            RT_Rp = residual(T, p)
+            return (T + 1e-30 * RT_Rp[:n], p + 1e-30 * RT_Rp[n:])
+        return jax.lax.fori_loop(0, REPS, body, (T, p))
+
+    @jax.jit
+    def many_prep(T, p):
+        def body(_, c):
+            T, p = c
+            fac = bks._prepare_impl(*jac_blocks(T, p))
+            s = jnp.sum(fac[2]) * 1e-30
+            return (T + s, p + s)
+        return jax.lax.fori_loop(0, REPS, body, (T, p))
+
+    fac0 = bks.prepare(jac_blocks(T1, p1))
+    R1 = residual(T1, p1)
+
+    @jax.jit
+    def many_solve(fac, R):
+        def body(_, R):
+            res = bks.solve(fac, -R, rtol=1e-4)
+            return R + 1e-30 * res.x
+        return jax.lax.fori_loop(0, REPS, body, R)
+
+    t_res = loop_ms(many_res, T1, p1)
+    t_prep = loop_ms(many_prep, T1, p1)
+    t_solve = loop_ms(many_solve, fac0, R1)
+    res = bks.solve(fac0, -R1, rtol=1e-4)
     return {"ne": sys_.ne, "ndofs_tp": 2 * n,
-            "residual_ms": round(1e3 * t_res, 2),
-            "prepare_ms": round(1e3 * t_prep, 2),
-            "solve_ms": round(1e3 * t_solve, 2),
-            "newton_step_ms": round(1e3 * (t_res + t_prep + t_solve), 2),
+            "residual_ms": round(t_res, 2),
+            "prepare_ms": round(t_prep, 2),
+            "solve_ms": round(t_solve, 2),
+            "newton_step_ms": round(t_res + t_prep + t_solve, 2),
+            "timing": f"device time amortized over {REPS} chained "
+                      "in-jit iterations (the scan drivers' regime)",
             "gmres_cycles": int(res.iters),
             "R0": rnorm0, "R_after_2_steps": rnorm1,
             "residual_reduction_ok": bool(rnorm1 < rnorm0)}
