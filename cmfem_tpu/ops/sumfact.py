@@ -175,7 +175,7 @@ class SumFactoredOperator:
 
     def bind(self, use_pallas: bool = False, tile: int = 256,
              interpret: bool = False, use_periodic: bool = False,
-             use_fused: bool = False, slab: int = 1):
+             use_fused: bool = False, slab: int = 1, z_fma: bool = False):
         """(fn(u, D) -> y, D) with all big arrays as jit args.
 
         use_pallas fuses the z-contraction -> D-apply -> transposed
@@ -196,6 +196,10 @@ class SumFactoredOperator:
         if use_fused:
             if not self.compressed:
                 raise ValueError("fused sumfact path requires compressed D")
+            if z_fma:
+                return self._bind_fused_zfma(interpret,
+                                             periodic=use_periodic,
+                                             slab=slab)
             return self._bind_fused(interpret, periodic=use_periodic,
                                     slab=slab)
         if use_periodic and not use_pallas:
@@ -476,6 +480,185 @@ class SumFactoredOperator:
             ysl = outs.reshape(G_, NZ, TP1, NX)
             base = jnp.transpose(ysl[:, :, :TP, :], (1, 0, 2, 3))
             last = jnp.transpose(ysl[:, :, TP, :], (1, 0, 2))
+            base = base.at[:, 1:, 0, :].add(last[:, :-1, :])
+            y3 = jnp.concatenate(
+                [base.reshape(NZ, G_ * TP, NX), last[:, -1:, :]], axis=1)
+            return y3.reshape(-1)
+
+        return fn, D_arg
+
+    def _bind_fused_zfma(self, interpret: bool = False,
+                         periodic: bool = False, slab: int = 1):
+        """Whole-operator fusion with FMA z-stages (v2 of the fused slab
+        kernel): the 1D z basis is block-banded — each z-QP touches only
+        p+1 dof planes — so the dense (Kz, NZ) z-contraction matmuls of
+        ``_bind_fused`` waste a factor NZ/(p+1) of MXU flops.  Here the
+        grid is pre-slabbed in z as well (duplicated element-boundary
+        planes, overlap-added with regular slices outside), and the z
+        stages become unrolled compile-time FMAs like the y stages.  The
+        only matmuls left are the x-axis contractions.  Every in-kernel
+        array is a 2D (nz, lanes) block — fields are kept as Python
+        lists over the small basis indices, so there are no strided
+        slices, no 3D sublane padding, and no stacks."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        p, p1, q1 = self.p, self.p + 1, self.q1
+        nx, ny, nz = self.n
+        NX, NZ = self.NX, self.NZ
+        Kx = self.Kx
+        m = self.m
+        mm = self.D.shape[0]
+        pairs = self._pairs
+        dtype = self.dtype
+        B1, G1, _ = _lagrange_tab_1d(p, q1)
+        Bc = [[float(B1[q, a]) for a in range(p1)] for q in range(q1)]
+        Gc = [[float(G1[q, a]) for a in range(p1)] for q in range(q1)]
+        T = int(slab)
+        if ny % T:
+            raise ValueError(f"slab={T} must divide ny={ny}")
+        G_ = ny // T
+        TQ = T * q1
+        TP = T * p
+        TP1 = TP + 1
+        L = TQ * Kx                        # QP lanes per slab
+        LIN = TP1 * NX                     # dof lanes per slab
+
+        if periodic:
+            Dre = np.asarray(self.Dz).reshape(mm, q1, G_, TQ, Kx)
+            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * q1, L)
+            d_zrows = q1
+        else:
+            Dre = np.asarray(self.D).reshape(mm, nz, q1, G_, TQ, Kx)
+            Dre = Dre.transpose(3, 0, 1, 2, 4, 5).reshape(
+                G_, mm * nz * q1, L)
+            d_zrows = nz * q1
+        D_arg = jnp.asarray(Dre, dtype)
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
+
+        def kernel(axT_ref, daxT_ref, ax_ref, dax_ref, u_ref, d_ref,
+                   y_ref):
+            u = u_ref[0]                   # (nz, p1, LIN)
+            # x contraction per (z-dof az, y-dof a): (nz, NX) @ (NX, Kx)
+            t0x = [[dot(u[:, az, a * NX:(a + 1) * NX], axT_ref[...])
+                    for a in range(TP1)] for az in range(p1)]
+            txx = [[dot(u[:, az, a * NX:(a + 1) * NX], daxT_ref[...])
+                    for a in range(TP1)] for az in range(p1)]
+
+            def ycon(ts, C):
+                # TP1 (nz, Kx) -> (nz, L) in (t, q) lane order
+                cols = []
+                for t in range(T):
+                    for q in range(q1):
+                        acc = C[q][0] * ts[t * p]
+                        for a in range(1, p1):
+                            acc = acc + C[q][a] * ts[t * p + a]
+                        cols.append(acc)
+                return jnp.concatenate(cols, axis=1)
+
+            t0y = [ycon(t0x[az], Bc) for az in range(p1)]   # value
+            txy = [ycon(txx[az], Bc) for az in range(p1)]   # d/dxi_x
+            tyy = [ycon(t0x[az], Gc) for az in range(p1)]   # d/dxi_y
+
+            def zcon(ts, C, q):
+                acc = C[q][0] * ts[0]
+                for az in range(1, p1):
+                    acc = acc + C[q][az] * ts[az]
+                return acc
+
+            # per-z-QP fields and D application, all (nz, L)
+            Dl = d_ref[0].reshape(mm, d_zrows, L)
+            U0 = [None] * p1
+            Ux = [None] * p1
+            Uy = [None] * p1
+            for q in range(q1):
+                V = [zcon(t0y, Bc, q), zcon(txy, Bc, q),
+                     zcon(tyy, Bc, q), zcon(t0y, Gc, q)]
+                if periodic:
+                    pl_ = lambda i: Dl[i, q][None]      # (1, L) broadcast
+                else:
+                    pl_ = lambda i: Dl[i].reshape(nz, q1, L)[:, q]
+                W0 = pl_(0) * V[0]
+                for s in range(1, m):
+                    W0 = W0 + pl_(s) * V[s]
+                Wg = [None] * (m - 1)
+                for k, (r, s) in enumerate(pairs):
+                    plane = pl_(m + k)
+                    t = plane * V[s]
+                    Wg[r - 1] = t if Wg[r - 1] is None else Wg[r - 1] + t
+                    if s != r:
+                        t2 = plane * V[r]
+                        Wg[s - 1] = t2 if Wg[s - 1] is None \
+                            else Wg[s - 1] + t2
+                # transposed z FMAs accumulate into the p1 dof planes
+                for az in range(p1):
+                    c0 = Bc[q][az] * W0 + Gc[q][az] * Wg[2]
+                    cx = Bc[q][az] * Wg[0]
+                    cy = Bc[q][az] * Wg[1]
+                    U0[az] = c0 if U0[az] is None else U0[az] + c0
+                    Ux[az] = cx if Ux[az] is None else Ux[az] + cx
+                    Uy[az] = cy if Uy[az] is None else Uy[az] + cy
+
+            # transposed y FMAs + per-row transposed x contraction
+            for az in range(p1):
+                for r_ in range(TP1):
+                    acc0 = accx = None
+                    for t in range(T):
+                        a = r_ - t * p
+                        if a < 0 or a > p:
+                            continue
+                        for q in range(q1):
+                            sl = slice((t * q1 + q) * Kx,
+                                       (t * q1 + q + 1) * Kx)
+                            c0 = Bc[q][a] * U0[az][:, sl] \
+                                + Gc[q][a] * Uy[az][:, sl]
+                            cx = Bc[q][a] * Ux[az][:, sl]
+                            acc0 = c0 if acc0 is None else acc0 + c0
+                            accx = cx if accx is None else accx + cx
+                    ya = dot(acc0, ax_ref[...]) + dot(accx, dax_ref[...])
+                    y_ref[0, :, az, r_ * NX:(r_ + 1) * NX] = ya
+
+        AxT = jnp.asarray(self.Ax.T)
+        DAxT = jnp.asarray(self.DAx.T)
+        Axm = jnp.asarray(self.Ax)
+        DAxm = jnp.asarray(self.DAx)
+
+        def fn(u, Dr):
+            u3 = u.astype(dtype).reshape(NZ, self.NY, NX)
+            u_y = jnp.stack(
+                [u3[:, j * TP:j * TP + TP1, :] for j in range(G_)])
+            u_zy = jnp.stack(
+                [u_y[:, k * p:k * p + p1] for k in range(nz)], axis=1)
+            u_slabs = u_zy.reshape(G_, nz, p1, LIN)
+            vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            outs = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((G_, nz, p1, LIN), dtype),
+                grid=(G_,),
+                in_specs=[vm] * 4 + [
+                    pl.BlockSpec((1, nz, p1, LIN), lambda j: (j, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, mm * d_zrows, L),
+                                 lambda j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, nz, p1, LIN),
+                                       lambda j: (j, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(AxT, DAxT, Axm, DAxm, u_slabs, Dr)
+            ysl = outs.reshape(G_, nz, p1, TP1, NX)
+            # z overlap-add (duplicated element-boundary planes)
+            bz = ysl[:, :, :p]
+            lz = ysl[:, :, p]
+            bz = bz.at[:, 1:, 0].add(lz[:, :-1])
+            yz = jnp.concatenate(
+                [bz.reshape(G_, nz * p, TP1, NX), lz[:, -1:]], axis=1)
+            # y overlap-add (shared slab-boundary rows)
+            base = jnp.transpose(yz[:, :, :TP, :], (1, 0, 2, 3))
+            last = jnp.transpose(yz[:, :, TP, :], (1, 0, 2))
             base = base.at[:, 1:, 0, :].add(last[:, :-1, :])
             y3 = jnp.concatenate(
                 [base.reshape(NZ, G_ * TP, NX), last[:, -1:, :]], axis=1)

@@ -219,22 +219,26 @@ def test_sumfact_fused_slab_matches_xla():
         fn, D = sfop.bind()
         y_ref = np.asarray(fn(u, D))
         scale = np.abs(y_ref).max()
-        fnf, Df = sfop.bind(use_fused=True, interpret=True)
-        np.testing.assert_allclose(np.asarray(fnf(u, Df)) / scale,
-                                   y_ref / scale, atol=1e-13)
-        # multi-element slabs (wider matmul N per grid step)
-        if ny % 2 == 0:
-            fnf2, Df2 = sfop.bind(use_fused=True, interpret=True, slab=2)
-            np.testing.assert_allclose(np.asarray(fnf2(u, Df2)) / scale,
+        for z_fma in (False, True):
+            fnf, Df = sfop.bind(use_fused=True, interpret=True, z_fma=z_fma)
+            np.testing.assert_allclose(np.asarray(fnf(u, Df)) / scale,
                                        y_ref / scale, atol=1e-13)
-        if sfop.z_periodic:
-            fnfp, Dfp = sfop.bind(use_fused=True, use_periodic=True,
-                                  interpret=True)
-            np.testing.assert_allclose(np.asarray(fnfp(u, Dfp)) / scale,
-                                       y_ref / scale, atol=1e-13)
+            # multi-element slabs (wider matmul N per grid step)
             if ny % 2 == 0:
-                fnf2p, Df2p = sfop.bind(use_fused=True, use_periodic=True,
-                                        interpret=True, slab=2)
-                np.testing.assert_allclose(
-                    np.asarray(fnf2p(u, Df2p)) / scale,
-                    y_ref / scale, atol=1e-13)
+                fnf2, Df2 = sfop.bind(use_fused=True, interpret=True,
+                                      slab=2, z_fma=z_fma)
+                np.testing.assert_allclose(np.asarray(fnf2(u, Df2)) / scale,
+                                           y_ref / scale, atol=1e-13)
+            if sfop.z_periodic:
+                fnfp, Dfp = sfop.bind(use_fused=True, use_periodic=True,
+                                      interpret=True, z_fma=z_fma)
+                np.testing.assert_allclose(np.asarray(fnfp(u, Dfp)) / scale,
+                                           y_ref / scale, atol=1e-13)
+                if ny % 2 == 0:
+                    fnf2p, Df2p = sfop.bind(use_fused=True,
+                                            use_periodic=True,
+                                            interpret=True, slab=2,
+                                            z_fma=z_fma)
+                    np.testing.assert_allclose(
+                        np.asarray(fnf2p(u, Df2p)) / scale,
+                        y_ref / scale, atol=1e-13)
