@@ -103,10 +103,21 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
         if n % 2 == 0 and 2 * d_slab <= 5_300_000 and fields2 <= 12_000_000:
             candidates.append(("sumfact-fused-s2",
                                lambda: sfop.bind(use_fused=True, slab=2)))
+        if d_slab <= 5_300_000:
+            # FMA z-stage variant: z matmuls become unrolled FMAs (the
+            # dense z contraction wastes NZ/(p+1) of its flops on the
+            # block-banded 1D basis); same slab D footprint
+            candidates.append(("sumfact-zfma",
+                               lambda: sfop.bind(use_fused=True,
+                                                 z_fma=True)))
         if sfop.z_periodic:
             candidates.append(
                 ("sumfact-fused-periodic",
                  lambda: sfop.bind(use_fused=True, use_periodic=True)))
+            candidates.append(
+                ("sumfact-zfma-periodic",
+                 lambda: sfop.bind(use_fused=True, use_periodic=True,
+                                   z_fma=True)))
             fields4 = 14 * sfop.NZ * 4 * sfop.q1 * sfop.Kx * 4
             if n % 4 == 0 and fields4 <= 12_000_000:
                 candidates.append(

