@@ -75,8 +75,14 @@ def _cached_native_locator(mesh, verts, conn, tol):
 
     from ..native import NativeLocator
 
-    digest = hashlib.blake2b(
-        np.ascontiguousarray(verts).tobytes(), digest_size=16).digest()
+    # digest covers vertices AND connectivity: id(mesh) can be recycled
+    # by a different mesh object after garbage collection, and identical
+    # vertex bytes with renumbered elements would otherwise hit stale
+    # element ids
+    h = hashlib.blake2b(np.ascontiguousarray(verts).tobytes(),
+                        digest_size=16)
+    h.update(np.ascontiguousarray(conn).tobytes())
+    digest = h.digest()
     key = (id(mesh), float(tol))
     hit = _locator_cache.get(key)
     if hit is not None and hit[0] == digest:

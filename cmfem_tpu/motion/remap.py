@@ -42,41 +42,29 @@ class StructuredStripRemap:
     def __init__(self, mesh, ops):
         import jax.numpy as jnp
 
+        from ..solvers.blocksolve import strip_dof_lattice
+
         if mesh.geom != QUAD:
             raise NotImplementedError(
                 "StructuredStripRemap requires a structured quad strip")
         verts0 = np.asarray(mesh.vertices)
-        # tolerance-clustered column x values (GMSH emits float jitter)
-        xsorted = np.sort(np.unique(verts0[:, 0]))
-        span = max(float(xsorted[-1] - xsorted[0]), 1e-30)
-        tol = 1e-8 * span
-        reps = [float(xsorted[0])]
-        for v in xsorted[1:]:
-            if v - reps[-1] > tol:
-                reps.append(float(v))
-        xs = np.asarray(reps)
+        # vertex lattice via the shared tolerance-clustering helper (GMSH
+        # emits float jitter in column x coords; one implementation for
+        # both the block solver's dof lattice and this vertex lattice)
+        vert_lat = strip_dof_lattice(verts0)
+        nyv, nxv = vert_lat.shape
         nv = len(verts0)
-        nxv = len(xs)
-        if nv % nxv:
-            raise ValueError("mesh is not a tensor-product strip lattice")
-        nyv = nv // nxv
-        edges = 0.5 * (xs[1:] + xs[:-1])
-        col_of = np.searchsorted(edges, verts0[:, 0])
-        vert_lat = np.full((nyv, nxv), -1, dtype=np.int64)
-        for c in range(nxv):
-            vids = np.nonzero(col_of == c)[0]
-            if len(vids) != nyv:
-                raise ValueError("unequal column heights in strip lattice")
-            vert_lat[:, c] = vids[np.argsort(verts0[vids, 1],
-                                             kind="stable")]
+        xs = verts0[:, 0][vert_lat].mean(axis=0)   # jitter-averaged columns
+        row_of = np.empty(nv, dtype=np.int64)
+        col_of = np.empty(nv, dtype=np.int64)
+        rr, cc = np.indices(vert_lat.shape)
+        row_of[vert_lat.ravel()] = rr.ravel()
+        col_of[vert_lat.ravel()] = cc.ravel()
+        conn = np.asarray(mesh.elem_conn)
+        er = row_of[conn].min(axis=1)
+        ec = col_of[conn].min(axis=1)
         elem_lat = np.full((nyv - 1, nxv - 1), -1, dtype=np.int64)
-        for e, conn in enumerate(np.asarray(mesh.elem_conn)):
-            c = int(col_of[conn].min())
-            incol = conn[col_of[conn] == c]
-            ylow = verts0[incol, 1].min()
-            r = int(np.searchsorted(verts0[vert_lat[:, c], 1], ylow))
-            r = min(max(r, 0), nyv - 2)
-            elem_lat[r, c] = e
+        elem_lat[er, ec] = np.arange(len(conn))
         if (elem_lat < 0).any():
             raise ValueError("mesh elements do not tile the strip lattice")
 
@@ -112,7 +100,8 @@ class StructuredStripRemap:
         row = jnp.clip(row, 0, self.nyv - 2)
         ylo = jnp.take_along_axis(yedges, row[:, None], axis=1)[:, 0]
         yhi = jnp.take_along_axis(yedges, row[:, None] + 1, axis=1)[:, 0]
-        vref = (y_t - ylo) / jnp.maximum(yhi - ylo, 1e-300)
+        h = yhi - ylo
+        vref = (y_t - ylo) / jnp.maximum(h, jnp.finfo(h.dtype).tiny)
         donor = self.elem_lat[row, self.ic]
         d2 = (self.sx[:, None] - self.qp_ref[None, :, 0]) ** 2 \
             + (vref[:, None] - self.qp_ref[None, :, 1]) ** 2

@@ -160,9 +160,10 @@ class DofPartitionedOperator:
         self._sharding = sh
 
         @partial(jax.shard_map, mesh=dev_mesh,
-                 in_specs=(P(axis),) * (5 + len(self.blocks)),
+                 in_specs=(P(axis),) * (6 + len(self.blocks)),
                  out_specs=P(axis))
-        def _apply(x_own, eldofs, pub_src, pub_dst, ghost_src, *blocks):
+        def _apply(x_own, eldofs, pub_src, pub_dst, pub_src_rev, ghost_src,
+                   *blocks):
             x_own = x_own.reshape(-1)
             # forward halo exchange: one interface psum
             pub = jnp.zeros(nif + 1, x_own.dtype).at[pub_dst.reshape(-1)] \
@@ -204,10 +205,8 @@ class DofPartitionedOperator:
             gcon = jnp.zeros(nif + 1, x_own.dtype).at[ghost_src.reshape(-1)] \
                 .add(y_loc[nown_max:])
             gcon = jax.lax.psum(gcon, axis)
-            pub_src_rev_l = jnp.where(pub_dst.reshape(-1) < nif,
-                                      pub_src.reshape(-1), nown_max)
             y_ext = jnp.concatenate([y_own, jnp.zeros(1, y_own.dtype)])
-            y_ext = y_ext.at[pub_src_rev_l].add(
+            y_ext = y_ext.at[pub_src_rev.reshape(-1)].add(
                 gcon[jnp.minimum(pub_dst.reshape(-1), nif)])
             return y_ext[:nown_max]
 
@@ -233,7 +232,8 @@ class DofPartitionedOperator:
 
     def __call__(self, x_dist):
         return self._apply(x_dist, self.eldofs_loc, self.pub_src,
-                           self.pub_dst, self.ghost_src, *self.blocks)
+                           self.pub_dst, self.pub_src_rev, self.ghost_src,
+                           *self.blocks)
 
     def per_device_floats(self):
         """Peak per-device vector length (owned + ghost) — the memory-

@@ -82,12 +82,16 @@ def spline_eval(x, y, y2, xq):
     khi = jnp.clip(ss, 1, n - 1)
     k = khi - 1                                   # interval index (n-1)
     onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
-    # stacked per-interval data: x_lo, x_hi applied from the static knots
-    xlo = onehot @ x[:-1]
-    xhi = onehot @ x[1:]
+    # stacked per-interval data: x_lo, x_hi applied from the static knots.
+    # HIGHEST is already the package-wide default matmul precision, but
+    # pin it here too: a bf16-operand contraction of ~3000 K knots would
+    # silently lose ~5 significant digits of the interval geometry
+    hi = jax.lax.Precision.HIGHEST
+    xlo = jnp.dot(onehot, x[:-1], precision=hi)
+    xhi = jnp.dot(onehot, x[1:], precision=hi)
     if y.ndim == 1:
         tab = jnp.stack([y[:-1], y[1:], y2[:-1], y2[1:]], axis=-1)
-        g = onehot @ tab                          # (..., 4)
+        g = jnp.dot(onehot, tab, precision=hi)    # (..., 4)
         ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
         y_first, y_last = y[0], y[-1]
     else:

@@ -318,3 +318,32 @@ def test_native_locator_matches_numpy_sweep():
             locate_points(mesh, big[s:s + 500])[0]
             for s in range(0, len(big), 500)])
         assert (ids_n == ids_chunk).all()
+
+
+def test_locator_cache_invalidates_on_connectivity():
+    """The one-entry locator cache digests BOTH vertices and
+    connectivity: id(mesh) can be recycled after garbage collection, so
+    identical vertex bytes with renumbered elements must miss the cache
+    (stale hits would return element ids of the old numbering)."""
+    import numpy as np
+
+    from cmfem_tpu.core import make_cartesian_mesh_2d
+    from cmfem_tpu.core.pointlocate import _cached_native_locator
+
+    mesh = make_cartesian_mesh_2d(6, 5)
+    verts = np.asarray(mesh.vertices)
+    conn = np.asarray(mesh.elem_conn)
+    loc_a = _cached_native_locator(mesh, verts, conn, 1e-9)
+    if loc_a is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert _cached_native_locator(mesh, verts, conn, 1e-9) is loc_a
+    # same mesh identity + same vertices, permuted element numbering
+    perm = np.arange(len(conn))[::-1]
+    loc_b = _cached_native_locator(mesh, verts, conn[perm], 1e-9)
+    assert loc_b is not loc_a
+    pts = verts[:8] + 1e-3
+    ip_a, ie_a = loc_b.query(pts)
+    ip_c, ie_c = _cached_native_locator(mesh, verts, conn[perm],
+                                        1e-9).query(pts)
+    assert (ie_a == ie_c).all()
