@@ -309,3 +309,30 @@ def test_case22_scan_matches_eager(tmp_path):
     mask = np.isfinite(pe)
     assert np.array_equal(mask, np.isfinite(ps))
     assert np.abs(pe[mask] - ps[mask]).max() < 1e-5
+
+
+def test_structured_remap_degenerate_cell_f32_finite():
+    """A fully-collapsed lattice cell (yhi == ylo) must not produce
+    inf/nan donors: the inverse-map guard uses finfo tiny of the RUNTIME
+    dtype (1e-300 underflows to 0 in f32 and was a no-op there)."""
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.motion.remap import StructuredStripRemap
+
+    m = make_cartesian_mesh_2d(2, 6)
+    fes = FESpace(m, 1)
+    ops = SpaceOps(fes, quad_order=4)
+    rm = StructuredStripRemap(m, ops)
+    ne, nq = rm.ne, rm.nq
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(0, 1, (ne, nq, 3)), jnp.float32)
+    verts = np.asarray(m.vertices).copy()
+    # collapse the top row onto the one below it
+    ytop = verts[:, 1].max()
+    y2 = np.unique(verts[:, 1])[-2]
+    verts[verts[:, 1] == ytop, 1] = y2
+    xq = jnp.asarray(np.asarray(ops.gf.xq), jnp.float32)
+    wq = jnp.zeros((ne, nq, 2), jnp.float32)
+    out = rm(X, jnp.asarray(verts, jnp.float32), xq, wq,
+             jnp.float32(0.1))
+    assert bool(jnp.isfinite(out).all())
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
