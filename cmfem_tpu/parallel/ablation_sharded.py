@@ -83,9 +83,12 @@ class ShardedAblationNewton:
                 [eldofs, np.repeat(eldofs[:1], self._pad, axis=0)])
             invJ = np.concatenate(
                 [invJ, np.repeat(invJ[:1], self._pad, axis=0)])
-            # zero quadrature weights null every padded-element contribution
+            # zero quadrature weights null every padded-element
+            # contribution (dtype preserved: a dtype-less zeros pad would
+            # silently promote f32 factors to f64)
             wdetJ = np.concatenate(
-                [wdetJ, np.zeros((self._pad,) + wdetJ.shape[1:])])
+                [wdetJ, np.zeros((self._pad,) + wdetJ.shape[1:],
+                                 dtype=wdetJ.dtype)])
         sh = NamedSharding(dev_mesh, P(axis))
         self.eldofs = jax.device_put(eldofs, sh)
         self.invJ = jax.device_put(invJ, sh)
@@ -100,10 +103,25 @@ class ShardedAblationNewton:
         if seb is not None:
             # assign each top-boundary face to the device that owns its
             # adjacent element; pad every device to the same face count
-            # with zero-weight dummies (face 0's data, wdS = 0)
+            # with zero-weight dummies (face 0's data, wdS = 0).  The
+            # face -> device assignment is static topology: compute the
+            # packed destination slots once and reuse them on every ALE
+            # geometry refresh.
             tr = system.trace
             elem = np.asarray(tr.elem, dtype=np.int64)
+            if len(elem) == 0:
+                raise ValueError(
+                    "SEB enabled but the top-boundary trace selects no "
+                    "faces — check the boundary attribute")
             owner = elem // epd
+            counts = np.bincount(owner, minlength=ndev)
+            nfmax = max(1, int(counts.max()))
+            self.nf_local = nfmax
+            slot = np.zeros(len(elem), dtype=np.int64)
+            for d in range(ndev):
+                idx = np.nonzero(owner == d)[0]
+                slot[idx] = np.arange(len(idx))
+            self._face_dst = owner * nfmax + slot
             ff = tr.face_factors()
             fdata = {
                 "Bf": np.asarray(tr.Btab)[tr.combo],
@@ -114,25 +132,9 @@ class ShardedAblationNewton:
                 "eldofs_f": np.asarray(tr.eldofs, dtype=np.int64),
                 "elem_local": elem - owner * epd,
             }
-            counts = np.bincount(owner, minlength=ndev)
-            nfmax = max(1, int(counts.max()))
-            self.nf_local = nfmax
-            packed = {}
-            for k, a in fdata.items():
-                out = np.repeat(a[:1][None], ndev, axis=0)          # dummies
-                out = np.repeat(out, nfmax, axis=1) \
-                    if nfmax > 1 else out
-                out = np.array(out)
-                if k == "wdS":
-                    out[:] = 0.0
-                if k == "elem_local":
-                    out[:] = 0
-                for d in range(ndev):
-                    idx = np.nonzero(owner == d)[0]
-                    out[d, :len(idx)] = a[idx]
-                packed[k] = jax.device_put(
-                    out.reshape((ndev * nfmax,) + a.shape[1:]), sh)
-            self._f = packed
+            self._f = {k: self._pack_faces(a, zero_fill=k in
+                                           ("wdS", "elem_local"))
+                       for k, a in fdata.items()}
 
         self._residual_j = jax.jit(self._residual_impl)
         self._prepare_j = jax.jit(self._prepare_impl)
@@ -148,19 +150,46 @@ class ShardedAblationNewton:
             a = np.concatenate([a, np.repeat(a[:1], self._pad, axis=0)])
         return jax.device_put(a, self._sharding)
 
+    def _pad_elem_dev(self, a):
+        """Device-side pad_elem (no host roundtrip): duplicate element 0
+        into the pad rows and reshard — used by the per-step ALE
+        geometry refresh."""
+        a = jnp.asarray(a)
+        if self._pad:
+            a = jnp.concatenate([a, jnp.repeat(a[:1], self._pad, axis=0)])
+        return jax.device_put(a, self._sharding)
+
+    def _pack_faces(self, a, zero_fill=False):
+        """Scatter a per-face array (nfaces, ...) into the padded
+        per-device face slabs (ndev*nf_local, ...) and shard it.  Dummy
+        slots carry face 0's data (finite, never read with weight) or
+        zeros (``zero_fill`` — face weights and local element ids)."""
+        a = np.asarray(a)
+        ndev = self.mesh.devices.size
+        shape = (ndev * self.nf_local,) + a.shape[1:]
+        if zero_fill:
+            out = np.zeros(shape, dtype=a.dtype)
+        else:
+            out = np.broadcast_to(a[:1], shape).copy()
+        out[self._face_dst] = a
+        return jax.device_put(out, self._sharding)
+
     def update_geometry(self, vertices):
         """Refresh the sharded geometric factors (and SEB face geometry)
         for moved mesh vertices — the case-2.2 ALE step.  The factor
         arrays are call-time arguments of the jitted kernels, so no
         retrace happens."""
         gf = self.sys.ops.geometric_factors(jnp.asarray(vertices))
-        wdetJ = np.asarray(gf.wdetJ)
+        wdetJ = jnp.asarray(gf.wdetJ)
         if self._pad:
-            wdetJ = np.concatenate(
-                [wdetJ, np.zeros((self._pad,) + wdetJ.shape[1:])])
-            self.invJ = self.pad_elem(gf.invJ)
+            # zero weights (dtype-preserving) null the pad contributions
+            wdetJ = jnp.concatenate(
+                [wdetJ, jnp.zeros((self._pad,) + wdetJ.shape[1:],
+                                  wdetJ.dtype)])
+            self.invJ = self._pad_elem_dev(gf.invJ)
         else:
-            self.invJ = jax.device_put(np.asarray(gf.invJ), self._sharding)
+            self.invJ = jax.device_put(jnp.asarray(gf.invJ),
+                                       self._sharding)
         self.wdetJ = jax.device_put(wdetJ, self._sharding)
         if self.seb is not None:
             tr = self.sys.trace
@@ -170,22 +199,8 @@ class ShardedAblationNewton:
                 "nrm": np.asarray(ff.normal),
                 "wdS": np.asarray(ff.wdS),
             }
-            ndev = self.mesh.devices.size
-            nfmax = self.nf_local
-            elem = np.asarray(tr.elem, dtype=np.int64)
-            owner = elem // (self.ne_pad // ndev)
             for k, a in upd.items():
-                out = np.repeat(a[:1][None], ndev, axis=0)
-                out = np.repeat(out, nfmax, axis=1) if nfmax > 1 else out
-                out = np.array(out)
-                if k == "wdS":
-                    out[:] = 0.0
-                for d in range(ndev):
-                    idx = np.nonzero(owner == d)[0]
-                    out[d, :len(idx)] = a[idx]
-                self._f[k] = jax.device_put(
-                    out.reshape((ndev * nfmax,) + a.shape[1:]),
-                    self._sharding)
+                self._f[k] = self._pack_faces(a, zero_fill=(k == "wdS"))
 
     def _gather_local(self, eldofs, x):
         xT = x[:self.n][eldofs]

@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .partition import partition_elements
+from .sharding import qp_block_apply
 
 
 class DofPartitionedOperator:
@@ -64,6 +65,14 @@ class DofPartitionedOperator:
         if parts is None:
             parts = partition_elements(fes.mesh, ndev)
         parts = np.asarray(parts, dtype=np.int64)
+        if len(parts) != ne:
+            raise ValueError(f"parts has {len(parts)} entries for {ne} "
+                             "elements")
+        if parts.min() < 0 or parts.max() >= ndev:
+            # out-of-range parts would be silently dropped by the packing
+            # loops below -> wrong matvec with no error
+            raise ValueError(f"parts ids must lie in [0, {ndev}); got "
+                             f"[{parts.min()}, {parts.max()}]")
 
         # -- ownership: lowest part touching each dof ----------------------
         owner = np.full(nglobal, ndev, dtype=np.int64)
@@ -177,26 +186,8 @@ class DofPartitionedOperator:
             d01 = next(it) if have["d01"] else None
             d10 = next(it) if have["d10"] else None
             d11 = next(it) if have["d11"] else None
-            u_e = xloc[eldofs]
-            uq = jnp.einsum("qn,en->eq", self.B, u_e)
-            gq = jnp.einsum("qnr,en->eqr", self.G, u_e)
-            bq = None
-            if d00 is not None:
-                bq = d00 * uq
-            if d01 is not None:
-                t = jnp.sum(d01 * gq, axis=-1)
-                bq = t if bq is None else bq + t
-            fq = None
-            if d10 is not None:
-                fq = d10 * uq[..., None]
-            if d11 is not None:
-                t = jnp.sum(d11 * gq[..., None, :], axis=-1)
-                fq = t if fq is None else fq + t
-            y_e = 0.0
-            if bq is not None:
-                y_e = jnp.einsum("qn,eq->en", self.B, bq)
-            if fq is not None:
-                y_e = y_e + jnp.einsum("qnr,eqr->en", self.G, fq)
+            y_e = qp_block_apply(self.B, self.G, xloc[eldofs],
+                                 d00, d01, d10, d11)
             y_loc = jax.ops.segment_sum(
                 y_e.reshape(-1), eldofs.reshape(-1),
                 num_segments=nown_max + nghost_max)

@@ -17,7 +17,9 @@ def _rcb_numpy(centroids: np.ndarray, nparts: int) -> np.ndarray:
     parts = np.zeros(len(centroids), dtype=np.int32)
 
     def recurse(idx, lo_part, hi_part):
-        if hi_part - lo_part <= 1:
+        if hi_part - lo_part <= 1 or len(idx) == 0:
+            # more parts than elements leaves empty subsets — they take
+            # lo_part (empty slice) and the trailing parts stay empty
             parts[idx] = lo_part
             return
         c = centroids[idx]
@@ -38,13 +40,13 @@ def partition_elements(mesh: Mesh, nparts: int, method: str = "rcb",
     """(ne,) int32 part assignment for each element."""
     if nparts <= 1:
         return np.zeros(mesh.num_elements, dtype=np.int32)
-    verts = np.asarray(mesh.vertices if vertices is None else vertices)
-    centroids = verts[mesh.elem_conn].mean(axis=1)
     if method == "contiguous":
         return (np.arange(mesh.num_elements) * nparts
                 // mesh.num_elements).astype(np.int32)
     if method != "rcb":
         raise ValueError(f"Unknown partition method: {method}")
+    verts = np.asarray(mesh.vertices if vertices is None else vertices)
+    centroids = verts[mesh.elem_conn].mean(axis=1)
     try:
         from ..native import rcb_partition_native
 
@@ -56,10 +58,14 @@ def partition_elements(mesh: Mesh, nparts: int, method: str = "rcb",
     return _rcb_numpy(centroids, nparts)
 
 
-def partition_permutation(parts: np.ndarray):
+def partition_permutation(parts: np.ndarray, nparts: int | None = None):
     """Stable permutation grouping elements by part; returns (perm,
     counts) so that elements perm[offset_k : offset_k + counts[k]] belong
-    to part k."""
+    to part k.  ``nparts`` sizes counts explicitly so trailing empty
+    parts keep their (zero) slots; default = parts.max() + 1."""
+    parts = np.asarray(parts)
+    if nparts is None:
+        nparts = int(parts.max()) + 1 if len(parts) else 1
     order = np.argsort(parts, kind="stable")
-    counts = np.bincount(parts, minlength=parts.max() + 1)
+    counts = np.bincount(parts, minlength=nparts)
     return order, counts

@@ -51,10 +51,12 @@ def make_device_mesh(n_devices: int | None = None, axis: str = "dd") -> Mesh:
 
 def shard_elements(mesh: Mesh, *arrays, axis: str = "dd"):
     """Pad the leading (element) axis to a multiple of the mesh size and
-    shard it. Padded elements get dof index pointing at a dead dof slot?
-    No — padding duplicates element 0 with zero weights, handled by the
-    caller passing padded D blocks of zeros. Returns (padded arrays, ne_pad).
-    """
+    shard it.  Padding is ZERO-FILLED for every array — pad elements map
+    all their dofs to global dof 0, which is only safe because callers
+    pass zero-padded operator data (their pad contributions are exactly
+    zero).  Callers that pad with real data must duplicate element 0 and
+    zero the weights instead (see ShardedAblationNewton.pad_elem).
+    Returns (padded sharded arrays, ne_pad)."""
     n = mesh.devices.size
     outs = []
     ne = arrays[0].shape[0]
@@ -68,6 +70,34 @@ def shard_elements(mesh: Mesh, *arrays, axis: str = "dd"):
             a = np.concatenate([a, pad_block], axis=0)
         outs.append(jax.device_put(a, sharding))
     return outs, ne_pad
+
+
+def qp_block_apply(B, G, u_e, d00, d01, d10, d11):
+    """Element-local B^T D B quadrature apply: u_e (nel, nd) -> y_e
+    (nel, nd) through whichever of the four QP data blocks are present
+    (None = absent).  Shared by every element-sharded operator body
+    (ShardedPoissonApply, DofPartitionedOperator) so layout fixes land
+    once."""
+    uq = jnp.einsum("qn,en->eq", B, u_e)
+    gq = jnp.einsum("qnr,en->eqr", G, u_e)
+    bq = None
+    if d00 is not None:
+        bq = d00 * uq
+    if d01 is not None:
+        t = jnp.sum(d01 * gq, axis=-1)
+        bq = t if bq is None else bq + t
+    fq = None
+    if d10 is not None:
+        fq = d10 * uq[..., None]
+    if d11 is not None:
+        t = jnp.sum(d11 * gq[..., None, :], axis=-1)
+        fq = t if fq is None else fq + t
+    y_e = 0.0
+    if bq is not None:
+        y_e = jnp.einsum("qn,eq->en", B, bq)
+    if fq is not None:
+        y_e = y_e + jnp.einsum("qnr,eqr->en", G, fq)
+    return y_e
 
 
 class ShardedPoissonApply:
@@ -114,26 +144,8 @@ class ShardedPoissonApply:
             d01 = next(it) if self._have["d01"] else None
             d10 = next(it) if self._have["d10"] else None
             d11 = next(it) if self._have["d11"] else None
-            u_e = u[eldofs]
-            uq = jnp.einsum("qn,en->eq", self.B, u_e)
-            gq = jnp.einsum("qnr,en->eqr", self.G, u_e)
-            bq = None
-            if d00 is not None:
-                bq = d00 * uq
-            if d01 is not None:
-                t = jnp.sum(d01 * gq, axis=-1)
-                bq = t if bq is None else bq + t
-            fq = None
-            if d10 is not None:
-                fq = d10 * uq[..., None]
-            if d11 is not None:
-                t = jnp.sum(d11 * gq[..., None, :], axis=-1)
-                fq = t if fq is None else fq + t
-            y_e = 0.0
-            if bq is not None:
-                y_e = jnp.einsum("qn,eq->en", self.B, bq)
-            if fq is not None:
-                y_e = y_e + jnp.einsum("qnr,eqr->en", self.G, fq)
+            y_e = qp_block_apply(self.B, self.G, u[eldofs],
+                                 d00, d01, d10, d11)
             y = jax.ops.segment_sum(
                 y_e.reshape(-1), eldofs.reshape(-1), num_segments=self.nscalar
             )

@@ -367,3 +367,32 @@ def test_case21_and_case22_drivers_sharded_match_lu():
                 / np.abs(out_lu["p"]).max())
         assert relT < 1e-6, runner.__module__
         assert relp < 1e-8, runner.__module__
+
+
+def test_sharded_padding_preserves_f32(small_problem):
+    """Element/geometry padding must not promote f32 factors to f64: a
+    dtype-less zeros pad would (x64 is globally on), and on a real TPU
+    (no native f64) the padded f32 run would then fail outright."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmfem_tpu.parallel import ShardedAblationNewton, make_device_mesh
+
+    sys_, fes, n, ess, T, p, T_old_q, p_old_q, X_old, dt = small_problem
+    dev_mesh = make_device_mesh(len(jax.devices()))
+    sh = ShardedAblationNewton(sys_, dev_mesh, ess, ess)
+    assert sh.ne_pad != sh.ne  # the padding path is what we're testing
+
+    class F32GF:
+        wdetJ = np.asarray(sys_.ops.gf.wdetJ, dtype=np.float32)
+        invJ = np.asarray(sys_.ops.gf.invJ, dtype=np.float32)
+
+    orig = sys_.ops.geometric_factors
+    try:
+        sys_.ops.geometric_factors = lambda v: F32GF()
+        sh.update_geometry(jnp.asarray(np.asarray(fes.mesh.vertices),
+                                       jnp.float32))
+    finally:
+        sys_.ops.geometric_factors = orig
+    assert sh.wdetJ.dtype == jnp.float32
+    assert sh.invJ.dtype == jnp.float32

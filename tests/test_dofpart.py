@@ -132,3 +132,32 @@ def test_dofpart_cg_matches_replicated_solve(problem):
     x = op.from_dist(res.x)
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-10, rel
+
+
+def test_partition_more_parts_than_elements():
+    """RCB must tolerate nparts >> ne (tiny smoke meshes on big virtual
+    device meshes): empty recursion subsets may leave trailing parts
+    empty but every element gets a valid id."""
+    from cmfem_tpu.core import make_cartesian_mesh_2d
+    from cmfem_tpu.parallel.partition import (
+        partition_elements, partition_permutation,
+    )
+
+    mesh = make_cartesian_mesh_2d(2, 2)   # 4 elements
+    parts = partition_elements(mesh, 16)
+    assert parts.shape == (4,)
+    assert parts.min() >= 0 and parts.max() < 16
+    perm, counts = partition_permutation(parts, nparts=16)
+    assert len(counts) == 16 and counts.sum() == 4
+    perm0, counts0 = partition_permutation(np.array([0, 0, 1]))
+    assert len(counts0) == 2 and list(counts0) == [2, 1]
+
+
+def test_dofpart_rejects_out_of_range_parts(problem):
+    from cmfem_tpu.parallel import DofPartitionedOperator, make_device_mesh
+
+    fes, ops, data, _, _ = problem
+    parts = np.zeros(fes.mesh.num_elements, dtype=np.int64)
+    parts[0] = 7   # computed for a different device count
+    with pytest.raises(ValueError, match="parts ids"):
+        DofPartitionedOperator(ops, data, make_device_mesh(4), parts=parts)
