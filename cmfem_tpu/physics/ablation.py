@@ -597,12 +597,10 @@ class AblationSystem:
             else jnp.full_like(Tw, recession_density_constant)
         rho_rec = jnp.maximum(rho_rec, 1e-8)
         v_rec = jnp.maximum(0.0, terms["m_dot_c"]) / rho_rec
-        B = tr.Btab[tr._combo_j]
         num = tr.scatter(v_rec * ff.wdS)
-        den = jax.ops.segment_sum(
-            jnp.einsum("fqn,fq->fn", B, ff.wdS).reshape(-1),
-            tr.eldofs.reshape(-1), num_segments=self.n)
-        v = jnp.where(den > 1e-16, num / jnp.maximum(den, 1e-300), 0.0)
+        den = tr.scatter(ff.wdS)
+        tiny = jnp.finfo(den.dtype).tiny
+        v = jnp.where(den > 1e-16, num / jnp.maximum(den, tiny), 0.0)
         v = jnp.where(jnp.isfinite(v) & (v > 0), v, 0.0)
         # restrict to top-boundary dofs
         top_mask = np.zeros(self.n, dtype=bool)

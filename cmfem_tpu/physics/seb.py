@@ -87,23 +87,34 @@ def solve_blowing(m_dot_g_w, rhoeUeCH, lam, enable: bool):
         return z, jnp.ones_like(z)
     Bg = jnp.zeros_like(jnp.asarray(m_dot_g_w))
     phi = jnp.ones_like(Bg)
+    # floor like solve_blowing_22: the branch is a STATIC per-step choice
+    # while bc is traced, so a schedule point with rhoeUeCH == 0 reaching
+    # the blowing branch must not produce inf -> NaN(phi)
+    rhoeUeCH_eff = jnp.maximum(rhoeUeCH, 1e-12)
     for _ in range(3):
         phi_eff = jnp.maximum(phi, 1e-12)
-        raw = m_dot_g_w / (rhoeUeCH * phi_eff)
+        raw = m_dot_g_w / (rhoeUeCH_eff * phi_eff)
         Bg = jnp.maximum(raw, 0.0)
         phi = blowing_correction(Bg, lam)
     return Bg, phi
 
 
 def solve_blowing_22(m_dot_g_w, rhoeUeCH, p_w, T_w, bprime: BPrimeTable,
-                     chemistry_on: bool, strict: bool, lam, enable: bool):
+                     chemistry_on: bool, strict: bool, lam, enable: bool,
+                     return_lut: bool = False):
     """Case-2.2 coupled fixed point: the blowing correction uses the TOTAL
     B' = B'g + B'c with B'c looked up inside the loop
     (SolveSurfaceBlowingState, ablation_test_case2_2_2D.cpp:724-795;
-    8 iterations).  Returns (BprimeG, BprimeC, phi)."""
+    8 iterations).  Returns (BprimeG, BprimeC, phi); with
+    ``return_lut``, also the final in-loop B' lookup dict (or None when
+    the loop did no lookups) — it is evaluated at the converged
+    (p_w, B'g, T_w), so surface_flux can reuse it instead of paying a
+    9th full table lookup per flux evaluation."""
     z = jnp.zeros_like(jnp.asarray(m_dot_g_w))
+    lut = None
     if not enable:
-        return z, z, jnp.ones_like(z)
+        out = (z, z, jnp.ones_like(z))
+        return out + (lut,) if return_lut else out
     rhoeUeCH_eff = jnp.maximum(rhoeUeCH, 1e-12)
     Bg = z
     Bc = z
@@ -118,7 +129,8 @@ def solve_blowing_22(m_dot_g_w, rhoeUeCH, p_w, T_w, bprime: BPrimeTable,
         else:
             Bc = z
         phi = blowing_correction(Bg + Bc, lam)
-    return Bg, Bc, phi
+    out = (Bg, Bc, phi)
+    return out + (lut,) if return_lut else out
 
 
 def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
@@ -156,16 +168,22 @@ def surface_flux(m_dot_g_w, h_g, T_w, emissivity, absorptivity, reflectivity,
     rhoeUeCH = jnp.maximum(0.0, bc.rhoeUeCH)
     blowing_active = branch == BRANCH_CHEMISTRY_BLOWING
     if model.case22:
-        Bg, Bc22, phi = solve_blowing_22(
+        Bg, _, phi, lut22 = solve_blowing_22(
             m_dot_g_w, rhoeUeCH, bc.p_w, T_w, bprime, chemistry_on,
-            model.strict_case2_2, model.lam, blowing_active)
+            model.strict_case2_2, model.lam, blowing_active,
+            return_lut=True)
     else:
         Bg, phi = solve_blowing(m_dot_g_w, rhoeUeCH, model.lam, blowing_active)
-        Bc22 = None
+        lut22 = None
 
     if bprime is not None:
-        lut = bprime.lookup(jnp.full_like(zeros, bc.p_w), Bg, T_w,
-                            count_clamps=count_clamps)
+        if lut22 is not None and not count_clamps:
+            # the fixed point's final lookup is already at the converged
+            # (p_w, B'g, T_w) — reuse it instead of a 9th table pass
+            lut = lut22
+        else:
+            lut = bprime.lookup(jnp.full_like(zeros, bc.p_w), Bg, T_w,
+                                count_clamps=count_clamps)
         h_w = lut["hw"] if chemistry_on else zeros
         bc_val = lut["bc"]
         # clamp-count scalars: jit-safe (the count_clamps=True path mutates

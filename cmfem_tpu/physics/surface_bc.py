@@ -99,11 +99,12 @@ class SurfaceBCSchedule:
         if t >= ts[-1]:
             row = r[-1]
             return self._state(row, row)
-        hi = int(np.searchsorted(ts, t, side="right"))
+        # reference scan semantics (surface_bc_schedule.cpp:124-127):
+        # hi = FIRST row with rows[hi].t >= time, so at an exact node the
+        # left-constant chemistry toggle takes the PRE-node row
+        # (side='right' would flip the flux branch one step early)
+        hi = int(np.searchsorted(ts, t, side="left"))
         hi = min(max(hi, 1), len(ts) - 1)
-        # match the reference scan: first row with rows[hi].t >= time
-        while hi < len(ts) and ts[hi] < t:
-            hi += 1
         lo = hi - 1
         a, b = r[lo], r[hi]
         dt = b[0] - a[0]
@@ -145,7 +146,12 @@ class TopTemperatureSchedule:
                 parts = line.split()
                 if len(parts) < 2:
                     continue
-                t, v = float(parts[0]), float(parts[1])
+                try:
+                    t, v = float(parts[0]), float(parts[1])
+                except ValueError as e:
+                    raise ValueError(
+                        f"Unparseable top temperature schedule row at line "
+                        f"{ln}: {path}") from e
                 if t < 0:
                     raise ValueError(
                         f"Negative time in top temperature schedule at line "

@@ -95,13 +95,14 @@ def spline_eval(x, y, y2, xq):
         ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
         y_first, y_last = y[0], y[-1]
     else:
-        # batched coefficient sets broadcast against xq: fall back to
-        # take (the ablation hot path uses 1-D per-level coefficients)
-        klo = k
-        ylo = jnp.take(y, klo, axis=-1)
-        yhi = jnp.take(y, khi, axis=-1)
-        y2lo = jnp.take(y2, klo, axis=-1)
-        y2hi = jnp.take(y2, khi, axis=-1)
+        # batched coefficient sets aligned with xq: per-batch interval
+        # selection (jnp.take along the last axis would outer-product the
+        # batch dims; the ablation hot path uses 1-D per-level coefficients
+        # and never reaches this branch)
+        ylo = jnp.take_along_axis(y, k[..., None], axis=-1)[..., 0]
+        yhi = jnp.take_along_axis(y, khi[..., None], axis=-1)[..., 0]
+        y2lo = jnp.take_along_axis(y2, k[..., None], axis=-1)[..., 0]
+        y2hi = jnp.take_along_axis(y2, khi[..., None], axis=-1)[..., 0]
         y_first = jnp.take(y, 0, axis=-1)
         y_last = jnp.take(y, n - 1, axis=-1)
     h = xhi - xlo
@@ -293,7 +294,11 @@ def _make_extent_solver(mat: "TacotMaterial"):
         active = (Tc >= T_thr) & (arr > 0.0) & (dt > 0.0)
         interior = active & (x < 1.0 - 1e-12)
         dx_dT = jnp.where(interior, dt * drate_dT / dfdx, 0.0)
-        dx_dxold = jnp.where(interior, 1.0 / dfdx, 1.0)
+        # non-interior splits: inactive passthrough (x == x_old, unit
+        # derivative) vs active-but-clamped at x == 1 (pinned, derivative
+        # 0 — the reference's frozen-clamp FD semantics)
+        dx_dxold = jnp.where(interior, 1.0 / dfdx,
+                             jnp.where(active, 0.0, 1.0))
         dx_ddt = jnp.where(interior, rate / dfdx, 0.0)
         tangent = dx_dT * dT[..., None] + dx_dxold * dx_old_t + dx_ddt * ddt
         return x, tangent
@@ -445,11 +450,16 @@ class TacotMaterial:
         return float(max(rc, 1e-14))
 
     def initial_solid_density(self) -> float:
-        return float(self.rho_eps0[0] + self.rho_eps0[1])
+        """solid_density at zero extent — delegates to the general
+        all-phase sum (a 2-phase hardcode would crash 1-phase decks and
+        drop phases beyond the second)."""
+        return self.rho_virgin
 
     def char_solid_density(self) -> float:
-        rem = np.clip(1.0 - self.F.sum(), 0.0, 1.0)
-        return float(self.rho_eps0[0] + self.rho_eps0[1] * rem)
+        """solid_density at full extent — delegates to the per-reaction
+        phase-indexed form (a hardcode assuming every reaction consumes
+        phase 1 breaks decks using the loader's phase_index support)."""
+        return self.rho_char
 
     # -- reaction extents --------------------------------------------------
 

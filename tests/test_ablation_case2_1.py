@@ -49,6 +49,30 @@ def test_surface_schedule_parsing_and_chemistry_toggle():
     assert b3.chemistryOn == 0
 
 
+def test_surface_schedule_exact_node_takes_pre_node_chemistry():
+    """At a time landing EXACTLY on an interior schedule node, the
+    left-constant chemistry toggle takes the PRE-node row — reference
+    scan semantics (surface_bc_schedule.cpp:124-169: hi = first row with
+    t_hi >= time, chemistryOn = rows[hi-1]).  A side='right' bisection
+    flips the flux branch one full step early."""
+    import tempfile
+
+    from cmfem_tpu.physics.surface_bc import SurfaceBCSchedule
+
+    with tempfile.NamedTemporaryFile("w", suffix=".dat",
+                                     delete=False) as f:
+        f.write("0.0   101325 0.0 1.0e6 0\n")
+        f.write("60.0  101325 0.3 1.5e6 1\n")
+        f.write("120.0 101325 0.3 1.5e6 1\n")
+        path = f.name
+    s = SurfaceBCSchedule.load_file(path)
+    assert s.eval(59.9).chemistryOn == 0
+    assert s.eval(60.0).chemistryOn == 0   # pre-node row governs
+    assert s.eval(60.1).chemistryOn == 1
+    # continuous columns are unaffected (node value either way)
+    assert abs(s.eval(60.0).rhoeUeCH - 0.3) < 1e-12
+
+
 def test_blowing_correction_properties():
     from cmfem_tpu.physics.seb import blowing_correction, solve_blowing
 
