@@ -87,9 +87,10 @@ class MeshRecessionHandler:
             raise RuntimeError(
                 "Restored mesh violates the quality guard.")
 
-    def _min_quality(self) -> float:
+    def _min_quality(self, vertices=None) -> float:
         Bg, Gg, w, conn = self._qual
-        coords_e = jnp.asarray(self.vertices)[conn]
+        verts = self.vertices if vertices is None else vertices
+        coords_e = jnp.asarray(verts)[conn]
         gf = compute_geometric_factors(coords_e, Bg, Gg, w)
         return float(jnp.min(gf.detJ))
 
@@ -139,32 +140,55 @@ class MeshRecessionHandler:
         u_bc = jnp.zeros(self.n).at[jnp.asarray(self.top_dofs)].set(
             jnp.asarray(-vc[self.top_dofs]))
         B = self._bc.constrained_rhs(apply_A, jnp.zeros(self.n), u_bc)
+        # reference rtol 1e-12 (mesh_recession_handler.cpp:270-276), but
+        # floored by the runtime precision: in f32 (CMFEM_X64=0) 1e-12 is
+        # unreachable and would silently burn maxiter every step
+        rtol = max(1e-12, 50.0 * float(jnp.finfo(B.dtype).eps))
         res = cg(self._bc.constrain_operator(apply_A), B, M=M,
-                 rtol=1e-12, maxiter=500)
+                 rtol=rtol, maxiter=500)
+        if not bool(res.converged):
+            print(f"WARNING: mesh-velocity CG stalled at residual "
+                  f"{float(res.residual):.3e} after {int(res.iters)} "
+                  "iterations; committing the last iterate.")
         self.mesh_velocity[:, self.axis] = np.asarray(res.x)
         return self.mesh_velocity
 
     def commit_advance(self):
-        """Move the nodes, update recession bookkeeping, guard quality."""
+        """Move the nodes, update recession bookkeeping, guard quality.
+
+        The quality guard runs on the CANDIDATE geometry before anything
+        is committed: a guard failure raises with the handler still on
+        the pre-step mesh and the pending state cleared, so a driver can
+        catch and retry (e.g. with a smaller dt) from a consistent
+        state."""
         out = {"delta_recession": 0.0, "max_node_disp": 0.0,
                "total_recession": self.total_recession, "min_quality": 1.0}
-        if self._pending_mean_v > 0 and self._pending_dt > 0:
+        moved = self._pending_mean_v > 0 and self._pending_dt > 0
+        cand = self.vertices
+        if moved:
             disp = self._pending_dt * self.mesh_velocity
-            self.vertices += disp
+            cand = self.vertices + disp
             out["max_node_disp"] = float(np.abs(disp).max())
+
+        q = self._min_quality(cand)
+        ratio = q / self.initial_min_quality
+        out["min_quality"] = ratio
+        if q <= 0 or ratio < self.min_quality_ratio:
+            self._pending_dt = 0.0
+            self._pending_mean_v = 0.0
+            if q <= 0:
+                raise RuntimeError(
+                    "Mesh quality failure: non-positive element Jacobian "
+                    "detected.")
+            raise RuntimeError(
+                "Mesh quality ratio below configured minimum threshold.")
+
+        if moved:
+            self.vertices = np.asarray(cand)
             delta = self._pending_mean_v * self._pending_dt
             self.total_recession += delta
             out["delta_recession"] = delta
         out["total_recession"] = self.total_recession
-
-        q = self._min_quality()
-        if q <= 0:
-            raise RuntimeError(
-                "Mesh quality failure: non-positive element Jacobian detected.")
-        out["min_quality"] = q / self.initial_min_quality
-        if out["min_quality"] < self.min_quality_ratio:
-            raise RuntimeError(
-                "Mesh quality ratio below configured minimum threshold.")
         self._pending_dt = 0.0
         self._pending_mean_v = 0.0
         return out

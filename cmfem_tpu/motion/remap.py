@@ -89,6 +89,20 @@ class StructuredStripRemap:
 
         ne, nq = self.ne, self.nq
         nr = extent.shape[-1]
+        # vertical-only-motion contract: the column index / ref-u weight
+        # are static, so any horizontal velocity silently picks donors
+        # from the wrong column.  Checkable only eagerly (wq is traced
+        # in the scan path, where the driver's smoother produces
+        # y-velocity by construction).
+        try:
+            wx = float(jnp.max(jnp.abs(wq[..., 0])))
+            wy = float(jnp.max(jnp.abs(wq[..., 1])))
+            if wx > 1e-10 * max(wy, 1.0):
+                raise ValueError(
+                    "StructuredStripRemap requires vertical-only mesh "
+                    f"motion; got max |w_x| = {wx:g}")
+        except jax.errors.TracerArrayConversionError:
+            pass
         ylat = verts[:, 1][self.vert_lat]                 # (nyv, nxv)
         Yl = ylat[:, self.ic]                             # (nyv, M)
         Yr = ylat[:, self.ic + 1]

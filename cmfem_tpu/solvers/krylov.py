@@ -126,8 +126,10 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
         _, _, _, _, _, j, res = state
         return jnp.logical_and(j < m, res > tol)
 
-    def restart_cycle(x):
-        r = M(b - apply_A(x))
+    def restart_cycle(x, r):
+        # r is the CURRENT preconditioned residual (threaded through the
+        # outer loop so each restart costs exactly one extra apply for
+        # its explicit end-of-cycle residual, not two)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), dtype=dtype)
         V = V.at[0].set(jnp.where(beta > tiny, r / beta, r))
@@ -138,26 +140,34 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
         V, R, g, cs, sn, k, _ = jax.lax.while_loop(
             arnoldi_cond, arnoldi_body, (V, R, g, cs, sn, jnp.asarray(0),
                                          beta))
-        # triangular solve over the k active columns (inactive columns are
-        # zero: give them a unit diagonal and zero rhs so y vanishes there)
+        # triangular solve over the k active columns.  Inactive columns
+        # are zero, and an ACTIVE column can also carry a ~zero pivot
+        # (exact breakdown: h = hj1 = 0, e.g. a singular operator whose
+        # nullspace the Krylov space hit) — both get a unit diagonal and
+        # zero rhs so y vanishes there instead of dividing by ~0.
         active = jnp.arange(m) < k
-        Rsolve = R[:m, :m] + jnp.diag(jnp.where(active, 0.0, 1.0)
+        usable = active & (jnp.abs(jnp.diagonal(R[:m, :m])) > tiny)
+        Rsolve = R[:m, :m] + jnp.diag(jnp.where(usable, 0.0, 1.0)
                                       .astype(dtype))
-        gg = jnp.where(active, g[:m], 0.0)
+        gg = jnp.where(usable, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rsolve, gg, lower=False)
         x_new = x + V[:m].T @ y
-        res = jnp.linalg.norm(M(b - apply_A(x_new)))
-        return x_new, res
+        # explicit (not Givens-estimated) residual: the estimate drifts
+        # in f32; this is also the next cycle's starting vector
+        r_new = M(b - apply_A(x_new))
+        return x_new, r_new, jnp.linalg.norm(r_new)
 
     def cond(state):
-        x, res, k = state
+        x, r, res, k = state
         return jnp.logical_and(k < maxiter, res > tol)
 
     def body(state):
-        x, res, k = state
-        x, res = restart_cycle(x)
-        return (x, res, k + 1)
+        x, r, res, k = state
+        x, r, res = restart_cycle(x, r)
+        return (x, r, res, k + 1)
 
-    r_init = jnp.linalg.norm(M(b - apply_A(x0)))
-    x, res, k = jax.lax.while_loop(cond, body, (x0, r_init, jnp.asarray(0)))
+    r0 = M(b - apply_A(x0)).astype(dtype)
+    x, r, res, k = jax.lax.while_loop(
+        cond, body, (x0.astype(dtype), r0, jnp.linalg.norm(r0),
+                     jnp.asarray(0)))
     return SolveResult(x, k, res, res <= tol)

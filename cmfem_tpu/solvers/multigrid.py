@@ -28,7 +28,7 @@ from ..core import FESpace, make_cartesian_mesh_3d
 from ..ops.assembly import SpaceOps
 from ..ops.partial import StructuredGrid3D
 from ..ops.sumfact import SumFactoredOperator
-from .precond import power_iteration_lmax
+from .precond import chebyshev_smooth, power_iteration_lmax
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -46,14 +46,30 @@ def _interp_1d(xc: np.ndarray, xf: np.ndarray) -> np.ndarray:
 
 
 def _lattice_diag(fes: FESpace, form, data, grid: StructuredGrid3D):
-    """Operator diagonal permuted from entity numbering to the lattice."""
+    """Operator diagonal permuted from entity numbering to the lattice.
+
+    Per-axis indices come from rank within the sorted unique coordinate
+    values, NOT from rounding to a uniform grid: Gauss-Lobatto interior
+    nodes are non-uniform, and uniform rounding silently collides from
+    order 7 up (leaving zero diagonal slots -> 1/diag = inf in the
+    smoother)."""
     diag = np.asarray(form.assemble_diagonal(data))
     pos = np.asarray(fes.node_positions)
-    pi = np.round(pos * [(grid.NX - 1) / max(pos[:, 0].max(), 1e-300),
-                         (grid.NY - 1) / max(pos[:, 1].max(), 1e-300),
-                         (grid.NZ - 1) / max(pos[:, 2].max(), 1e-300)])
-    pi = pi.astype(np.int64)
-    lat = (pi[:, 2] * grid.NY + pi[:, 1]) * grid.NX + pi[:, 0]
+
+    def axis_index(x, nx):
+        xr = np.round(x, 12)
+        u = np.unique(xr)
+        if len(u) != nx:
+            raise ValueError(
+                f"lattice recovery found {len(u)} distinct coordinates "
+                f"for a {nx}-node axis")
+        return np.searchsorted(u, xr)
+
+    lat = (axis_index(pos[:, 2], grid.NZ) * grid.NY
+           + axis_index(pos[:, 1], grid.NY)) * grid.NX \
+        + axis_index(pos[:, 0], grid.NX)
+    if len(np.unique(lat)) != grid.ndofs:
+        raise ValueError("node positions do not form a full lattice")
     out = np.zeros(grid.ndofs)
     out[lat] = diag
     return out
@@ -158,26 +174,12 @@ class GeometricMG:
 
         def chebyshev(k, r, arrs, degree):
             _, diag, mask, _, _ = arrs[k]
-            lmax = meta[k]["lmax"]
-            lmin = lmax / 30.0
-            theta = 0.5 * (lmax + lmin)
-            delta = 0.5 * (lmax - lmin)
             dinv = 1.0 / diag
 
             def Aop(v):
                 return dinv * apply_level(k, v, arrs)
 
-            rs = dinv * r
-            z = rs / theta
-            d = z
-            sigma = theta / delta
-            rho = 1.0 / sigma
-            for _ in range(degree - 1):
-                rho_new = 1.0 / (2.0 * sigma - rho)
-                d = rho_new * (2.0 / delta * (rs - Aop(z)) + rho * d)
-                z = z + d
-                rho = rho_new
-            return z
+            return chebyshev_smooth(Aop, dinv * r, meta[k]["lmax"], degree)
 
         def restrict(k, r, arrs):
             """fine k -> coarse k+1 via P^T (scatter of the stencil)."""
@@ -325,26 +327,12 @@ class StructuredMG:
         def chebyshev(k, r, arrs, degree):
             """z ~= A_k^{-1} r via Jacobi-scaled Chebyshev, z0 = 0."""
             D, diag, mask, _ = arrs[k]
-            lmax = meta[k]["lmax"]
-            lmin = lmax / 30.0
-            theta = 0.5 * (lmax + lmin)
-            delta = 0.5 * (lmax - lmin)
             dinv = 1.0 / diag
 
             def Aop(v):
                 return dinv * apply_level(k, v, arrs)
 
-            rs = dinv * r
-            z = rs / theta
-            d = z
-            sigma = theta / delta
-            rho = 1.0 / sigma
-            for _ in range(degree - 1):
-                rho_new = 1.0 / (2.0 * sigma - rho)
-                d = rho_new * (2.0 / delta * (rs - Aop(z)) + rho * d)
-                z = z + d
-                rho = rho_new
-            return z
+            return chebyshev_smooth(Aop, dinv * r, meta[k]["lmax"], degree)
 
         def restrict(k, r, arrs):
             """fine level k -> coarse level k+1 (P^T along each axis)."""

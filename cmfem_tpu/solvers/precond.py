@@ -43,6 +43,31 @@ def power_iteration_lmax(apply_A: Callable, n: int, iters: int = 30,
     return lam
 
 
+def chebyshev_smooth(Aop: Callable, rs, lmax, degree: int, lmin=None):
+    """z ~= A^{-1} rs via the Chebyshev iteration with z0 = 0 on
+    [lmin, lmax] (lmin defaults to the lmax/30 smoothing heuristic).
+
+    The single implementation of the theta/delta/sigma/rho recurrence —
+    the Jacobi-CG preconditioner and both multigrid smoothers
+    (GeometricMG/StructuredMG) all call this, so eigenvalue-margin or
+    recurrence fixes land once."""
+    lmax = jnp.asarray(lmax)
+    lmin = lmax / 30.0 if lmin is None else jnp.asarray(lmin)
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    z = rs / theta
+    d = z
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        # d_{k+1} = rho_{k+1} rho_k d_k + (2 rho_{k+1}/delta)(rs - A z_k)
+        d = rho_new * (2.0 / delta * (rs - Aop(z)) + rho * d)
+        z = z + d
+        rho = rho_new
+    return z
+
+
 def chebyshev_preconditioner(apply_A: Callable, lmax, lmin=None,
                              degree: int = 4, diag=None) -> Callable:
     """Chebyshev polynomial approximation of A^{-1} on [lmin, lmax].
@@ -50,11 +75,6 @@ def chebyshev_preconditioner(apply_A: Callable, lmax, lmin=None,
     With `diag` given, preconditions the Jacobi-scaled operator
     D^{-1/2} A D^{-1/2} (the standard matrix-free smoother construction).
     """
-    lmax = jnp.asarray(lmax)
-    lmin = lmax / 30.0 if lmin is None else jnp.asarray(lmin)
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-
     if diag is not None:
         dinv = 1.0 / jnp.asarray(diag)
 
@@ -67,17 +87,6 @@ def chebyshev_preconditioner(apply_A: Callable, lmax, lmin=None,
     def M(r):
         if dinv is not None:
             r = dinv * r
-        # Chebyshev iteration for A z = r, z0 = 0
-        z = r / theta
-        d = z
-        sigma = theta / delta
-        rho = 1.0 / sigma
-        for _ in range(degree - 1):
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = rho_new * (2.0 / delta * (r - Aop(z)) + rho * d)
-            # standard recurrence: d_{k+1} = rho_{k+1} rho_k d_k + (2 rho_{k+1}/delta)(r - A z_k)
-            z = z + d
-            rho = rho_new
-        return z
+        return chebyshev_smooth(Aop, r, lmax, degree, lmin)
 
     return M

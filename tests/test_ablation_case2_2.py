@@ -336,3 +336,25 @@ def test_structured_remap_degenerate_cell_f32_finite():
              jnp.float32(0.1))
     assert bool(jnp.isfinite(out).all())
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_quality_guard_failure_leaves_handler_consistent():
+    """A quality-guard failure must raise BEFORE committing: vertices,
+    total_recession, and the pending state stay at their pre-step values
+    so a driver can retry with a smaller dt."""
+    from cmfem_tpu.motion.recession import MeshRecessionHandler
+
+    m = make_cartesian_mesh_2d(2, 5, sy=0.01)
+    fes = FESpace(m, 1)
+    h = MeshRecessionHandler(m, fes, bdr_attr_top=3, bdr_attr_bottom=1,
+                             min_quality_ratio=0.5)
+    v_top = np.zeros(fes.nscalar)
+    v_top[np.asarray(fes.boundary_dofs([3]))] = 0.06  # 60% of the height
+    verts_before = h.vertices.copy()
+    rec_before = h.total_recession
+    h.prepare_advance(v_top, 0.1)
+    with pytest.raises(RuntimeError, match="quality"):
+        h.commit_advance()
+    np.testing.assert_array_equal(h.vertices, verts_before)
+    assert h.total_recession == rec_before
+    assert h._pending_dt == 0.0 and h._pending_mean_v == 0.0

@@ -281,3 +281,19 @@ def test_block_gmres_lattice_mode_order2():
     assert bool(res.converged)
     x = np.asarray(res.x)
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+
+
+def test_gmres_singular_operator_flags_nonconvergence():
+    """Exact Arnoldi breakdown (h = hj1 = 0: the Krylov space hit the
+    operator's nullspace) must yield a finite iterate and
+    converged=False, not an inf/NaN x from a ~zero triangular pivot."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.solvers import gmres
+
+    b = jnp.asarray(np.ones(8))
+    res = gmres(lambda x: 0.0 * x, b, rtol=1e-10, restart=4, maxiter=3)
+    assert bool(jnp.isfinite(res.x).all())
+    assert not bool(res.converged)
+    # x stays at the initial guess: no usable Krylov direction exists
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
