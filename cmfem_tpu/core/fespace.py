@@ -41,6 +41,38 @@ _FACE_LATTICE = {  # lattice coords of local face corners (scaled by p)
 }
 
 
+def _sorted_tuple_keys(*arrays):
+    """Collision-free int64 keys for rows of SORTED integer tuples,
+    consistent across all inputs (equal tuples get equal keys, distinct
+    tuples distinct keys) and lexicographically order-preserving, so
+    ``np.unique`` + ``searchsorted`` matching between the returned
+    arrays works exactly as with direct base-kmax packing.
+
+    Direct packing ``((k0*kmax + k1)*kmax + k2)*kmax + k3`` overflows
+    int64 for 4-tuples once kmax > ~55k vertices (a 48^3 hex mesh
+    already wraps) and for 3-tuples above ~2.1M vertices; this
+    hierarchically renumbers the running key densely before folding in
+    each next column, so the running value stays < n_rows * kmax.
+    Arrays must share the same tuple width; one key array per input is
+    returned, shaped like ``a[..., 0]``."""
+    w = arrays[0].shape[-1]
+    rows = np.concatenate(
+        [np.ascontiguousarray(a, dtype=np.int64).reshape(-1, w)
+         for a in arrays], axis=0)
+    ids = rows[:, 0]
+    for c in range(1, w):
+        _, ids = np.unique(ids, return_inverse=True)   # dense ranks
+        ids = ids.astype(np.int64) * (int(rows[:, c].max()) + 1) \
+            + rows[:, c]
+    outs = []
+    off = 0
+    for a in arrays:
+        cnt = a[..., 0].size
+        outs.append(ids[off:off + cnt].reshape(a.shape[:-1]))
+        off += cnt
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
 def _canonical_edges(conn: np.ndarray, edge_list):
     """Unique mesh edges. Returns (edge_ids (ne, nloc_edges), edge_dirs
     (ne, nloc_edges) ±1, n_edges). Canonical direction: min->max vertex."""
@@ -61,10 +93,9 @@ def _canonical_tri_faces(conn: np.ndarray, face_list):
     """Unique triangle faces of tets: (face_ids (ne, 4), n_faces).
     Ids follow the sorted-vertex-key unique ordering (matching the
     boundary-face lookup in FESpace._build_boundary)."""
-    kmax = int(conn.max()) + 1
     g = np.stack([conn[:, list(f)] for f in face_list], 1).astype(np.int64)
     key = np.sort(g, axis=2)
-    flat = (key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]
+    flat = _sorted_tuple_keys(key)
     uniq, inv = np.unique(flat.ravel(), return_inverse=True)
     return inv.reshape(flat.shape), len(uniq)
 
@@ -114,8 +145,7 @@ def _canonical_faces(conn: np.ndarray, face_list):
         [conn[:, list(f)] for f in face_list], axis=1
     ).astype(np.int64)  # (ne, 6, 4)
     key = np.sort(g, axis=2)
-    kmax = int(conn.max()) + 1
-    flat = ((key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]) * kmax + key[..., 3]
+    flat = _sorted_tuple_keys(key)
     uniq, first_idx, inv = np.unique(flat.ravel(), return_index=True, return_inverse=True)
     face_ids = inv.reshape(ne, nlf)
     # canonical orientation per face instance
@@ -332,10 +362,9 @@ class FESpace:
             g = np.stack([mesh.elem_conn[:, list(f)] for f in face_list], 1).astype(np.int64)
             key = np.sort(g, axis=2)
             kmax = int(mesh.elem_conn.max()) + 1
-            flat = ((key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]) * kmax + key[..., 3]
+            # joint packing keeps volume/boundary keys comparable
+            flat, bflat = _sorted_tuple_keys(key, np.sort(conn, axis=1))
             uniq = np.unique(flat.ravel())
-            bkey = np.sort(conn, axis=1)
-            bflat = ((bkey[:, 0] * kmax + bkey[:, 1]) * kmax + bkey[:, 2]) * kmax + bkey[:, 3]
             fid = np.searchsorted(uniq, bflat)
             if not (uniq[np.clip(fid, 0, len(uniq) - 1)] == bflat).all():
                 raise ValueError("Boundary face not found among element faces")
@@ -388,10 +417,8 @@ class FESpace:
                          1).astype(np.int64)
             key = np.sort(g, axis=2)
             kmax = int(mesh.elem_conn.max()) + 1
-            flat = (key[..., 0] * kmax + key[..., 1]) * kmax + key[..., 2]
+            flat, bflat = _sorted_tuple_keys(key, np.sort(conn, axis=1))
             uniq = np.unique(flat.ravel())
-            bkey = np.sort(conn, axis=1)
-            bflat = (bkey[:, 0] * kmax + bkey[:, 1]) * kmax + bkey[:, 2]
             fid = np.searchsorted(uniq, bflat)
             if not (uniq[np.clip(fid, 0, len(uniq) - 1)] == bflat).all():
                 raise ValueError("Boundary face not found among element faces")
@@ -440,25 +467,17 @@ class FESpace:
         """Adjacent element per boundary face + outward-normal sign."""
         mesh = self.mesh
         conn = mesh.elem_conn.astype(np.int64)
-        kmax = int(conn.max()) + 1
         from .reference_elements import GEOM_BOUNDARY
 
-        def pack(sorted_verts):
-            key = sorted_verts[..., 0]
-            for c in range(1, sorted_verts.shape[-1]):
-                key = key * kmax + sorted_verts[..., c]
-            return key
-
         flist = GEOM_BOUNDARY[mesh.geom]
-        keys = []
-        for f in flist:
-            keys.append(pack(np.sort(conn[:, list(f)], axis=1)))
-        keys = np.stack(keys, axis=1)  # (ne, nlf)
+        fverts = np.stack(
+            [np.sort(conn[:, list(f)], axis=1) for f in flist],
+            axis=1)  # (ne, nlf, w)
+        bconn = mesh.bdr_conn.astype(np.int64)
+        keys, bkey = _sorted_tuple_keys(fverts, np.sort(bconn, axis=1))
         flat = keys.ravel()
         order_ = np.argsort(flat, kind="stable")
         sorted_keys = flat[order_]
-        bconn = mesh.bdr_conn.astype(np.int64)
-        bkey = pack(np.sort(bconn, axis=1))
         pos = np.searchsorted(sorted_keys, bkey)
         if not (sorted_keys[np.clip(pos, 0, len(sorted_keys) - 1)] == bkey).all():
             raise ValueError("Boundary face has no adjacent element")

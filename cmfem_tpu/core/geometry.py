@@ -92,7 +92,17 @@ def factors_for(mesh: Mesh, quad: QuadratureRule, coords=None,
     """Convenience: geometric factors of a mesh at a quadrature rule.
 
     coords: optional (nv, dim) vertex coordinates overriding mesh.vertices
-    (for moving meshes with order-1 geometry)."""
+    (for moving meshes with order-1 geometry).  Only geom_order=1 is
+    supported: higher-order (curved) geometry needs a nodal coordinate
+    field over an H1 space, not just corner connectivity — moving meshes
+    are handled by passing updated vertex ``coords`` instead (the
+    reference always uses order-1 geometry too: SetCurvature promotes to
+    nodal coordinates of the same linear map, mesh_recession_handler.cpp:54-61)."""
+    if geom_order != 1:
+        raise NotImplementedError(
+            "factors_for supports geom_order=1 only; curved geometry "
+            "would need (ne, ndof_geom) nodal coordinates, but coords "
+            "are gathered from corner connectivity")
     ref = get_reference_element(mesh.geom, geom_order)
     B, G = ref.eval(quad.points)
     verts = mesh.vertices if coords is None else coords

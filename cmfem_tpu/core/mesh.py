@@ -357,7 +357,7 @@ def _refine_quad(m: Mesh) -> Mesh:
     edges = _collect_edges(m.elem_conn, edge_list)
     nv = m.num_vertices
     ne = len(edges)
-    new_verts = np.zeros((nv + ne + m.num_elements, 2))
+    new_verts = np.zeros((nv + ne + m.num_elements, m.vertices.shape[1]))
     new_verts[:nv] = m.vertices
     for (a, b), k in edges.items():
         new_verts[nv + k] = 0.5 * (m.vertices[a] + m.vertices[b])
@@ -392,7 +392,7 @@ def _refine_tri(m: Mesh) -> Mesh:
     edge_list = [(0, 1), (1, 2), (2, 0)]
     edges = _collect_edges(m.elem_conn, edge_list)
     nv = m.num_vertices
-    new_verts = np.zeros((nv + len(edges), 2))
+    new_verts = np.zeros((nv + len(edges), m.vertices.shape[1]))
     new_verts[:nv] = m.vertices
     for (a, b), k in edges.items():
         new_verts[nv + k] = 0.5 * (m.vertices[a] + m.vertices[b])

@@ -93,22 +93,41 @@ def _cached_native_locator(mesh, verts, conn, tol):
     return locator
 
 
+def _solve_guarded(A, rhs, dim):
+    """Batched solve that tolerates degenerate candidate elements (e.g. a
+    collapsed cell during ALE motion): singular systems get an identity
+    matrix and are reported so the caller can mark them outside, instead
+    of np.linalg.solve raising LinAlgError for the whole query batch."""
+    bad = ~np.isfinite(A).all(axis=(1, 2)) \
+        | (np.abs(np.linalg.det(A)) < 1e-250)
+    if bad.any():
+        A = A.copy()
+        A[bad] = np.eye(dim)
+    r = np.linalg.solve(A, rhs[..., None])[..., 0]
+    r[bad] = -1.0   # fails every inside test
+    return r, bad
+
+
 def _invert_map_batched(geom, ecoords, x, tol):
     """Batched inverse maps: ecoords (m, nc, dim), x (m, dim) ->
-    (inside (m,) bool, ref (m, dim))."""
+    (inside (m,) bool, ref (m, dim)).  ``tol`` widens the reference-
+    coordinate acceptance band (matching the bbox prefilter pad)."""
     m = len(x)
+    rtol = max(float(tol), 1e-9)
     if geom == TRIANGLE:
         v = ecoords
         A = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]], axis=2)
-        r = np.linalg.solve(A, (x - v[:, 0])[..., None])[..., 0]
-        inside = (r >= -1e-9).all(axis=1) & (r.sum(axis=1) <= 1 + 1e-9)
+        r, bad = _solve_guarded(A, x - v[:, 0], 2)
+        inside = (~bad) & (r >= -rtol).all(axis=1) \
+            & (r.sum(axis=1) <= 1 + rtol)
         return inside, r
     if geom == TETRAHEDRON:
         v = ecoords
         A = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0],
                       v[:, 3] - v[:, 0]], axis=2)
-        r = np.linalg.solve(A, (x - v[:, 0])[..., None])[..., 0]
-        inside = (r >= -1e-9).all(axis=1) & (r.sum(axis=1) <= 1 + 1e-9)
+        r, bad = _solve_guarded(A, x - v[:, 0], 3)
+        inside = (~bad) & (r >= -rtol).all(axis=1) \
+            & (r.sum(axis=1) <= 1 + rtol)
         return inside, r
     if geom == QUAD:
         iu = np.array([0, 1, 1, 0])
@@ -160,8 +179,8 @@ def _invert_map_batched(geom, ecoords, x, tol):
         N = n1[:, ii[0]] * n2[:, ii[1]]
     resid = np.abs(np.einsum("mn,mnd->md", N, ecoords) - x).max(axis=1)
     scale = np.abs(ecoords).max() + 1.0
-    inside = ((r >= -1e-9).all(axis=1) & (r <= 1 + 1e-9).all(axis=1)
-              & (resid < 1e-9 * scale))
+    inside = ((r >= -rtol).all(axis=1) & (r <= 1 + rtol).all(axis=1)
+              & (resid < rtol * scale))
     return inside, np.clip(r, 0.0, 1.0)
 
 

@@ -69,7 +69,7 @@ def _conical_product_tri(order: int) -> QuadratureRule:
     """Conical-product (Duffy) rule on the unit triangle, exact to `order`."""
     n = order // 2 + 1
     # Gauss-Jacobi weights for the radial direction (weight (1-x))
-    xj, wj = _gauss_jacobi_1_0(n)
+    xj, wj = _gauss_jacobi_general(n, 1.0)
     xg, wg = _gauss_1d(n)
     pts = []
     wts = []
@@ -80,36 +80,6 @@ def _conical_product_tri(order: int) -> QuadratureRule:
             pts.append((x, y))
             wts.append(wj[i] * wg[j])
     return QuadratureRule(TRIANGLE, order, np.array(pts), np.array(wts))
-
-
-def _gauss_jacobi_1_0(n: int):
-    """Gauss-Jacobi rule on [0,1] with weight (1-x); via eigen solve."""
-    # Recurrence coefficients for Jacobi polynomials with alpha=1, beta=0
-    # on [-1,1], weight (1-x)^1 (1+x)^0.
-    alpha, beta = 1.0, 0.0
-    k = np.arange(n)
-    ab = alpha + beta
-    a = np.zeros(n)
-    b = np.zeros(n)
-    for i in range(n):
-        ki = float(i)
-        denom = (2 * ki + ab) * (2 * ki + ab + 2)
-        a[i] = (beta**2 - alpha**2) / denom if denom != 0 else (
-            (beta - alpha) / (ab + 2)
-        )
-    for i in range(1, n):
-        ki = float(i)
-        num = 4 * ki * (ki + alpha) * (ki + beta) * (ki + ab)
-        den = (2 * ki + ab) ** 2 * (2 * ki + ab + 1) * (2 * ki + ab - 1)
-        b[i] = num / den
-    J = np.diag(a) + np.diag(np.sqrt(b[1:]), 1) + np.diag(np.sqrt(b[1:]), -1)
-    nodes, vecs = np.linalg.eigh(J)
-    mu0 = 2.0 ** (ab + 1) / (ab + 1)  # integral of weight over [-1,1]
-    weights = mu0 * vecs[0, :] ** 2
-    # map [-1,1] -> [0,1] with weight (1-x): total mass becomes 1/2
-    x01 = 0.5 * (nodes + 1.0)
-    w01 = weights * 0.25
-    return x01, w01
 
 
 @lru_cache(maxsize=None)

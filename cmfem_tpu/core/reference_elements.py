@@ -103,14 +103,17 @@ def gauss_lobatto_nodes(p: int) -> np.ndarray:
     if p == 4:
         a = np.sqrt(3.0 / 7.0)
         return np.array([0.0, 0.5 * (1 - a), 0.5, 0.5 * (1 + a), 1.0])
-    # General: roots of (1-x^2) P'_{p-1}(x) on [-1,1], mapped to [0,1].
+    # General: roots of (1-x^2) P'_p(x) on [-1,1], mapped to [0,1] —
+    # p+1 nodes (selecting P_{p-1} here returned only p nodes, making
+    # every order >= 5 basis silently non-interpolatory).
     from numpy.polynomial import legendre
 
-    c = np.zeros(p)
+    c = np.zeros(p + 1)
     c[-1] = 1.0
     dP = legendre.legder(c)
     interior = legendre.legroots(dP)
     xs = np.concatenate([[-1.0], np.sort(interior), [1.0]])
+    assert len(xs) == p + 1
     return 0.5 * (xs + 1.0)
 
 

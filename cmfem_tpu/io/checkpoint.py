@@ -66,8 +66,12 @@ def load_sharded(path: str, shardings: dict | None = None):
     full = ckptr.restore(os.path.join(path, _STATE))
     arrays = {}
     for name, arr in full.items():
-        a = jnp.asarray(arr)
         if shardings and name in shardings:
-            a = jax.device_put(a, shardings[name])
-        arrays[name] = a
+            # device_put the host array straight into its target layout;
+            # a jnp.asarray first would commit the FULL array to the
+            # default device (OOM for arrays that only fit sharded)
+            arrays[name] = jax.device_put(np.asarray(arr),
+                                          shardings[name])
+        else:
+            arrays[name] = jnp.asarray(arr)
     return meta["step"], meta["time"], arrays

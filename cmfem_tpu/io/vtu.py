@@ -196,8 +196,10 @@ class VTUCollection:
                     vals = np.stack(comps, axis=1)
                     f.write(f'<DataArray type="Float64" Name="{name}" NumberOfComponents="3" format="ascii">\n')
                     np.savetxt(f, vals, fmt="%.16g")
-                elif len(u) == mesh.num_elements:
-                    # L2(0) field: constant per element, replicated to lattice
+                elif u.ndim == 1 and len(u) == mesh.num_elements:
+                    # L2(0) field: constant per element, replicated to
+                    # lattice (2D arrays must not fall in here: np.repeat
+                    # would flatten them into a wrong-length DataArray)
                     vals = np.repeat(u, self._nlp)
                     f.write(f'<DataArray type="Float64" Name="{name}" format="ascii">\n')
                     np.savetxt(f, vals, fmt="%.16g")

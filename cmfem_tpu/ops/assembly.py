@@ -413,6 +413,28 @@ def supg_lf(ops: SpaceOps, f, beta, kappa, time=None,
 
 # -- error norms ------------------------------------------------------------
 
+_elevated_ops_cache: "weakref.WeakKeyDictionary" = None  # lazy init
+
+
+def _elevated_ops(ops: SpaceOps, qorder: int) -> SpaceOps:
+    """Cached elevated-quadrature SpaceOps per (fes, qorder): the error
+    norms run every timestep, and rebuilding SpaceOps re-tabulates the
+    bases, boundary-face data, and whole-mesh geometric factors each
+    call.  Safe to cache because nothing mutates mesh.vertices in place
+    (moving-mesh callers pass explicit ``gf``)."""
+    global _elevated_ops_cache
+    if qorder == ops.quad.order:
+        return ops
+    import weakref
+
+    if _elevated_ops_cache is None:
+        _elevated_ops_cache = weakref.WeakKeyDictionary()
+    per_fes = _elevated_ops_cache.setdefault(ops.fes, {})
+    if qorder not in per_fes:
+        per_fes[qorder] = SpaceOps(ops.fes, qorder)
+    return per_fes[qorder]
+
+
 def l2_error(ops: SpaceOps, u, exact, time=None, quad_order=None,
              gf: GeometricFactors | None = None):
     """|| u_h - exact ||_L2 with an elevated quadrature rule.
@@ -423,7 +445,7 @@ def l2_error(ops: SpaceOps, u, exact, time=None, quad_order=None,
     fes = ops.fes
     p = fes.order
     qorder = quad_order or max(2, 2 * p + 3)
-    hi = SpaceOps(fes, qorder) if qorder != ops.quad.order else ops
+    hi = _elevated_ops(ops, qorder)
     gf = gf or hi.gf
     uq = hi.values_at_qp(u)
     ex = eval_coefficient(exact, gf.xq, time)
@@ -435,7 +457,7 @@ def l2_norm_fn(ops: SpaceOps, fn, time=None, quad_order=None,
     """|| fn ||_L2 over the mesh (ComputeGlobalLpNorm(2, ...))."""
     fes = ops.fes
     qorder = quad_order or max(2, 2 * fes.order + 3)
-    hi = SpaceOps(fes, qorder) if qorder != ops.quad.order else ops
+    hi = _elevated_ops(ops, qorder)
     gf = gf or hi.gf
     ex = eval_coefficient(fn, gf.xq, time)
     return jnp.sqrt(jnp.sum(ex**2 * gf.wdetJ))
@@ -448,7 +470,7 @@ def weighted_l2_error(ops: SpaceOps, u, exact, weight, time=None,
     diffusion_mms_ale.cpp:915-924)."""
     fes = ops.fes
     qorder = quad_order or max(4, 2 * fes.order + 6)
-    hi = SpaceOps(fes, qorder) if qorder != ops.quad.order else ops
+    hi = _elevated_ops(ops, qorder)
     gf = hi.gf
     uq = hi.values_at_qp(u)
     ex = eval_coefficient(exact, gf.xq, time)

@@ -21,6 +21,10 @@ def load_yaml(path: str) -> dict:
         raise FileNotFoundError(f"YAML input file not found: {path}")
     with open(path) as f:
         data = yaml.safe_load(f) or {}
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"YAML input must be a mapping of config keys, got "
+            f"{type(data).__name__}: {path}")
     data["_yaml_dir"] = os.path.dirname(os.path.abspath(path))
     return data
 

@@ -137,19 +137,19 @@ def match_probes_by_y(names, series_by_name, probe_y, pato_y, tol=1e-8):
     """Match driver probe columns (by their YAML y-coordinates) to PATO
     point-plot columns by nearest y within tol.  Returns a list of
     (y_pato, driver_name, pato_col, driver_series), surface-down."""
-    y_map = {}
-    for i, nm in enumerate(names):
-        if i < len(probe_y):
-            y_map[probe_y[i]] = (nm, series_by_name[nm])
-    keys = list(y_map)
+    # index-pair matching with consumption: a float-keyed dict would drop
+    # duplicate-y probes and let one driver probe match several PATO
+    # columns
+    avail = [(probe_y[i], nm) for i, nm in enumerate(names)
+             if i < len(probe_y)]
     matched = []
     for j, yp in enumerate(pato_y):
-        if not keys:
+        if not avail:
             break
-        yb = min(keys, key=lambda y: abs(y - yp))
-        if abs(yb - yp) <= tol:
-            nm, series = y_map[yb]
-            matched.append((yp, nm, j, series))
+        k = min(range(len(avail)), key=lambda i: abs(avail[i][0] - yp))
+        if abs(avail[k][0] - yp) <= tol:
+            _, nm = avail.pop(k)
+            matched.append((yp, nm, j, series_by_name[nm]))
     matched.sort(key=lambda x: x[0], reverse=True)
     return matched
 

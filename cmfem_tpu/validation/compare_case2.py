@@ -74,6 +74,26 @@ def compare(output_dir, input_yaml, amaryllis_energy, amaryllis_mass,
         rows.append(["temperature", f"{nm}~{nf}@depth={d:.6g}m", r, m,
                      "", "", "", int(ok)])
 
+    if case == "2.2" and n_common:
+        # segmented wall-temperature metrics (heating / cooldown windows,
+        # compare_ablation_case2_2.py:384-394,517-519): wall probe = the
+        # first (surface-down) pair, valid where the reference is live
+        from .common import segmented_rmse_max
+
+        wall_mf = np.interp(t_ref, t_mf, mfem_items[0][2])
+        wall_ref = ref_items[0][2]
+        valid = wall_ref > 1.0
+        for label, t0, t1 in (("wall_heating_0.1_60s", 0.1, 60.0),
+                              ("wall_cooling_60.1_120s", 60.1, 120.0)):
+            r, m = segmented_rmse_max(t_ref, wall_mf, wall_ref, t0, t1,
+                                      valid)
+            seg_ok = ((not np.isfinite(r) and not np.isfinite(m))
+                      or (r <= tol["temperature_rmse_max"]
+                          and m <= tol["temperature_max_abs_max"]))
+            temp_ok &= seg_ok
+            rows.append(["temperature_segment", label, r, m, "", "", "",
+                         int(seg_ok)])
+
     # mass file columns: time, m_dot_g, m_dot_c, front98, front2[, recession]
     t_am = am_mass[:, 0]
     ref_mdot = am_mass[:, 1]
@@ -151,13 +171,17 @@ def compare(output_dir, input_yaml, amaryllis_energy, amaryllis_mass,
         # pressure-probe overlay vs a PATO sampled point plot (2.2 only;
         # plots-only in the reference too, compare_ablation_case2_2.py:1150+)
         if case == "2.2" and pato_pressure_plot is not None:
-            import yaml as _yaml
+            from .common import _safe_load_yaml
 
             pp = np.genfromtxt(out_dir / "pressure_probes.csv",
                                delimiter=",", names=True)
-            with open(input_yaml) as f:
-                probe_y = [float(v) for v in
-                           (_yaml.safe_load(f) or {}).get("probe_y", [])]
+            raw_y = _safe_load_yaml(input_yaml).get("probe_y", [])
+            probe_y = []
+            for v in raw_y:
+                try:
+                    probe_y.append(float(v))
+                except (TypeError, ValueError):
+                    pass
             t_pa, vals_pa, y_pa = load_pato_point_plot(pato_pressure_plot)
             names = [n for n in (pp.dtype.names or []) if n != "time"]
             matched = match_probes_by_y(

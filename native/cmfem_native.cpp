@@ -127,6 +127,13 @@ void *gmsh_open(const char *path, int *dim, int *n_nodes, int *n_elems,
   for (auto &re : raw) {
     int nc;
     int d = gmsh_type_dim(re.type, &nc);
+    if (d < 0) {
+      // unknown element type: bail out so the Python reader rejects the
+      // file with its clear error, instead of silently dropping volume
+      // elements and returning a lower-dimensional mesh
+      delete gf;
+      return nullptr;
+    }
     if (d > max_dim) max_dim = d;
   }
   gf->dim = max_dim;
@@ -134,21 +141,35 @@ void *gmsh_open(const char *path, int *dim, int *n_nodes, int *n_elems,
   for (auto &re : raw) {
     int nc;
     int d = gmsh_type_dim(re.type, &nc);
+    if (d != max_dim && d != max_dim - 1) continue;
+    if ((long)re.nodes.size() < nc) {
+      delete gf;
+      return nullptr;  // truncated element line
+    }
+    int32_t conn[8];
+    for (int k = 0; k < nc; ++k) {
+      auto it = id2idx.find(re.nodes[k]);
+      if (it == id2idx.end()) {
+        delete gf;
+        return nullptr;  // element references a node absent from $Nodes
+      }
+      conn[k] = it->second;
+    }
     if (d == max_dim) {
       if (gf->elem_nverts == 0) gf->elem_nverts = nc;
       if (nc != gf->elem_nverts) {
         delete gf;
         return nullptr;  // mixed volume types unsupported
       }
-      for (int k = 0; k < nc; ++k) gf->elem.push_back(id2idx[re.nodes[k]]);
+      for (int k = 0; k < nc; ++k) gf->elem.push_back(conn[k]);
       gf->elem_attr.push_back(re.phys);
-    } else if (d == max_dim - 1) {
+    } else {
       if (gf->bdr_nverts == 0) gf->bdr_nverts = nc;
       if (nc != gf->bdr_nverts) {
         delete gf;
         return nullptr;
       }
-      for (int k = 0; k < nc; ++k) gf->bdr.push_back(id2idx[re.nodes[k]]);
+      for (int k = 0; k < nc; ++k) gf->bdr.push_back(conn[k]);
       gf->bdr_attr.push_back(re.phys);
     }
   }
@@ -308,14 +329,23 @@ void *locator_build(const double *verts, int64_t nv, int dim,
       if (mx > ghi[d]) ghi[d] = mx;
     }
   }
-  // ~4 elements per bucket on average along the full grid
-  double target = std::max(1.0, std::pow((double)ne / 4.0, 1.0 / dim));
+  // ~4 elements per bucket on average, with per-axis counts sized to the
+  // domain extent: an isotropic count on a high-aspect strip (one element
+  // tall) would make every element straddle every bucket along the thin
+  // axis — O(ne * nb) insertion instead of O(ne)
+  double span[3] = {1.0, 1.0, 1.0};
+  double vol = 1.0;
+  for (int d = 0; d < dim; ++d) {
+    span[d] = std::max((ghi[d] + tol) - (glo[d] - tol), 1e-300);
+    vol *= span[d];
+  }
+  double h = std::pow(vol / std::max((double)ne / 4.0, 1.0), 1.0 / dim);
   int64_t nbuckets = 1;
   for (int d = 0; d < dim; ++d) {
-    L->nb[d] = std::max(1, (int)target);
+    L->nb[d] = std::max(1, (int)(span[d] / h));
     L->lo[d] = glo[d] - tol;
-    double span = (ghi[d] + tol) - L->lo[d];
-    L->inv_h[d] = span > 0 ? L->nb[d] / span : 1.0;
+    double sp = (ghi[d] + tol) - L->lo[d];
+    L->inv_h[d] = sp > 0 ? L->nb[d] / sp : 1.0;
     nbuckets *= L->nb[d];
   }
   // count pass

@@ -347,3 +347,64 @@ def test_locator_cache_invalidates_on_connectivity():
     ip_c, ie_c = _cached_native_locator(mesh, verts, conn[perm],
                                         1e-9).query(pts)
     assert (ie_a == ie_c).all()
+
+
+def test_sorted_tuple_keys_no_overflow_collisions():
+    """Face-key packing must stay collision-free above the ~55k-vertex
+    int64 limit of direct base-kmax packing (the 48^3 bench mesh already
+    wraps): distinct tuples get distinct keys, equal tuples equal keys,
+    and cross-array matching stays lexicographically consistent."""
+    from cmfem_tpu.core.fespace import _sorted_tuple_keys
+
+    rng = np.random.default_rng(11)
+    kmax = 2_000_000
+    a = np.sort(rng.integers(0, kmax, size=(4000, 4)), axis=1)
+    b = a[rng.permutation(4000)[:500]]          # subset, shuffled
+    ka, kb = _sorted_tuple_keys(a, b)
+    # direct packing would overflow: kmax^4 >> 2^63 (Python ints — the
+    # int64 power itself wraps, which is the point)
+    assert int(a.max() + 1) ** 4 > 2**63
+    # equal tuples -> equal keys (match b back into a)
+    uniq = np.unique(ka)
+    pos = np.searchsorted(uniq, kb)
+    assert (uniq[pos] == kb).all()
+    # distinct tuples -> distinct keys
+    ua, inv = np.unique(ka, return_inverse=True)
+    for g in range(len(ua)):
+        rows = a[inv == g]
+        assert (rows == rows[0]).all()
+    # lexicographic order preserved
+    order = np.lexsort(a.T[::-1])
+    assert (np.diff(ka[order]) >= 0).all()
+
+
+def test_gauss_lobatto_general_branch_interpolatory():
+    """Orders >= 5 (the general Legendre-roots branch) must return p+1
+    interpolatory nodes; selecting P_{p-1} silently returned only p."""
+    from cmfem_tpu.core.reference_elements import (
+        gauss_lobatto_nodes, _lagrange_1d,
+    )
+
+    for p in (5, 6, 7):
+        nodes = gauss_lobatto_nodes(p)
+        assert len(nodes) == p + 1
+        V, _ = _lagrange_1d(nodes, nodes)
+        assert np.abs(V - np.eye(p + 1)).max() < 1e-10
+
+
+def test_locate_points_tolerates_degenerate_simplex():
+    """One collapsed triangle (zero area, as during extreme ALE motion)
+    must not crash the whole locate_points batch with LinAlgError."""
+    from cmfem_tpu.core import make_cartesian_mesh_2d
+    from cmfem_tpu.core.pointlocate import locate_points
+
+    mesh = make_cartesian_mesh_2d(4, 4, geom="triangle")
+    verts = np.asarray(mesh.vertices).copy()
+    # collapse element 0 onto a single point
+    conn0 = np.asarray(mesh.elem_conn)[0]
+    verts[conn0] = verts[conn0[0]]
+    pts = np.array([[0.6, 0.6], [0.9, 0.1], [2.0, 2.0]])
+    ids, refs = locate_points(mesh, pts, vertices=verts)
+    assert ids[0] >= 0 and ids[1] >= 0    # found in healthy elements
+    assert ids[2] == -1                   # outside stays not-found
+    assert np.isfinite(refs[:2]).all()
