@@ -21,6 +21,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from .common import (
+    replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, num_steps, make_block_linear_solver,
     run_tp_newton_loop,
@@ -116,6 +117,8 @@ def run(cfg: dict) -> dict:
     jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
     jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
     output_path = cfg.get("output_path", "ParaView/ablation_case1")
     collection_name = cfg.get("collection_name", "ablation_test_case1_2D")
     save_paraview = bool(cfg.get("save_paraview", True))
@@ -408,6 +411,8 @@ def run_scan(cfg: dict) -> dict:
     max_iter = int(cfg.get("newton_max_iter", 20))
     lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
     output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
     output_path = cfg.get("output_path", "ParaView/ablation_case1")
     collection_name = cfg.get("collection_name", "ablation_test_case1_2D")
     save_paraview = bool(cfg.get("save_paraview", True))
@@ -607,21 +612,8 @@ def run_scan(cfg: dict) -> dict:
             f98 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.98)
             f2 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.02)
             mass_csv.writerow([tk, float(mdots[k]), 0.0, f98, f2, 0.0])
-            nit = int(iters[k])
-            r0k = float(r0s[k])
-            du0 = max(1.0, float(upd_hs[k, 0])) \
-                if np.isfinite(upd_hs[k, 0]) else 1.0
-            for i in range(nit + 1):
-                rk = res_hs[k, i]
-                if not np.isfinite(rk):
-                    break
-                uk = upd_hs[k, i]
-                conv = 1 if (i == nit or not np.isfinite(upd_hs[k, i])) \
-                    else 0
-                un = 0.0 if not np.isfinite(uk) else float(uk)
-                newton_csv.writerow([gstep, tk, i, float(rk), r0k,
-                                     float(rk) / r0k, un, du0, un / du0,
-                                     conv])
+            replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
+                                  float(r0s[k]), res_hs[k], upd_hs[k])
             timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                                  0.0, 0.0, amort])
         if dc is not None and e % output_every == 0:

@@ -66,6 +66,7 @@ def load_restart(path, n, ne, nq, nr, world_size=1):
 
 
 def run(cfg: dict) -> dict:
+    _t_run0 = _time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -96,6 +97,8 @@ def run(cfg: dict) -> dict:
     jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
     jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
     output_path = cfg.get("output_path", "ParaView/ablation_case2_1")
     collection_name = cfg.get("collection_name", "ablation_test_case2_1_2D")
     save_paraview = bool(cfg.get("save_paraview", True))
@@ -379,9 +382,10 @@ def run(cfg: dict) -> dict:
 
     write_outputs(step, t)
     jc_checked_branches = set()
-    totals = {k: 0.0 for k in ("bc", "newton", "nres", "nlin", "nupd",
+    totals = {k: 0.0 for k in ("bc", "newton", "nres", "njac", "nlin", "nupd",
                                "state", "output", "step")}
     steps_executed = 0
+    setup_sec = _time.perf_counter() - _t_run0
     restart_at_done = (not np.isfinite(restart_write_at)) or \
         (t >= restart_write_at - RESTART_TIME_TOL)
 
@@ -470,10 +474,10 @@ def run(cfg: dict) -> dict:
         step_sec = _time.perf_counter() - step_t0
         timing_csv.writerow([step, bc_sec, newton_sec, nres, njac, nlin,
                              nupd, state_sec, out_sec, step_sec])
-        for k, v in zip(("bc", "newton", "nres", "nlin", "nupd", "state",
-                         "output", "step"),
-                        (bc_sec, newton_sec, nres, nlin, nupd, state_sec,
-                         out_sec, step_sec)):
+        for k, v in zip(("bc", "newton", "nres", "njac", "nlin", "nupd",
+                         "state", "output", "step"),
+                        (bc_sec, newton_sec, nres, njac, nlin, nupd,
+                         state_sec, out_sec, step_sec)):
             totals[k] += v
         if step <= 5 or step % 50 == 0:
             print(f"step={step} t={t:g} [{branch}] newton_iters={iters} "
@@ -504,10 +508,13 @@ def run(cfg: dict) -> dict:
                                 cfg.get("timing_summary_csv",
                                         "driver_timing_summary.csv")),
                    ["metric", "seconds"]) as w:
+        w.writerow(["setup_time_maxrank", setup_sec])
+        w.writerow(["run_time_maxrank", _time.perf_counter() - _t_run0])
         w.writerow(["sum_step_time_maxrank", totals["step"]])
         w.writerow(["sum_bc_time_maxrank", totals["bc"]])
         w.writerow(["sum_newton_time_maxrank", totals["newton"]])
         w.writerow(["sum_newton_residual_eval_time_maxrank", totals["nres"]])
+        w.writerow(["sum_newton_jacobian_time_maxrank", totals["njac"]])
         w.writerow(["sum_newton_linear_time_maxrank", totals["nlin"]])
         w.writerow(["sum_newton_update_time_maxrank", totals["nupd"]])
         w.writerow(["sum_state_advance_time_maxrank", totals["state"]])

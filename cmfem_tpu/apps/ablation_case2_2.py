@@ -27,6 +27,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from .common import (
+    replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
 )
@@ -158,7 +159,7 @@ def _write_case22_step_outputs(csvs, sys_, fes, mesh, schedule, model,
     path's post-chunk replay.  Returns the boundary-diagnostics dict."""
     import jax.numpy as jnp
 
-    from ..core.pointlocate import front_depth, sample_h1
+    from ..core.pointlocate import front_depth, sample_h1_fields
     from ..physics.seb import classify_branch
 
     v = np.asarray(v)
@@ -167,10 +168,14 @@ def _write_case22_step_outputs(csvs, sys_, fes, mesh, schedule, model,
     xmid = 0.5 * (lo[0] + hi[0])
     bc = schedule.eval(tnow)
     branch = classify_branch(bc, model)
-    # receding-wall-aware: the wall probe tracks the current surface
+    # receding-wall-aware: the wall probe tracks the current surface.
+    # One location pass covers wall+probe points for both T and p.
     wall_pt = np.array([[probe_x, min(probe_y[0], hi[1] - 1e-9)]])
-    wallT = float(sample_h1(fes, np.asarray(T), wall_pt, vertices=v)[0])
-    probe_vals = sample_h1(fes, np.asarray(T), probe_pts, vertices=v)
+    pts_all = np.vstack([wall_pt, probe_pts])
+    Ts, ps = sample_h1_fields(fes, [np.asarray(T), np.asarray(p)],
+                              pts_all, vertices=v)
+    wallT = float(Ts[0])
+    probe_vals = Ts[1:]
     bdiag = sys_.top_boundary_diagnostics(T, p, state, bc, branch, model,
                                           bprime, vertices=jnp.asarray(v))
     f98 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.98,
@@ -179,13 +184,11 @@ def _write_case22_step_outputs(csvs, sys_, fes, mesh, schedule, model,
                      vertices=v)
     csvs["probes"].writerow([tnow, wallT]
                             + [float(x) for x in probe_vals])
-    p_wall = float(sample_h1(fes, np.asarray(p), wall_pt, vertices=v)[0])
-    p_vals = sample_h1(fes, np.asarray(p), probe_pts, vertices=v)
-    csvs["pressure"].writerow([tnow, p_wall] + [float(x) for x in p_vals])
+    csvs["pressure"].writerow([tnow, float(ps[0])]
+                              + [float(x) for x in ps[1:]])
     csvs["meshdiag"].writerow([tnow, float(hi[1]), min_quality_ratio,
                                last_max_disp, recession_total])
-    meq_pts = np.vstack([wall_pt, probe_pts])
-    meq = sys_.mass_eq_probe(T, p, state, meq_pts, vertices=v)
+    meq = sys_.mass_eq_probe(T, p, state, pts_all, vertices=v)
     csvs["masseq"].writerow([tnow] + [float(x) for x in meq.reshape(-1)])
     csvs["mass"].writerow([tnow, bdiag["m_dot_g_surf"],
                            bdiag["m_dot_c_surf"], f98, f2,
@@ -243,6 +246,7 @@ def _finalize_case22_outputs(cfg, output_path, amaryllis_mass_file,
 
 
 def run(cfg: dict) -> dict:
+    _t_run0 = _time.perf_counter()
     if cfg.get("scan_stepping", False):
         return run_scan(cfg)
     import jax
@@ -276,6 +280,8 @@ def run(cfg: dict) -> dict:
     jc_abs = float(cfg.get("jacobian_check_abs_tol", 1e-6))
     jc_rel = float(cfg.get("jacobian_check_rel_tol", 1e-4))
     output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
     output_path = cfg.get("output_path", "ParaView/ablation_case2_2")
     collection_name = cfg.get("collection_name", "ablation_test_case2_2_2D")
     save_paraview = bool(cfg.get("save_paraview", True))
@@ -476,6 +482,7 @@ def run(cfg: dict) -> dict:
     verts = lambda: (rec.vertices if rec else np.asarray(mesh.vertices))
     recession_total = 0.0
     last_max_disp = 0.0
+    last_quality_ratio = 1.0
 
     restart_read = cfg.get("restart_read_file", "")
     restart_write = cfg.get("restart_write_file", "")
@@ -520,7 +527,7 @@ def run(cfg: dict) -> dict:
             csvs, sys_, fes, mesh, schedule, model, bprime, probe_x,
             probe_y, probe_pts, tnow, T, p, state, v,
             recession_total, last_max_disp,
-            (rec._min_quality() / rec.initial_min_quality) if rec else 1.0)
+            last_quality_ratio if rec else 1.0)
         if dc is not None and stepno % output_every == 0:
             fields = {
                 "temperature": np.asarray(T), "pressure": np.asarray(p),
@@ -539,6 +546,7 @@ def run(cfg: dict) -> dict:
 
     write_outputs(step, t)
     steps_executed = 0
+    setup_sec = _time.perf_counter() - _t_run0
     restart_at_done = (not np.isfinite(restart_write_at)) or \
         (t >= restart_write_at - RESTART_TIME_TOL)
     jc_checked_branches = set()
@@ -578,6 +586,7 @@ def run(cfg: dict) -> dict:
             out = rec.commit_advance()
             recession_total = out["total_recession"]
             last_max_disp = out["max_node_disp"]
+            last_quality_ratio = out["min_quality"]
             wq = rec.mesh_velocity_at_qp(ops)
 
         v_now = jnp.asarray(verts())
@@ -687,10 +696,13 @@ def run(cfg: dict) -> dict:
                                 cfg.get("timing_summary_csv",
                                         "driver_timing_summary.csv")),
                    ["metric", "seconds"]) as w:
+        w.writerow(["setup_time_maxrank", setup_sec])
+        w.writerow(["run_time_maxrank", _time.perf_counter() - _t_run0])
         w.writerow(["sum_step_time_maxrank", totals["step"]])
         w.writerow(["sum_bc_time_maxrank", totals["bc"]])
         w.writerow(["sum_newton_time_maxrank", totals["newton"]])
         w.writerow(["sum_newton_residual_eval_time_maxrank", totals["nres"]])
+        w.writerow(["sum_newton_jacobian_time_maxrank", totals["njac"]])
         w.writerow(["sum_newton_linear_time_maxrank", totals["nlin"]])
         w.writerow(["sum_newton_update_time_maxrank", totals["nupd"]])
         w.writerow(["sum_state_advance_time_maxrank", totals["state"]])
@@ -762,6 +774,8 @@ def run_scan(cfg: dict) -> dict:
     max_iter = int(cfg.get("newton_max_iter", 20))
     lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
     output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
     output_path = cfg.get("output_path", "ParaView/ablation_case2_2")
     collection_name = cfg.get("collection_name", "ablation_test_case2_2_2D")
     save_paraview = bool(cfg.get("save_paraview", True))
@@ -906,8 +920,12 @@ def run_scan(cfg: dict) -> dict:
         diag = jnp.where(lap_bc.mask, 1.0, lap_form.assemble_diagonal(data))
         u_bc = jnp.zeros(n).at[topj].set(-v_clamped[topj])
         B = lap_bc.constrained_rhs(apply_A, jnp.zeros(n), u_bc)
+        # rtol floored like MeshRecessionHandler.prepare_advance: 1e-12
+        # is unreachable in f32 and would burn all 500 iterations inside
+        # the fused scan every step
+        rtol = max(1e-12, 50.0 * float(jnp.finfo(B.dtype).eps))
         res = cg(lap_bc.constrain_operator(apply_A), B,
-                 M=jacobi_preconditioner(diag), rtol=1e-12, maxiter=500)
+                 M=jacobi_preconditioner(diag), rtol=rtol, maxiter=500)
         return res.x
 
     def step_fn(carry, inp):
@@ -1092,20 +1110,8 @@ def run_scan(cfg: dict) -> dict:
                 csvs, sys_, fes, mesh, schedule, model, bprime, probe_x,
                 probe_y, probe_pts, tk, Ts[k], ps[k], st_k, vs[k],
                 float(rtots[k]), float(max_disps[k]), float(qratio[k]))
-            nit = int(iters[k])
-            r0k = float(r0s[k])
-            du0 = max(1.0, float(upd_hs[k, 0])) \
-                if np.isfinite(upd_hs[k, 0]) else 1.0
-            for i in range(nit + 1):
-                rk = res_hs[k, i]
-                if not np.isfinite(rk):
-                    break
-                uk = upd_hs[k, i]
-                conv = 1 if (i == nit or not np.isfinite(uk)) else 0
-                un = 0.0 if not np.isfinite(uk) else float(uk)
-                newton_csv.writerow([gstep, tk, i, float(rk), r0k,
-                                     float(rk) / r0k, un, du0, un / du0,
-                                     conv])
+            replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
+                                  float(r0s[k]), res_hs[k], upd_hs[k])
             timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                                  0.0, 0.0, amort])
         if dc is not None and e % output_every == 0:
@@ -1126,10 +1132,13 @@ def run_scan(cfg: dict) -> dict:
                                 cfg.get("timing_summary_csv",
                                         "driver_timing_summary.csv")),
                    ["metric", "seconds"]) as w:
+        w.writerow(["setup_time_maxrank", 0.0])
+        w.writerow(["run_time_maxrank", wall])
         w.writerow(["sum_step_time_maxrank", wall])
         w.writerow(["sum_bc_time_maxrank", 0.0])
         w.writerow(["sum_newton_time_maxrank", 0.0])
         w.writerow(["sum_newton_residual_eval_time_maxrank", 0.0])
+        w.writerow(["sum_newton_jacobian_time_maxrank", 0.0])
         w.writerow(["sum_newton_linear_time_maxrank", 0.0])
         w.writerow(["sum_newton_update_time_maxrank", 0.0])
         w.writerow(["sum_state_advance_time_maxrank", 0.0])

@@ -105,6 +105,22 @@ def num_steps(t_final: float, dt: float) -> int:
     return int(math.ceil(t_final / dt - 1.0e-12))
 
 
+def replay_newton_history(newton_csv, gstep, tk, nit, r0k, res_h, upd_h):
+    """Replay one scan step's recorded Newton iterate history into the
+    newton CSV (NaN marks unused history slots; the single implementation
+    behind the case-1 and case-2.2 scan paths' post-chunk replays)."""
+    du0 = max(1.0, float(upd_h[0])) if np.isfinite(upd_h[0]) else 1.0
+    for i in range(nit + 1):
+        rk = res_h[i]
+        if not np.isfinite(rk):
+            break
+        uk = upd_h[i]
+        conv = 1 if (i == nit or not np.isfinite(uk)) else 0
+        un = 0.0 if not np.isfinite(uk) else float(uk)
+        newton_csv.writerow([gstep, tk, i, float(rk), r0k,
+                             float(rk) / r0k, un, du0, un / du0, conv])
+
+
 def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
                        newton_cfg, rebuild_freq, newton_csv, step, t, n,
                        print_level=0, print_multiline=True):

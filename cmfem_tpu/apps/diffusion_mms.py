@@ -76,6 +76,8 @@ def run(cfg: dict) -> dict:
     output_path = cfg.get("output_path", "ParaView")
     save_paraview = bool(cfg.get("save_paraview", True))
     paraview_every = int(cfg.get("paraview_every", 10))
+    if paraview_every < 1:
+        raise ValueError("paraview_every must be >= 1")
     if alpha <= 0 or dt <= 0 or t_final < 0:
         raise ValueError("alpha and dt must be > 0, t_final >= 0.")
 

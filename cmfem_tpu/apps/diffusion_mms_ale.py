@@ -123,9 +123,15 @@ def run(cfg: dict) -> dict:
         apply_A = lambda v: a.apply(data, v)
         B = bc.constrained_rhs(apply_A, rhs, u_bc)
         diag = jnp.where(bc.mask, 1.0, a.assemble_diagonal(data))
+        # reference semantics (diffusion_mms_ale.cpp:695-700):
+        # linear_max_iter caps TOTAL Krylov iterations, and the restart
+        # length is min(400, max(50, linear_max_iter)); our gmres's
+        # maxiter counts restart cycles, so derive it from the cap
+        restart = min(400, max(50, lin_maxiter))
+        cycles = max(1, -(-lin_maxiter // restart))
         res = gmres(bc.constrain_operator(apply_A), B, x0=u,
                     M=jacobi_preconditioner(diag), rtol=lin_rtol,
-                    restart=min(400, max(50, lin_maxiter)), maxiter=40)
+                    restart=restart, maxiter=cycles)
         return res.x, res.converged, res.residual
 
     u = jnp.asarray(fes.interpolate(

@@ -129,6 +129,8 @@ def run(cfg: dict) -> dict:
     error_csv = cfg.get("error_csv", "error_history.csv")
     save_paraview = bool(cfg.get("save_paraview", True))
     paraview_every = int(cfg.get("paraview_every", 50))
+    if paraview_every < 1:
+        raise ValueError("paraview_every must be >= 1")
     if dt <= 0 or t_final < 0 or any(p <= 0 for p in peclet):
         raise ValueError("dt must be > 0, t_final >= 0, peclet > 0.")
 

@@ -69,6 +69,8 @@ def run(cfg: dict) -> dict:
     newton_csv_name = cfg.get("newton_csv", "newton_history_nonlinear_1D.csv")
     save_paraview = bool(cfg.get("save_paraview", True))
     paraview_every = int(cfg.get("paraview_every", 1))
+    if paraview_every < 1:
+        raise ValueError("paraview_every must be >= 1")
     newton_print_level = int(cfg.get("newton_print_level", 1))
 
     if dt <= 0 or t_final < 0 or ep.series_terms <= 0 or ep.L <= 0:

@@ -199,6 +199,21 @@ def sample_h1(fes, u, points, vertices=None):
     return out
 
 
+def sample_h1_fields(fes, fields, points, vertices=None):
+    """Sample SEVERAL H1 fields at the same physical points with ONE
+    point-location pass; returns a list of (npts,) arrays (NaN where not
+    found) in the order of ``fields``."""
+    elem_ids, refs = locate_points(fes.mesh, points, vertices)
+    found = elem_ids >= 0
+    outs = [np.full(len(elem_ids), np.nan) for _ in fields]
+    if found.any():
+        B, _ = fes.ref.eval(refs[found])
+        dofs = fes.element_dofs[elem_ids[found]]
+        for out, u in zip(outs, fields):
+            out[found] = np.einsum("pn,pn->p", B, np.asarray(u)[dofs])
+    return outs
+
+
 def sample_l2(mesh: Mesh, elem_vals, points, vertices=None):
     """Sample an L2(0) (per-element) field at physical points."""
     elem_ids, _ = locate_points(mesh, points, vertices)
