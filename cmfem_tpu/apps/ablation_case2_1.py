@@ -12,6 +12,10 @@ The reference's B' table is an author-local PATO file; when the configured
 path is missing a clearly-labeled synthetic table with the right shape is
 substituted so the driver stays runnable (validation against Amaryllis
 requires the real deck either way).
+
+``scan_stepping: true`` runs the whole transient as fused lax.scan chunks
+(one XLA program per output/restart frame, ``run_scan``); restart write
+triggers are honored by aligning chunk boundaries with the trigger steps.
 """
 
 from __future__ import annotations
@@ -25,8 +29,9 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from .common import (
+    replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir, make_block_linear_solver, run_tp_newton_loop,
+    ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -65,14 +70,115 @@ def load_restart(path, n, ne, nq, nr, world_size=1):
         return int(d["step"]), float(d["time"]), T, p, X
 
 
+_BOUNDARY_DIAG_KEYS = (
+    "m_dot_g_surf", "BprimeG_surf", "BprimeC_surf", "h_w_surf",
+    "emissivity_surf", "absorptivity_surf", "reflectivity_surf",
+    "blowing_correction_surf", "q_conv_surf", "q_adv_pyro_surf",
+    "q_rad_emit_surf", "q_rad_abs_surf", "q_surf")
+
+
+def _make_case21_csvs(cfg, output_path, probe_y):
+    """The case-2.1 CSV streams (reference column schemas), shared by the
+    eager loop and the scan path's post-chunk replay."""
+    return {
+        "probes": CsvWriter(
+            os.path.join(output_path,
+                         cfg.get("probes_csv", "temperature_probes.csv")),
+            ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))]),
+        "mass": CsvWriter(
+            os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
+            ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin",
+             "front_2_char", "recession"]),
+        "boundary": CsvWriter(
+            os.path.join(output_path,
+                         cfg.get("boundary_csv", "boundary_diagnostics.csv")),
+            ["time"] + list(_BOUNDARY_DIAG_KEYS)),
+        "newton": CsvWriter(
+            os.path.join(output_path,
+                         cfg.get("newton_csv",
+                                 "newton_history_ablation_case2_1_2D.csv")),
+            ["step", "time", "iter", "residual", "residual0", "rel_residual",
+             "update_norm", "update0", "rel_update", "converged"]),
+        "timing": CsvWriter(
+            os.path.join(output_path,
+                         cfg.get("timing_step_csv",
+                                 "driver_timing_per_step.csv")),
+            ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
+             "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
+             "state_advance_sec", "output_sec", "step_total_sec"]),
+    }
+
+
+def _write_case21_step_outputs(csvs, dc, sys_, fes, mesh, schedule, model,
+                               bprime, probe_x, probe_y, probe_pts, xmid,
+                               lo, hi, stepno, tnow, T, p, state,
+                               use_dirichlet, output_every, nr):
+    """One output step: probes / mass / boundary rows (+ a VTU frame every
+    output_every steps).  Returns the boundary-diagnostics dict."""
+    from ..core.pointlocate import sample_h1, front_depth
+    from ..physics.seb import classify_branch
+
+    bc = schedule.eval(tnow)
+    branch = classify_branch(bc, model)
+    pts_all = np.vstack([np.array([[probe_x, probe_y[0]]]), probe_pts])
+    vals = sample_h1(fes, np.asarray(T), pts_all)
+    bdiag = sys_.top_boundary_diagnostics(
+        T, p, state, bc, branch, model, bprime,
+        compute_surface_terms=not use_dirichlet)
+    f98 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.98)
+    f2 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.02)
+    csvs["probes"].writerow([tnow] + [float(v) for v in vals])
+    csvs["mass"].writerow([tnow, bdiag["m_dot_g_surf"], 0.0, f98, f2, 0.0])
+    csvs["boundary"].writerow([tnow] + [bdiag[k] for k in
+                                        _BOUNDARY_DIAG_KEYS])
+    if dc is not None and stepno % output_every == 0:
+        fields = {
+            "temperature": np.asarray(T), "pressure": np.asarray(p),
+            "tau": state.tau_elem, "rho_s": state.rho_elem,
+            "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
+            "degree_char": state.degree_char_elem,
+            "char_density_fraction": state.char_density_fraction_elem,
+        }
+        for r in range(nr):
+            fields[f"X{r + 1}"] = state.extent_elem[r]
+        dc.save(stepno, tnow, fields)
+    return bdiag
+
+
+def _write_case21_final_csvs(cfg, output_path, bprime):
+    """Acceptance-tolerance echo + B' clamp statistics (reference:
+    ablation_test_case2_1_2D.cpp:3564-3569)."""
+    acc = cfg.get("acceptance", {})
+    with CsvWriter(os.path.join(output_path,
+                                "amaryllis_error_tolerances.csv"),
+                   ["signal", "tolerance"]) as w:
+        for key, default in (
+                ("temperature_rmse_max", 250.0),
+                ("temperature_max_abs_max", 500.0),
+                ("m_dot_g_rmse_max", 0.02), ("m_dot_g_max_abs_max", 0.06),
+                ("m_dot_g_peak_rel_error_max", 0.5),
+                ("m_dot_g_peak_time_error_max", 10.0),
+                ("front98_max_abs_max", 0.01), ("front98_rmse_max", 0.01),
+                ("front2_max_abs_max", 0.01), ("front2_rmse_max", 0.01),
+                ("m_dot_c_max_abs_max", 1.0e-8),
+                ("recession_max_abs_max", 1.0e-8)):
+            w.writerow([key, float(acc.get(key, default))])
+    with CsvWriter(os.path.join(output_path, "bprime_clamp_stats.csv"),
+                   ["axis", "clamp_count"]) as w:
+        w.writerow(["pressure", bprime.clamp_stats.p])
+        w.writerow(["BprimeG", bprime.clamp_stats.bg])
+        w.writerow(["temperature", bprime.clamp_stats.t])
+
+
 def run(cfg: dict) -> dict:
     _t_run0 = _time.perf_counter()
+    if cfg.get("scan_stepping", False):
+        return run_scan(cfg)
     import jax
     import jax.numpy as jnp
 
     from ..core import FESpace
     from ..ops import SpaceOps
-    from ..core.pointlocate import sample_h1, front_depth
     from ..physics.tacot import TacotMaterial
     from ..physics.bprime import BPrimeTable
     from ..physics.surface_bc import SurfaceBCSchedule, TopTemperatureSchedule
@@ -292,30 +398,8 @@ def run(cfg: dict) -> dict:
         return spla.splu(J.tocsc())
 
     ensure_outdir(output_path)
-    probes_csv = CsvWriter(
-        os.path.join(output_path, cfg.get("probes_csv", "temperature_probes.csv")),
-        ["time", "wall"] + [f"TC{i}" for i in range(1, len(probe_y))])
-    mass_csv = CsvWriter(
-        os.path.join(output_path, cfg.get("mass_csv", "mass_metrics.csv")),
-        ["time", "m_dot_g_surf", "m_dot_c", "front_98_virgin", "front_2_char",
-         "recession"])
-    boundary_csv = CsvWriter(
-        os.path.join(output_path, cfg.get("boundary_csv", "boundary_diagnostics.csv")),
-        ["time", "m_dot_g_surf", "BprimeG_surf", "BprimeC_surf", "h_w_surf",
-         "emissivity_surf", "absorptivity_surf", "reflectivity_surf",
-         "blowing_correction_surf", "q_conv_surf", "q_adv_pyro_surf",
-         "q_rad_emit_surf", "q_rad_abs_surf", "q_surf"])
-    newton_csv = CsvWriter(
-        os.path.join(output_path,
-                     cfg.get("newton_csv", "newton_history_ablation_case2_1_2D.csv")),
-        ["step", "time", "iter", "residual", "residual0", "rel_residual",
-         "update_norm", "update0", "rel_update", "converged"])
-    timing_csv = CsvWriter(
-        os.path.join(output_path,
-                     cfg.get("timing_step_csv", "driver_timing_per_step.csv")),
-        ["step", "bc_sec", "newton_sec", "newton_residual_eval_sec",
-         "newton_jacobian_sec", "newton_linear_sec", "newton_update_sec",
-         "state_advance_sec", "output_sec", "step_total_sec"])
+    csvs = _make_case21_csvs(cfg, output_path, probe_y)
+    newton_csv, timing_csv = csvs["newton"], csvs["timing"]
 
     dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
         if save_paraview else None
@@ -350,35 +434,10 @@ def run(cfg: dict) -> dict:
         print(f"Loaded restart from {restart_read} at step {step}, time {t} s.")
 
     def write_outputs(stepno, tnow):
-        bc = schedule.eval(tnow)
-        branch = classify_branch(bc, model)
-        wallT = float(sample_h1(fes, np.asarray(T),
-                                np.array([[probe_x, probe_y[0]]]))[0])
-        probe_vals = sample_h1(fes, np.asarray(T), probe_pts)
-        bdiag = sys_.top_boundary_diagnostics(
-            T, p, state, bc, branch, model, bprime,
-            compute_surface_terms=not use_dirichlet)
-        f98 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.98)
-        f2 = front_depth(mesh, state.tau_elem, xmid, hi[1], lo[1], 0.02)
-        probes_csv.writerow([tnow, wallT] + [float(v) for v in probe_vals])
-        mass_csv.writerow([tnow, bdiag["m_dot_g_surf"], 0.0, f98, f2, 0.0])
-        boundary_csv.writerow([tnow] + [bdiag[k] for k in (
-            "m_dot_g_surf", "BprimeG_surf", "BprimeC_surf", "h_w_surf",
-            "emissivity_surf", "absorptivity_surf", "reflectivity_surf",
-            "blowing_correction_surf", "q_conv_surf", "q_adv_pyro_surf",
-            "q_rad_emit_surf", "q_rad_abs_surf", "q_surf")])
-        if dc is not None and stepno % output_every == 0:
-            fields = {
-                "temperature": np.asarray(T), "pressure": np.asarray(p),
-                "tau": state.tau_elem, "rho_s": state.rho_elem,
-                "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
-                "degree_char": state.degree_char_elem,
-                "char_density_fraction": state.char_density_fraction_elem,
-            }
-            for r in range(nr):
-                fields[f"X{r + 1}"] = state.extent_elem[r]
-            dc.save(stepno, tnow, fields)
-        return bdiag
+        return _write_case21_step_outputs(
+            csvs, dc, sys_, fes, mesh, schedule, model, bprime, probe_x,
+            probe_y, probe_pts, xmid, lo, hi, stepno, tnow, T, p, state,
+            use_dirichlet, output_every, nr)
 
     write_outputs(step, t)
     jc_checked_branches = set()
@@ -486,24 +545,7 @@ def run(cfg: dict) -> dict:
     if restart_write and restart_write_at_end:
         save_restart(restart_write, step, t, T, p, state.extent)
 
-    acc = cfg.get("acceptance", {})
-    with CsvWriter(os.path.join(output_path, "amaryllis_error_tolerances.csv"),
-                   ["signal", "tolerance"]) as w:
-        for key, default in (
-                ("temperature_rmse_max", 250.0), ("temperature_max_abs_max", 500.0),
-                ("m_dot_g_rmse_max", 0.02), ("m_dot_g_max_abs_max", 0.06),
-                ("m_dot_g_peak_rel_error_max", 0.5),
-                ("m_dot_g_peak_time_error_max", 10.0),
-                ("front98_max_abs_max", 0.01), ("front98_rmse_max", 0.01),
-                ("front2_max_abs_max", 0.01), ("front2_rmse_max", 0.01),
-                ("m_dot_c_max_abs_max", 1.0e-8),
-                ("recession_max_abs_max", 1.0e-8)):
-            w.writerow([key, float(acc.get(key, default))])
-    with CsvWriter(os.path.join(output_path, "bprime_clamp_stats.csv"),
-                   ["axis", "clamp_count"]) as w:
-        w.writerow(["pressure", bprime.clamp_stats.p])
-        w.writerow(["BprimeG", bprime.clamp_stats.bg])
-        w.writerow(["temperature", bprime.clamp_stats.t])
+    _write_case21_final_csvs(cfg, output_path, bprime)
     with CsvWriter(os.path.join(output_path,
                                 cfg.get("timing_summary_csv",
                                         "driver_timing_summary.csv")),
@@ -522,14 +564,410 @@ def run(cfg: dict) -> dict:
         w.writerow(["avg_step_time_maxrank",
                     totals["step"] / max(1, steps_executed)])
 
-    probes_csv.close()
-    mass_csv.close()
-    boundary_csv.close()
-    newton_csv.close()
-    timing_csv.close()
+    for key in ("probes", "mass", "boundary", "newton", "timing"):
+        csvs[key].close()
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
             "fes": fes, "mesh": mesh, "step": step, "time": t,
             "bprime": bprime}
+
+
+def run_scan(cfg: dict) -> dict:
+    """Whole-run device-resident stepping (``scan_stepping: true``): the
+    SEB (or Dirichlet-top) coupled (T,p) Newton solve, reaction-state
+    advance, and schedule interpolation fused into ONE XLA program per
+    output frame via ``lax.scan`` — the static-mesh analog of the
+    case-2.2 scan path (geometric factors are baked in at trace time, and
+    the block GMRES uses the gather-free lattice stencil matvec on the
+    reference's strip meshes).
+
+    Restart semantics survive the fusion: write triggers (every-N /
+    at-time / at-end, ablation_test_case2_1_2D.cpp:3449-3477) are honored
+    by aligning scan chunk boundaries with the trigger steps, and
+    ``restart_read_file`` seeds the initial carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import FESpace
+    from ..ops import SpaceOps
+    from ..physics.tacot import TacotMaterial
+    from ..physics.bprime import BPrimeTable
+    from ..physics.surface_bc import (SurfaceBCSchedule, BoundaryState,
+                                      TopTemperatureSchedule)
+    from ..physics.seb import SurfaceFluxModel, classify_branch
+    from ..physics.ablation import AblationSystem, AblationState
+    from ..solvers import BlockNewtonKrylov
+    from ..solvers.blocksolve import strip_dof_lattice
+
+    if int(cfg.get("order", 1)) != 1:
+        raise NotImplementedError("scan_stepping requires order 1")
+    if int(cfg.get("sharding_devices", 0)):
+        raise NotImplementedError(
+            "scan_stepping and sharding_devices are mutually exclusive")
+    if bool(cfg.get("jacobian_check", False)):
+        raise NotImplementedError(
+            "jacobian_check is host-side; use the eager path")
+
+    material_file = resolve_path(cfg, cfg.get(
+        "material_file", "Input/material_tacot_case2_1.yaml"))
+    dt_cfg = float(cfg.get("dt", 1.0e-2))
+    t_final = float(cfg.get("t_final", 120.0))
+    abs_tol = float(cfg.get("newton_abs_tol", 1e-8))
+    rel_tol = float(cfg.get("newton_rel_tol", 1e-6))
+    max_iter = int(cfg.get("newton_max_iter", 20))
+    lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
+    output_every = int(cfg.get("output_every", 10))
+    if output_every < 1:
+        raise ValueError("output_every must be >= 1")
+    output_path = cfg.get("output_path", "ParaView/ablation_case2_1")
+    collection_name = cfg.get("collection_name", "ablation_test_case2_1_2D")
+    save_paraview = bool(cfg.get("save_paraview", True))
+    bdr_top = int(cfg.get("bdr_attr_top", 1))
+    gravity = (float(cfg.get("gravity_x", 0.0)),
+               float(cfg.get("gravity_y", 0.0)))
+    probe_x = float(cfg.get("probe_x", 0.005))
+    probe_y = [float(v) for v in cfg.get(
+        "probe_y", [0.05, 0.049, 0.048, 0.046, 0.042, 0.038, 0.034, 0.026,
+                    0.01])]
+
+    top_thermal_bc = str(cfg.get("top_thermal_bc",
+                                 "surface_energy_balance")).lower()
+    if top_thermal_bc == "seb":
+        top_thermal_bc = "surface_energy_balance"
+    if top_thermal_bc in ("temp_dirichlet", "temperature"):
+        top_thermal_bc = "temperature_dirichlet"
+    use_dirichlet = top_thermal_bc == "temperature_dirichlet"
+
+    model = SurfaceFluxModel(
+        lam=float(cfg.get("lambda", 0.5)),
+        q_rad=float(cfg.get("q_rad", 0.0)),
+        T_background=float(cfg.get("T_background", 300.0)),
+        T_edge=float(cfg.get("T_edge", 300.0)),
+        hconv=float(cfg.get("hconv", 0.0)),
+        emissivity_override=float(cfg.get("emissivity", float("nan"))),
+        absorptivity_override=float(cfg.get("absorptivity", float("nan"))),
+        stefan_boltzmann=float(cfg.get("stefan_boltzmann", 5.670374419e-8)),
+        strict_case2_1=bool(cfg.get("strict_case2_1", True)),
+        pato_compat_mode=("off" if cfg.get("pato_compat_mode", "off") is False
+                          else str(cfg.get("pato_compat_mode", "off")).lower()),
+    )
+    if model.pato_compat_mode not in ("off", "cooling_exact"):
+        raise ValueError(
+            'pato_compat_mode must be either "off" or "cooling_exact".')
+    mat = TacotMaterial.load_yaml(material_file)
+    bprime_cfg = cfg.get("bprime_table_file", "")
+    bprime_path = resolve_path(cfg, bprime_cfg) if bprime_cfg else ""
+    if bprime_path and os.path.isfile(bprime_path):
+        bprime = BPrimeTable.load_file(bprime_path)
+    else:
+        print(f"B' table not found ({bprime_path!r}); using synthetic "
+              f"TACOT-shaped table (NOT validation data).")
+        bprime = BPrimeTable.synthetic_tacot()
+    schedule = SurfaceBCSchedule.load_file(resolve_path(cfg, cfg.get(
+        "boundary_conditions_file",
+        "Input/boundary_conditions_ablation_case2_1.dat")))
+    top_T_value = float(cfg.get("top_temperature_value", 300.0))
+    top_T_file = cfg.get("top_temperature_file", "")
+    top_T_sched = None
+    if use_dirichlet and top_T_file:
+        top_T_sched = TopTemperatureSchedule.load_file(
+            resolve_path(cfg, top_T_file))
+
+    mesh = load_mesh_from_cfg(cfg)
+    lo, hi = mesh.bounding_box()
+    xmid = 0.5 * (lo[0] + hi[0])
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    print(f"Global true dofs (T+p): {2 * n}")
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    ne, nq = sys_.ne, sys_.nq
+    nr = mat.num_reactions
+    state0 = AblationState.initial(ne, nq, mat)
+
+    ess = np.asarray(fes.boundary_dofs([bdr_top]))
+    ess_T = ess if use_dirichlet else np.zeros(0, dtype=ess.dtype)
+    essj = jnp.asarray(ess)
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess_T] = True
+    mask2[ess + n] = True
+    mask2_j = jnp.asarray(mask2)
+    try:
+        lat = strip_dof_lattice(fes.node_positions)
+    except ValueError:
+        lat = None
+    bks = BlockNewtonKrylov(fes.element_dofs, n, ess_T, ess,
+                            restart=int(cfg.get("gmres_restart", 400)),
+                            maxiter=int(cfg.get("gmres_maxiter", 10)),
+                            dof_lattice=lat)
+    face_elem_j = jnp.asarray(np.asarray(sys_.trace.elem, dtype=np.int64))
+
+    # -- restart plumbing --------------------------------------------------
+    restart_read = cfg.get("restart_read_file", "")
+    restart_write = cfg.get("restart_write_file", "")
+    restart_write_every = int(cfg.get("restart_write_every", 0))
+    rw_at = cfg.get("restart_write_at_time", None)
+    rw_at = float(rw_at) if rw_at is not None else float("nan")
+    restart_write_at_end = bool(cfg.get("restart_write_at_end", True))
+
+    step0 = 0
+    t0 = 0.0
+    bc0 = schedule.eval(0.0)
+    T0 = jnp.full(n, 300.0)
+    if use_dirichlet:
+        T0 = T0.at[essj].set(top_T_sched.eval(0.0) if top_T_sched
+                             else top_T_value)
+    p0 = jnp.full(n, bc0.p_w)
+    X0 = jnp.asarray(state0.extent)
+    state_init = state0
+    if restart_read:
+        step0, t0, T_np, p_np, X_np = load_restart(
+            resolve_path(cfg, restart_read), n, ne, nq, nr)
+        T0 = jnp.asarray(T_np)
+        p0 = jnp.asarray(p_np)
+        X0 = jnp.asarray(X_np)
+        st = AblationState.initial(ne, nq, mat)
+        state_init = AblationState(
+            extent=X0, tau_elem=st.tau_elem, rho_elem=st.rho_elem,
+            pi_elem=st.pi_elem, mdot_elem=st.mdot_elem,
+            extent_elem=st.extent_elem, degree_char_elem=st.degree_char_elem,
+            char_density_fraction_elem=st.char_density_fraction_elem)
+        state_init = sys_.advance_state(state_init, T0, p0, 0.0)
+        print(f"Loaded restart from {restart_read} at step {step0}, "
+              f"time {t0} s.")
+
+    nsteps = num_steps(t_final - t0, dt_cfg)
+    t_edges = np.minimum(t_final, t0 + dt_cfg * np.arange(nsteps + 1))
+    print(f"Time steps: {nsteps}, nominal final time: {t_edges[-1]}")
+
+    # one surface-flux branch + constant chemistry over the whole window
+    # (branch is static in the traced program, as in the 2.2 scan path)
+    bcs = [schedule.eval(float(tv)) for tv in t_edges[1:]] or \
+        [schedule.eval(0.0)]
+    chems = {b.chemistryOn for b in bcs}
+    chem_static = bcs[0].chemistryOn
+    branch = None
+    if not use_dirichlet:
+        # in Dirichlet mode the chemistry flag and flux branch never
+        # reach the device program (bc only contributes p_w)
+        if len(chems) > 1:
+            raise NotImplementedError(
+                "scan_stepping needs constant schedule chemistry over the "
+                "run; use the eager path")
+        chem_static = chems.pop()
+        branches = {classify_branch(b, model) for b in bcs}
+        if len(branches) > 1:
+            raise NotImplementedError(
+                f"scan_stepping needs a single flux branch over the run, "
+                f"got {sorted(branches)}; use the eager path")
+        branch = branches.pop()
+    rows = np.asarray(schedule.rows)
+    sched_t = jnp.asarray(rows[:, 0])
+    sched_cols = jnp.asarray(rows[:, 1:6])  # p_w, rhoeUeCH, h_r, hconv, Tedge
+
+    def bc_at(t):
+        mix = jax.vmap(lambda col: jnp.interp(t, sched_t, col),
+                       in_axes=1)(sched_cols)
+        return BoundaryState(
+            p_w=mix[0], rhoeUeCH=mix[1], h_r=mix[2],
+            hconv=mix[3] if schedule.has_hconv else 0.0,
+            Tedge=mix[4] if schedule.has_hconv else 300.0,
+            has_hconv=schedule.has_hconv, has_Tedge=schedule.has_hconv,
+            chemistryOn=chem_static)
+
+    if top_T_sched is not None:
+        topT_t = jnp.asarray(top_T_sched.times)
+        topT_v = jnp.asarray(top_T_sched.values)
+
+        def top_T_at(t):
+            return jnp.interp(t, topT_t, topT_v)
+    else:
+        def top_T_at(t):
+            return jnp.asarray(top_T_value)
+
+    def step_fn(carry, inp):
+        T, p, X = carry
+        t, dt = inp
+        bc = bc_at(t)
+        T_old_q = ops.values_at_qp(T)
+        p_old_q = ops.values_at_qp(p)
+        if use_dirichlet:
+            T = T.at[essj].set(top_T_at(t))
+        p = p.at[essj].set(bc.p_w)
+
+        def residual(T, p):
+            RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X, dt)
+            if not use_dirichlet:
+                RT = RT + sys_.seb_face_residual(T, p, X, bc, branch,
+                                                 model, bprime)
+            return jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp]))
+
+        def nw_cond(st):
+            return (~st[5]) & (st[2] < max_iter)
+
+        def nw_body(st):
+            T, p, it, r0, _, _, res_h, upd_h, lin_ok = st
+            R = residual(T, p)
+            rn = jnp.linalg.norm(R)
+            r0 = jnp.where(it == 0, jnp.maximum(1.0, rn), r0)
+            done = (rn < abs_tol) | (rn / r0 < rel_tol)
+            res_h = res_h.at[it].set(rn)
+
+            def solve(tp):
+                T, p = tp
+                blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q,
+                                                X, dt)
+                if use_dirichlet:
+                    fac = bks._prepare_impl(*blocks)
+                else:
+                    face = sys_.seb_face_jacobians(T, p, X, bc, branch,
+                                                   model, bprime)
+                    fac = bks._prepare_face(*blocks, *face, face_elem_j)
+                sol = bks._solve(*fac, -R, jnp.asarray(lin_rtol),
+                                 jnp.asarray(0.0))
+                dx = sol.x
+                Tn = T + dx[:n]
+                if use_dirichlet:
+                    Tn = Tn.at[essj].set(top_T_at(t))
+                pn = (p + dx[n:]).at[essj].set(bc.p_w)
+                return Tn, pn, jnp.linalg.norm(dx), sol.converged
+
+            T, p, un, ok = jax.lax.cond(
+                done, lambda tp: (tp[0], tp[1], 0.0, True), solve, (T, p))
+            upd_h = upd_h.at[it].set(jnp.where(done, jnp.nan, un))
+            return (T, p, it + 1, r0, rn, done, res_h, upd_h, lin_ok & ok)
+
+        nanh = jnp.full(max_iter + 1, jnp.nan)
+        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = \
+            jax.lax.while_loop(nw_cond, nw_body,
+                               (T, p, 0, 1.0, jnp.inf, False, nanh, nanh,
+                                True))
+
+        (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
+         pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
+        carry = (T, p, X)
+        out = (T, p, X, tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp,
+               it, r0, rn, done, res_h, upd_h, lin_ok)
+        return carry, out
+
+    @jax.jit
+    def simulate_chunk(carry, ts, dts):
+        return jax.lax.scan(step_fn, carry, (ts, dts))
+
+    # ---- outputs ---------------------------------------------------------
+    ensure_outdir(output_path)
+    csvs = _make_case21_csvs(cfg, output_path, probe_y)
+    newton_csv, timing_csv = csvs["newton"], csvs["timing"]
+    dc = VTUCollection(collection_name, fes, prefix_path=output_path) \
+        if save_paraview else None
+    probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
+    rho_v = mat.initial_solid_density()
+    rho_c = mat.char_solid_density()
+    den = rho_v - rho_c
+
+    def build_state(X, tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp):
+        tau_e = np.asarray(tau_e)
+        rho_e = np.asarray(rho_e)
+        cdf = np.clip((rho_v - rho_e) / den, 0.0, 1.0) \
+            if abs(den) > 1e-14 else np.zeros_like(rho_e)
+        return AblationState(
+            extent=X, tau_elem=tau_e, rho_elem=rho_e,
+            pi_elem=np.asarray(pi_e), mdot_elem=np.asarray(mdot_e),
+            extent_elem=np.asarray(extent_e),
+            degree_char_elem=np.clip(1.0 - tau_e, 0.0, 1.0),
+            char_density_fraction_elem=cdf, pi_qp=np.asarray(pi_qp))
+
+    _write_case21_step_outputs(csvs, dc, sys_, fes, mesh, schedule, model,
+                               bprime, probe_x, probe_y, probe_pts, xmid,
+                               lo, hi, step0, float(t0), T0, p0, state_init,
+                               use_dirichlet, output_every, nr)
+
+    # chunk boundaries: output frames ∪ restart write triggers (so a
+    # checkpoint lands exactly at its trigger step, as in the eager loop)
+    trig = set()
+    if restart_write and restart_write_every > 0:
+        trig |= {k for k in range(1, nsteps + 1)
+                 if (step0 + k) % restart_write_every == 0}
+    if restart_write and np.isfinite(rw_at):
+        ks = np.nonzero((t_edges[:-1] < rw_at - RESTART_TIME_TOL)
+                        & (t_edges[1:] >= rw_at - RESTART_TIME_TOL))[0]
+        if len(ks):
+            trig.add(int(ks[0]) + 1)
+    bounds = sorted(set(list(range(0, nsteps, output_every)) + [nsteps])
+                    | trig)
+
+    carry = (T0, p0, X0)
+    state = state_init
+    wall = 0.0
+    for b, e in zip(bounds[:-1], bounds[1:]):
+        ts = jnp.asarray(t_edges[b + 1:e + 1])
+        dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
+        w0 = _time.perf_counter()
+        carry, outs = simulate_chunk(carry, ts, dts)
+        jax.block_until_ready(carry[0])
+        wall += _time.perf_counter() - w0
+        (Ts, ps, Xs, tau_es, rho_es, pi_es, mdot_es, extent_es, pi_qps,
+         iters, r0s, rns, dones, res_hs, upd_hs, lin_oks) = \
+            [np.asarray(o) for o in outs]
+        if not lin_oks.all():
+            bad = step0 + b + int(np.nonzero(~lin_oks)[0][0]) + 1
+            raise RuntimeError(
+                f"block GMRES did not converge at step {bad} "
+                f"(raise gmres_restart/gmres_maxiter)")
+        if not dones.all():
+            k = int(np.nonzero(~dones)[0][0])
+            raise RuntimeError(
+                f"Newton did not converge at step {step0 + b + k + 1}, "
+                f"final residual={rns[k]}")
+        amort = wall / e
+        for k in range(e - b):
+            gstep = step0 + b + k + 1
+            tk = float(t_edges[b + k + 1])
+            state = build_state(Xs[k], tau_es[k], rho_es[k], pi_es[k],
+                                mdot_es[k], extent_es[k], pi_qps[k])
+            _write_case21_step_outputs(
+                csvs, dc, sys_, fes, mesh, schedule, model, bprime,
+                probe_x, probe_y, probe_pts, xmid, lo, hi, gstep, tk,
+                Ts[k], ps[k], state, use_dirichlet, output_every, nr)
+            replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
+                                  float(r0s[k]), res_hs[k], upd_hs[k])
+            timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                 0.0, 0.0, amort])
+        if restart_write and e in trig:
+            save_restart(restart_write, step0 + e, float(t_edges[e]),
+                         carry[0], carry[1], carry[2])
+
+    T, p, X = carry
+    if restart_write and restart_write_at_end:
+        save_restart(restart_write, step0 + nsteps, float(t_edges[-1]),
+                     T, p, X)
+
+    for key in ("probes", "mass", "boundary", "newton", "timing"):
+        csvs[key].close()
+    _write_case21_final_csvs(cfg, output_path, bprime)
+    amort = wall / max(1, nsteps)
+    with CsvWriter(os.path.join(output_path,
+                                cfg.get("timing_summary_csv",
+                                        "driver_timing_summary.csv")),
+                   ["metric", "seconds"]) as w:
+        w.writerow(["setup_time_maxrank", 0.0])
+        w.writerow(["run_time_maxrank", wall])
+        w.writerow(["sum_step_time_maxrank", wall])
+        w.writerow(["sum_bc_time_maxrank", 0.0])
+        w.writerow(["sum_newton_time_maxrank", 0.0])
+        w.writerow(["sum_newton_residual_eval_time_maxrank", 0.0])
+        w.writerow(["sum_newton_jacobian_time_maxrank", 0.0])
+        w.writerow(["sum_newton_linear_time_maxrank", 0.0])
+        w.writerow(["sum_newton_update_time_maxrank", 0.0])
+        w.writerow(["sum_state_advance_time_maxrank", 0.0])
+        w.writerow(["sum_output_time_maxrank", 0.0])
+        w.writerow(["avg_step_time_maxrank", amort])
+
+    print(f"scan_stepping: {nsteps} steps in {wall:.2f}s "
+          f"({amort * 1e3:.1f} ms/step; one fused XLA program per "
+          f"output/restart frame)")
+    return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
+            "fes": fes, "mesh": mesh, "step": step0 + nsteps,
+            "time": float(t_edges[-1]), "bprime": bprime}
 
 
 def main(argv=None):

@@ -843,10 +843,19 @@ def run_scan(cfg: dict) -> dict:
     mask2 = np.zeros(2 * n, dtype=bool)
     mask2[ess + n] = True
     mask2_j = jnp.asarray(mask2)
+    # the dof lattice is pure connectivity (recovered from the REFERENCE
+    # node positions), so it stays valid as the mesh recedes; it turns the
+    # GMRES matvec into gather-free shifted-window stencil multiplies
+    from ..solvers.blocksolve import strip_dof_lattice
+    try:
+        lat = strip_dof_lattice(fes.node_positions)
+    except ValueError:
+        lat = None
     bks = BlockNewtonKrylov(fes.element_dofs, n,
                             np.zeros(0, dtype=np.int64), ess,
                             restart=int(cfg.get("gmres_restart", 400)),
-                            maxiter=int(cfg.get("gmres_maxiter", 10)))
+                            maxiter=int(cfg.get("gmres_maxiter", 10)),
+                            dof_lattice=lat)
     face_elem_j = jnp.asarray(np.asarray(sys_.trace.elem, dtype=np.int64))
 
     nsteps = num_steps(t_final, dt_cfg)

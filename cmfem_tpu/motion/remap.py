@@ -95,13 +95,15 @@ class StructuredStripRemap:
         # in the scan path, where the driver's smoother produces
         # y-velocity by construction).
         try:
+            # float() on a traced value raises ConcretizationTypeError
+            # (TracerArrayConversionError is its np.asarray sibling)
             wx = float(jnp.max(jnp.abs(wq[..., 0])))
             wy = float(jnp.max(jnp.abs(wq[..., 1])))
             if wx > 1e-10 * max(wy, 1.0):
                 raise ValueError(
                     "StructuredStripRemap requires vertical-only mesh "
                     f"motion; got max |w_x| = {wx:g}")
-        except jax.errors.TracerArrayConversionError:
+        except jax.errors.ConcretizationTypeError:
             pass
         ylat = verts[:, 1][self.vert_lat]                 # (nyv, nxv)
         Yl = ylat[:, self.ic]                             # (nyv, M)

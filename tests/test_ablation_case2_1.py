@@ -177,6 +177,96 @@ def test_case21_restart_roundtrip(case21_out):
     np.testing.assert_allclose(out2["p"], out["p"], rtol=1e-7)
 
 
+@pytest.mark.slow
+def test_case21_scan_matches_eager(tmp_path):
+    """The fused scan path (device-resident SEB Newton + reaction-state
+    advance, one XLA program per output frame) must match the eager
+    per-step driver, and the restart write-at-time trigger must land on
+    its exact step via chunk-boundary alignment."""
+    from cmfem_tpu.apps.ablation_case2_1 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_1.yaml",
+        "boundary_conditions_file":
+            f"{REF}/Input/boundary_conditions_ablation_case2_1.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        # same on-device linear solver on both paths so the only delta
+        # is scan arithmetic
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 2,
+                 "restart_write_file": str(tmp_path / "scan" / "r.chk"),
+                 "restart_write_at_time": 0.2,
+                 "restart_write_at_end": False})
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+    # the checkpoint landed exactly at the t=0.2 trigger step
+    with np.load(tmp_path / "scan" / "r.chk.npz") as d:
+        assert abs(float(d["time"]) - 0.2) < 1e-10
+        assert int(d["step"]) == 2
+    # same CSV schemas + row counts on both paths
+    for name in ("mass_metrics.csv", "temperature_probes.csv",
+                 "boundary_diagnostics.csv"):
+        he = (tmp_path / "eager" / name).read_text().splitlines()
+        hs = (tmp_path / "scan" / name).read_text().splitlines()
+        assert he[0] == hs[0], name
+        assert len(he) == len(hs), name
+    pe = np.loadtxt(tmp_path / "eager" / "temperature_probes.csv",
+                    delimiter=",", skiprows=1)
+    ps_ = np.loadtxt(tmp_path / "scan" / "temperature_probes.csv",
+                     delimiter=",", skiprows=1)
+    mask = np.isfinite(pe)
+    assert np.array_equal(mask, np.isfinite(ps_))
+    assert np.abs(pe[mask] - ps_[mask]).max() < 1e-5
+    # scan-mode resume from the mid-run checkpoint reaches the same end
+    out_r = run({**base, "output_path": str(tmp_path / "resumed"),
+                 "scan_stepping": True,
+                 "restart_read_file": str(tmp_path / "scan" / "r.chk.npz")})
+    assert abs(out_r["time"] - 0.3) < 1e-10
+    assert out_r["step"] == 3
+    np.testing.assert_allclose(out_r["T"], out_s["T"], rtol=0, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_case21_scan_dirichlet_matches_eager(tmp_path):
+    """Dirichlet-top-temperature mode through the scan path (no SEB
+    faces; _prepare_impl solver branch) matches the eager driver."""
+    from cmfem_tpu.apps.ablation_case2_1 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_1.yaml",
+        "boundary_conditions_file":
+            f"{REF}/Input/boundary_conditions_ablation_case2_1.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.2,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        "top_thermal_bc": "temperature_dirichlet",
+        "top_temperature_value": 1200.0,
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 1})
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+
+
 def test_case21_restart_validation(tmp_path):
     from cmfem_tpu.apps.ablation_case2_1 import save_restart, load_restart
 
