@@ -39,6 +39,187 @@ from .partition import partition_elements
 from .sharding import qp_block_apply
 
 
+class DofPartition:
+    """Element/DOF ownership machinery shared by every dof-partitioned
+    kernel (the CDR operator below and the ablation Newton step in
+    ``parallel.ablation_dofpart``): RCB element parts, lowest-part DOF
+    ownership, per-device [owned | ghost] local index spaces, and the
+    interface publish/gather maps that make a halo exchange ONE psum over
+    an interface-length vector."""
+
+    def __init__(self, eldofs, nglobal, ndev, parts=None, mesh=None):
+        ed = np.asarray(eldofs, dtype=np.int64)
+        ne, nd = ed.shape
+        self.nglobal = int(nglobal)
+        self.ndev = int(ndev)
+        self.nd = nd
+        if parts is None:
+            parts = partition_elements(mesh, ndev)
+        parts = np.asarray(parts, dtype=np.int64)
+        if len(parts) != ne:
+            raise ValueError(f"parts has {len(parts)} entries for {ne} "
+                             "elements")
+        if parts.min() < 0 or parts.max() >= ndev:
+            # out-of-range parts would be silently dropped by the packing
+            # loops below -> wrong matvec with no error
+            raise ValueError(f"parts ids must lie in [0, {ndev}); got "
+                             f"[{parts.min()}, {parts.max()}]")
+        self.parts = parts
+
+        # -- ownership: lowest part touching each dof ----------------------
+        owner = np.full(nglobal, ndev, dtype=np.int64)
+        for d in range(ndev):
+            dofs_d = np.unique(ed[parts == d])
+            owner[dofs_d] = np.minimum(owner[dofs_d], d)
+        assert owner.max() < ndev, "dof untouched by any element"
+        self.owner = owner
+
+        # interface dofs: touched by >= 2 parts (global slot numbering)
+        touch = np.zeros((nglobal,), dtype=np.int64)
+        touched_by = [np.unique(ed[parts == d]) for d in range(ndev)]
+        for dofs_d in touched_by:
+            touch[dofs_d] += 1
+        iface_global = np.nonzero(touch >= 2)[0]
+        nif = len(iface_global)
+        self.n_interface = nif
+        if2slot = np.full(nglobal, -1, dtype=np.int64)
+        if2slot[iface_global] = np.arange(nif)
+
+        # -- per-device owned / ghost layouts ------------------------------
+        owned = [np.nonzero(owner == d)[0] for d in range(ndev)]
+        nown_max = max(1, max(len(o) for o in owned))
+        self.nown_max = nown_max
+        self.nown = np.array([len(o) for o in owned])
+        g2loc = np.full(nglobal, -1, dtype=np.int64)
+        for d in range(ndev):
+            g2loc[owned[d]] = np.arange(len(owned[d]))
+        self.owned = owned
+
+        ghosts = []
+        for d in range(ndev):
+            gd = touched_by[d][owner[touched_by[d]] != d]
+            ghosts.append(gd)
+        nghost_max = max(1, max(len(g) for g in ghosts))
+        self.nghost_max = nghost_max
+        self.ghosts = ghosts
+        self.n_loc = nown_max + nghost_max
+
+        # per-device global dof -> local [owned | ghost] slot (-1 = absent)
+        ne_max = max(1, int(np.bincount(parts, minlength=ndev).max()))
+        self.ne_max = ne_max
+        self.elem_idx = [np.nonzero(parts == d)[0] for d in range(ndev)]
+        self.loc_maps = []
+        eldofs_loc = np.zeros((ndev, ne_max, nd), dtype=np.int64)
+        for d in range(ndev):
+            loc = np.full(nglobal, -1, dtype=np.int64)
+            loc[owned[d]] = np.arange(len(owned[d]))
+            loc[ghosts[d]] = nown_max + np.arange(len(ghosts[d]))
+            self.loc_maps.append(loc)
+            idx = self.elem_idx[d]
+            eldofs_loc[d, :len(idx)] = loc[ed[idx]]
+        self.eldofs_loc_np = eldofs_loc
+
+        # forward-exchange publish maps: (local owned idx, iface slot) for
+        # this device's owned interface dofs; pad writes go to a dead slot
+        npub_max = max(1, max(
+            int(np.sum(owner[iface_global] == d)) for d in range(ndev))
+            if nif else 1)
+        pub_src = np.full((ndev, npub_max), 0, dtype=np.int64)
+        pub_dst = np.full((ndev, npub_max), nif, dtype=np.int64)  # dead
+        for d in range(ndev):
+            mine = iface_global[owner[iface_global] == d]
+            pub_src[d, :len(mine)] = g2loc[mine]
+            pub_dst[d, :len(mine)] = if2slot[mine]
+        # pad-slot reads of x_own[pub_src] hit slot 0 but land in the dead
+        # iface slot; reverse adds read the dead slot's 0 into owned slot 0
+        # -- make those reverse adds target a dead owned slot instead:
+        self.pub_src_rev_np = np.where(pub_dst < nif, pub_src, nown_max)
+        self.pub_src_np = pub_src
+        self.pub_dst_np = pub_dst
+
+        ghost_src = np.full((ndev, nghost_max), nif, dtype=np.int64)
+        for d in range(ndev):
+            ghost_src[d, :len(ghosts[d])] = if2slot[ghosts[d]]
+        self.ghost_src_np = ghost_src
+
+    def pack_elem(self, a, fill="zero"):
+        """Group an (ne, ...) per-element array into padded per-device
+        batches (ndev, ne_max, ...); pad rows are zeros (``fill="zero"``,
+        for quadrature weights / operator data so pads contribute nothing)
+        or a copy of the device's first element (``"dup"``, for state that
+        must stay finite under e.g. table evaluation)."""
+        a = np.asarray(a)
+        out = np.zeros((self.ndev, self.ne_max) + a.shape[1:], a.dtype)
+        for d in range(self.ndev):
+            idx = self.elem_idx[d]
+            out[d, :len(idx)] = a[idx]
+            if fill == "dup":
+                # empty parts dup the global first element — pad state
+                # must stay finite (0 * nan = nan under zero weights)
+                out[d, len(idx):] = a[idx[0] if len(idx) else 0]
+        return out
+
+    def to_dist(self, x_global, sharding):
+        """Global entity-numbered (nglobal,) -> distributed owned slabs."""
+        x = np.asarray(x_global)
+        out = np.zeros((self.ndev, self.nown_max), x.dtype)
+        for d in range(self.ndev):
+            out[d, :len(self.owned[d])] = x[self.owned[d]]
+        return jax.device_put(out.reshape(-1), sharding)
+
+    def from_dist(self, x_dist):
+        """Distributed owned slabs -> global entity-numbered (nglobal,)."""
+        x = np.asarray(x_dist).reshape(self.ndev, self.nown_max)
+        out = np.zeros(self.nglobal, x.dtype)
+        for d in range(self.ndev):
+            out[self.owned[d]] = x[d, :len(self.owned[d])]
+        return out
+
+
+def halo_forward(x_own, pub_src, pub_dst, ghost_src, nif, nghost_max,
+                 axis):
+    """Inside shard_map: extend owned slabs (..., nown_max) with ghost
+    values via ONE interface psum -> (..., nown_max + nghost_max)."""
+    pub = jnp.zeros(x_own.shape[:-1] + (nif + 1,), x_own.dtype)
+    pub = pub.at[..., pub_dst].add(x_own[..., pub_src])
+    pub = jax.lax.psum(pub, axis)[..., :nif]
+    gh = pub[..., ghost_src] if nif else \
+        jnp.zeros(x_own.shape[:-1] + (nghost_max,), x_own.dtype)
+    return jnp.concatenate([x_own, gh], axis=-1)
+
+
+def halo_reverse(y_loc, pub_src_rev, pub_dst, ghost_src, nif, nown_max,
+                 axis):
+    """Inside shard_map: add ghost-slot contributions of local vectors
+    (..., nown_max + nghost_max) back onto their owners (one psum) ->
+    (..., nown_max)."""
+    gcon = jnp.zeros(y_loc.shape[:-1] + (nif + 1,), y_loc.dtype)
+    gcon = gcon.at[..., ghost_src].add(y_loc[..., nown_max:])
+    gcon = jax.lax.psum(gcon, axis)
+    pad = jnp.zeros(y_loc.shape[:-1] + (1,), y_loc.dtype)
+    y_ext = jnp.concatenate([y_loc[..., :nown_max], pad], axis=-1)
+    y_ext = y_ext.at[..., pub_src_rev].add(
+        gcon[..., jnp.minimum(pub_dst, nif)])
+    return y_ext[..., :nown_max]
+
+
+def halo_assemble(v_loc, pub_src, pub_dst, pub_src_rev, ghost_src, nif,
+                  nown_max, axis):
+    """Inside shard_map: fully assemble additive local contributions
+    (..., nown_max + nghost_max) so every copy (owner AND ghosts) holds
+    the global sum — one psum.  Pad ghost slots receive dead-slot noise;
+    callers must never read them (the local element dof maps don't)."""
+    pub = jnp.zeros(v_loc.shape[:-1] + (nif + 1,), v_loc.dtype)
+    pub = pub.at[..., pub_dst].add(v_loc[..., pub_src])
+    pub = pub.at[..., ghost_src].add(v_loc[..., nown_max:])
+    pub = jax.lax.psum(pub, axis)
+    pad = jnp.zeros(v_loc.shape[:-1] + (1,), v_loc.dtype)
+    own = jnp.concatenate([v_loc[..., :nown_max], pad], axis=-1)
+    own = own.at[..., pub_src_rev].set(
+        pub[..., jnp.minimum(pub_dst, nif)])[..., :nown_max]
+    return jnp.concatenate([own, pub[..., ghost_src]], axis=-1)
+
+
 class DofPartitionedOperator:
     """Element- and DOF-partitioned matrix-free apply of a
     (mass+)diffusion(+convection) operator over a 1-axis device mesh.
@@ -59,62 +240,20 @@ class DofPartitionedOperator:
         fes = ops.fes
         nglobal = fes.nscalar
         self.nglobal = nglobal
-        ed = np.asarray(fes.element_dofs, dtype=np.int64)
-        ne, nd = ed.shape
 
-        if parts is None:
-            parts = partition_elements(fes.mesh, ndev)
-        parts = np.asarray(parts, dtype=np.int64)
-        if len(parts) != ne:
-            raise ValueError(f"parts has {len(parts)} entries for {ne} "
-                             "elements")
-        if parts.min() < 0 or parts.max() >= ndev:
-            # out-of-range parts would be silently dropped by the packing
-            # loops below -> wrong matvec with no error
-            raise ValueError(f"parts ids must lie in [0, {ndev}); got "
-                             f"[{parts.min()}, {parts.max()}]")
-
-        # -- ownership: lowest part touching each dof ----------------------
-        owner = np.full(nglobal, ndev, dtype=np.int64)
-        for d in range(ndev):
-            dofs_d = np.unique(ed[parts == d])
-            owner[dofs_d] = np.minimum(owner[dofs_d], d)
-        assert owner.max() < ndev, "dof untouched by any element"
-
-        # interface dofs: touched by >= 2 parts (global slot numbering)
-        touch = np.zeros((nglobal,), dtype=np.int64)
-        touched_by = [np.unique(ed[parts == d]) for d in range(ndev)]
-        for dofs_d in touched_by:
-            touch[dofs_d] += 1
-        iface_global = np.nonzero(touch >= 2)[0]
-        nif = len(iface_global)
+        dp = DofPartition(fes.element_dofs, nglobal, ndev, parts=parts,
+                          mesh=fes.mesh)
+        self.part = dp
+        nif = dp.n_interface
+        nown_max = dp.nown_max
+        nghost_max = dp.nghost_max
         self.n_interface = nif
-        if2slot = np.full(nglobal, -1, dtype=np.int64)
-        if2slot[iface_global] = np.arange(nif)
-
-        # -- per-device owned / ghost layouts ------------------------------
-        owned = [np.nonzero(owner == d)[0] for d in range(ndev)]
-        nown_max = max(1, max(len(o) for o in owned))
         self.nown_max = nown_max
-        self.nown = np.array([len(o) for o in owned])
-        # global -> (device, local) owned index
-        g2loc = np.full(nglobal, -1, dtype=np.int64)
-        for d in range(ndev):
-            g2loc[owned[d]] = np.arange(len(owned[d]))
-        self.owned = owned
-
-        ghosts = []
-        for d in range(ndev):
-            gd = touched_by[d][owner[touched_by[d]] != d]
-            ghosts.append(gd)
-        nghost_max = max(1, max(len(g) for g in ghosts))
         self.nghost_max = nghost_max
+        self.nown = dp.nown
+        self.owned = dp.owned
+        self.ne_max = dp.ne_max
 
-        # local element dof maps into [owned | ghost] per device, with the
-        # element batch grouped by part and padded to a common count
-        ne_max = max(1, int(np.bincount(parts, minlength=ndev).max()))
-        self.ne_max = ne_max
-        eldofs_loc = np.zeros((ndev, ne_max, nd), dtype=np.int64)
         blocks_in = []
         have = {}
         for name in ("d00", "d01", "d10", "d11"):
@@ -123,47 +262,17 @@ class DofPartitionedOperator:
             if v is not None:
                 blocks_in.append(np.asarray(v))
         self._have = have
-        blocks_pack = [np.zeros((ndev, ne_max) + b.shape[1:], b.dtype)
-                       for b in blocks_in]
-        for d in range(ndev):
-            idx = np.nonzero(parts == d)[0]
-            loc = np.full(nglobal, -1, dtype=np.int64)
-            loc[owned[d]] = np.arange(len(owned[d]))
-            loc[ghosts[d]] = nown_max + np.arange(len(ghosts[d]))
-            eldofs_loc[d, :len(idx)] = loc[ed[idx]]
-            # padding elements point at owned slot 0 with zero D blocks
-            for bi, b in enumerate(blocks_in):
-                blocks_pack[bi][d, :len(idx)] = b[idx]
-
-        # forward-exchange publish maps: (local owned idx, iface slot) for
-        # this device's owned interface dofs; pad writes go to a dead slot
-        npub_max = max(1, max(
-            int(np.sum(owner[iface_global] == d)) for d in range(ndev))
-            if nif else 1)
-        pub_src = np.full((ndev, npub_max), 0, dtype=np.int64)
-        pub_dst = np.full((ndev, npub_max), nif, dtype=np.int64)  # dead
-        for d in range(ndev):
-            mine = iface_global[owner[iface_global] == d]
-            pub_src[d, :len(mine)] = g2loc[mine]
-            pub_dst[d, :len(mine)] = if2slot[mine]
-        # pad-slot reads of x_own[pub_src] hit slot 0 but land in the dead
-        # iface slot; reverse adds read the dead slot's 0 into owned slot 0
-        # -- make those reverse adds target a dead owned slot instead:
-        pub_src_rev = np.where(pub_dst < nif, pub_src, nown_max)
-
-        ghost_src = np.full((ndev, nghost_max), nif, dtype=np.int64)
-        for d in range(ndev):
-            ghost_src[d, :len(ghosts[d])] = if2slot[ghosts[d]]
 
         sh = NamedSharding(dev_mesh, P(axis))
         put = lambda a: jax.device_put(
             a.reshape((ndev * a.shape[1],) + a.shape[2:]), sh)
-        self.eldofs_loc = put(eldofs_loc)
-        self.blocks = [put(b) for b in blocks_pack]
-        self.pub_src = put(pub_src)
-        self.pub_dst = put(pub_dst)
-        self.pub_src_rev = put(pub_src_rev)
-        self.ghost_src = put(ghost_src)
+        self.eldofs_loc = put(dp.eldofs_loc_np)
+        # padding elements point at owned slot 0 with zero D blocks
+        self.blocks = [put(dp.pack_elem(b, fill="zero")) for b in blocks_in]
+        self.pub_src = put(dp.pub_src_np)
+        self.pub_dst = put(dp.pub_dst_np)
+        self.pub_src_rev = put(dp.pub_src_rev_np)
+        self.ghost_src = put(dp.ghost_src_np)
         self.B = jnp.asarray(ops.B)
         self.G = jnp.asarray(ops.G)
         self._sharding = sh
@@ -174,13 +283,9 @@ class DofPartitionedOperator:
         def _apply(x_own, eldofs, pub_src, pub_dst, pub_src_rev, ghost_src,
                    *blocks):
             x_own = x_own.reshape(-1)
-            # forward halo exchange: one interface psum
-            pub = jnp.zeros(nif + 1, x_own.dtype).at[pub_dst.reshape(-1)] \
-                .add(x_own[pub_src.reshape(-1)])
-            pub = jax.lax.psum(pub, axis)[:nif]
-            ghosts_v = pub[ghost_src.reshape(-1)] if nif else \
-                jnp.zeros(nghost_max, x_own.dtype)
-            xloc = jnp.concatenate([x_own, ghosts_v])
+            xloc = halo_forward(x_own, pub_src.reshape(-1),
+                                pub_dst.reshape(-1), ghost_src.reshape(-1),
+                                nif, nghost_max, axis)
             it = iter(blocks)
             d00 = next(it) if have["d00"] else None
             d01 = next(it) if have["d01"] else None
@@ -191,15 +296,9 @@ class DofPartitionedOperator:
             y_loc = jax.ops.segment_sum(
                 y_e.reshape(-1), eldofs.reshape(-1),
                 num_segments=nown_max + nghost_max)
-            y_own = y_loc[:nown_max]
-            # reverse exchange: ghost contributions back to their owners
-            gcon = jnp.zeros(nif + 1, x_own.dtype).at[ghost_src.reshape(-1)] \
-                .add(y_loc[nown_max:])
-            gcon = jax.lax.psum(gcon, axis)
-            y_ext = jnp.concatenate([y_own, jnp.zeros(1, y_own.dtype)])
-            y_ext = y_ext.at[pub_src_rev.reshape(-1)].add(
-                gcon[jnp.minimum(pub_dst.reshape(-1), nif)])
-            return y_ext[:nown_max]
+            return halo_reverse(y_loc, pub_src_rev.reshape(-1),
+                                pub_dst.reshape(-1), ghost_src.reshape(-1),
+                                nif, nown_max, axis)
 
         self._apply = _apply
 
@@ -207,19 +306,11 @@ class DofPartitionedOperator:
 
     def to_dist(self, x_global):
         """Global entity-numbered (nglobal,) -> distributed owned slabs."""
-        x = np.asarray(x_global)
-        out = np.zeros((self.ndev, self.nown_max), x.dtype)
-        for d in range(self.ndev):
-            out[d, :len(self.owned[d])] = x[self.owned[d]]
-        return jax.device_put(out.reshape(-1), self._sharding)
+        return self.part.to_dist(x_global, self._sharding)
 
     def from_dist(self, x_dist):
         """Distributed owned slabs -> global entity-numbered (nglobal,)."""
-        x = np.asarray(x_dist).reshape(self.ndev, self.nown_max)
-        out = np.zeros(self.nglobal, x.dtype)
-        for d in range(self.ndev):
-            out[self.owned[d]] = x[d, :len(self.owned[d])]
-        return out
+        return self.part.from_dist(x_dist)
 
     def __call__(self, x_dist):
         return self._apply(x_dist, self.eldofs_loc, self.pub_src,

@@ -134,6 +134,110 @@ def test_dofpart_cg_matches_replicated_solve(problem):
     assert rel < 1e-10, rel
 
 
+@pytest.fixture(scope="module")
+def ablation_problem():
+    """Small coupled (T,p)+SEB strip for the dof-partitioned flagship."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.bprime import BPrimeTable
+    from cmfem_tpu.physics.seb import SurfaceFluxModel, classify_branch
+    from cmfem_tpu.physics.surface_bc import BoundaryState
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    mesh = make_cartesian_mesh_2d(4, 16, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    ess = np.asarray(fes.boundary_dofs([3]))
+    n = fes.nscalar
+    bc = BoundaryState(101325.0, 0.3, 1.5e6, chemistryOn=1)
+    model = SurfaceFluxModel()
+    bprime = BPrimeTable.synthetic_tacot()
+    branch = classify_branch(bc, model)
+    rng = np.random.default_rng(11)
+    T = jnp.asarray(300.0 + 900.0 * rng.random(n))
+    p = jnp.asarray(101325.0 * (1.0 + 0.1 * rng.random(n)))
+    p = p.at[jnp.asarray(ess)].set(bc.p_w)
+    To_q = ops.values_at_qp(jnp.full(n, 300.0))
+    po_q = ops.values_at_qp(jnp.full(n, 101325.0))
+    return (sys_, fes, ess, T, p, To_q, po_q, state.extent, 0.05,
+            (branch, model, bprime), bc)
+
+
+def test_dofpart_ablation_residual_and_newton_match(ablation_problem):
+    """The flagship coupled (T,p)+SEB Newton step with DOF-partitioned
+    vectors matches the replicated single-device path: residual to 1e-12,
+    the equilibrated block-GMRES direction to solver tolerance, and
+    per-device memory shrinks with the device count."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmfem_tpu.parallel import (
+        DofPartitionedAblationNewton, make_device_mesh,
+    )
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+
+    (sys_, fes, ess, T, p, To_q, po_q, X, dt, seb,
+     bc) = ablation_problem
+    branch, model, bprime = seb
+    n = fes.nscalar
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess + n] = True
+    mask2_j = jnp.asarray(mask2)
+
+    # single-device reference
+    RT, Rp = sys_.residual(T, p, To_q, po_q, X, dt)
+    RT = RT + sys_.seb_face_residual(T, p, X, bc, branch, model, bprime)
+    R_ref = np.asarray(jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp])))
+    bks = BlockNewtonKrylov(fes.element_dofs, n,
+                            np.zeros(0, dtype=np.int64), ess,
+                            restart=400, maxiter=10)
+    blocks = sys_.element_jacobians(T, p, To_q, po_q, X, dt)
+    face = sys_.seb_face_jacobians(T, p, X, bc, branch, model, bprime)
+    fac = bks.prepare(blocks, face=face, face_elem=sys_.trace.elem)
+    res_ref = bks.solve(fac, -jnp.asarray(R_ref), rtol=1e-12)
+    assert bool(res_ref.converged)
+    dx_ref = np.asarray(res_ref.x)
+
+    floats = {}
+    for ndev in (2, 8):
+        dn = DofPartitionedAblationNewton(
+            sys_, make_device_mesh(ndev), np.zeros(0, dtype=np.int64),
+            ess, seb=seb)
+        floats[ndev] = dn.per_device_floats()
+        y = dn.to_dist2(T, p)
+        To = dn.pack_elem(np.asarray(To_q), "dup")
+        po = dn.pack_elem(np.asarray(po_q), "dup")
+        Xo = dn.pack_elem(np.asarray(X), "dup")
+        R_d = dn.residual(y, To, po, Xo, dt, bc=bc)
+        RT_d, Rp_d = dn.from_dist2(R_d)
+        R_dist = np.concatenate([RT_d, Rp_d])
+        scale = np.abs(R_ref).max()
+        assert np.abs(R_dist - R_ref).max() / scale < 1e-12, ndev
+
+        fac_d = dn.prepare(y, To, po, Xo, dt, bc=bc)
+        res_d = dn.solve(fac_d, -R_d, rtol=1e-12)
+        assert bool(res_d.converged), ndev
+        dxT, dxp = dn.from_dist2(res_d.x)
+        dx_dist = np.concatenate([dxT, dxp])
+        # both Krylov paths solve the same equilibrated system to 1e-12;
+        # compare per-field (T and p live on wildly different scales)
+        for sl in (slice(0, n), slice(n, 2 * n)):
+            num = np.linalg.norm(dx_dist[sl] - dx_ref[sl])
+            den = np.linalg.norm(dx_ref[sl])
+            assert num / den < 1e-7, (ndev, sl, num / den)
+
+    # the distributed two-field vector shrinks with the device count
+    assert floats[8] < 0.6 * floats[2]
+    assert floats[8] < 2 * fes.nscalar / 2  # well below replicated 2n
+
+
 def test_partition_more_parts_than_elements():
     """RCB must tolerate nparts >> ne (tiny smoke meshes on big virtual
     device meshes): empty recursion subsets may leave trailing parts
