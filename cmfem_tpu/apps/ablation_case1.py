@@ -89,6 +89,10 @@ def _write_tolerances_csv(cfg, output_path):
 
 def run(cfg: dict) -> dict:
     if cfg.get("scan_stepping", False):
+        if int(cfg.get("sharding_devices", 0)) or \
+                int(cfg.get("dof_partition", 0)):
+            raise ValueError("scan_stepping is mutually exclusive with "
+                             "sharding_devices / dof_partition")
         return run_scan(cfg)
     import jax
     import jax.numpy as jnp
@@ -177,8 +181,17 @@ def run(cfg: dict) -> dict:
     # sharding_devices: N runs the whole Newton step element-sharded over
     # an N-device jax.sharding.Mesh (the `mpirun -np N` replacement);
     # per-step old-state arrays are padded/sharded at step start.
+    # dof_partition: N additionally DOF-partitions the (T,p) vectors
+    # themselves (owned slabs + ghost halos, the ParFESpace true-dof
+    # analog) so device memory scales ~1/N; the host keeps one global
+    # copy for BCs and CSV/VTU output, like the reference's rank-0 I/O.
     shard_n = int(cfg.get("sharding_devices", 0))
+    dofp_n = int(cfg.get("dof_partition", 0))
+    if shard_n and dofp_n:
+        raise ValueError(
+            "sharding_devices and dof_partition are mutually exclusive")
     sh = None
+    dn = None
     shard_state = {}
     if shard_n:
         from ..parallel import ShardedAblationNewton, make_device_mesh
@@ -191,6 +204,17 @@ def run(cfg: dict) -> dict:
         lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
         print(f"element sharding over {ndev} devices "
               f"({sh.ne_pad} padded elements)")
+    elif dofp_n:
+        from ..parallel import DofPartitionedAblationNewton, make_device_mesh
+
+        dn = DofPartitionedAblationNewton(
+            sys_, make_device_mesh(dofp_n), ess, ess,
+            restart=int(cfg.get("gmres_restart", 400)),
+            maxiter=int(cfg.get("gmres_maxiter", 10)))
+        lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
+        print(f"dof partitioning over {dofp_n} devices "
+              f"(per-device two-field floats {dn.per_device_floats()} "
+              f"vs replicated {2 * n})")
 
     @jax.jit
     def residual_single(T, p, T_old_q, p_old_q, X_old, dt):
@@ -202,6 +226,12 @@ def run(cfg: dict) -> dict:
         if sh is not None:
             return sh.residual(T, p, shard_state["To"], shard_state["po"],
                                shard_state["Xo"], dt)
+        if dn is not None:
+            R_d = dn.residual(dn.to_dist2(np.asarray(T), np.asarray(p)),
+                              shard_state["To"], shard_state["po"],
+                              shard_state["Xo"], dt)
+            RT, Rp = dn.from_dist2(R_d)
+            return jnp.asarray(np.concatenate([RT, Rp]))
         return residual_single(T, p, T_old_q, p_old_q, X_old, dt)
 
     @jax.jit
@@ -224,10 +254,31 @@ def run(cfg: dict) -> dict:
                     f"restart cycles (raise gmres_restart/gmres_maxiter)")
             return np.asarray(res.x)
 
+    class _DofPartPrepared:
+        def __init__(self, factors):
+            self.factors = factors
+
+        def solve(self, rhs):
+            rhs = np.asarray(rhs)
+            res = dn.solve(self.factors, dn.to_dist2(rhs[:n], rhs[n:]),
+                           rtol=lin_rtol)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"distributed block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            dxT, dxp = dn.from_dist2(res.x)
+            return np.concatenate([dxT, dxp])
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt):
         if sh is not None:
             return _ShardedPrepared(sh.prepare(
                 T, p, shard_state["To"], shard_state["po"],
+                shard_state["Xo"], dt))
+        if dn is not None:
+            return _DofPartPrepared(dn.prepare(
+                dn.to_dist2(np.asarray(T), np.asarray(p)),
+                shard_state["To"], shard_state["po"],
                 shard_state["Xo"], dt))
         blocks = jacobian_blocks(T, p, T_old_q, p_old_q, X_old, dt)
         if iter_factory is not None:
@@ -299,6 +350,10 @@ def run(cfg: dict) -> dict:
             shard_state["To"] = sh.pad_elem(T_old_q)
             shard_state["po"] = sh.pad_elem(p_old_q)
             shard_state["Xo"] = sh.pad_elem(X_old)
+        elif dn is not None:
+            shard_state["To"] = dn.pack_elem(np.asarray(T_old_q))
+            shard_state["po"] = dn.pack_elem(np.asarray(p_old_q))
+            shard_state["Xo"] = dn.pack_elem(np.asarray(X_old))
 
         bc_t0 = _time.perf_counter()
         Tbc = evaluate_schedule(schedule, t)

@@ -308,7 +308,15 @@ def run(cfg: dict) -> dict:
     # sharding_devices: N element-shards every Newton step over a device
     # mesh (one ShardedAblationNewton per flux branch — the branch changes
     # the traced program); per-step old-state slabs live in shard_state.
+    # dof_partition: N additionally DOF-partitions the (T,p) vectors
+    # themselves (owned slabs + ghost halos; SEB faces ride the device
+    # owning their adjacent element) so device memory scales ~1/N; the
+    # host keeps one global copy for BCs/CSV/VTU, like rank-0 I/O.
     shard_n = int(cfg.get("sharding_devices", 0))
+    dofp_n = int(cfg.get("dof_partition", 0))
+    if shard_n and dofp_n:
+        raise ValueError(
+            "sharding_devices and dof_partition are mutually exclusive")
     sh_cache = {}
     shard_state = {}
     lin_rtol_sh = float(cfg.get("linear_rtol", 1.0e-10))
@@ -316,11 +324,13 @@ def run(cfg: dict) -> dict:
     def _get_sh(branch):
         key = "dirichlet" if use_dirichlet else branch
         if key not in sh_cache:
-            from ..parallel import ShardedAblationNewton, make_device_mesh
+            from ..parallel import (DofPartitionedAblationNewton,
+                                    ShardedAblationNewton, make_device_mesh)
 
-            ndev = shard_n
             seb = None if use_dirichlet else (branch, model, bprime)
-            sh_cache[key] = ShardedAblationNewton(
+            cls, ndev = ((DofPartitionedAblationNewton, dofp_n) if dofp_n
+                         else (ShardedAblationNewton, shard_n))
+            sh_cache[key] = cls(
                 sys_, make_device_mesh(ndev), ess_T, ess,
                 restart=int(cfg.get("gmres_restart", 400)),
                 maxiter=int(cfg.get("gmres_maxiter", 10)), seb=seb)
@@ -340,6 +350,14 @@ def run(cfg: dict) -> dict:
             return _get_sh(branch).residual(
                 T, p, shard_state["To"], shard_state["po"],
                 shard_state["Xo"], dt, bc=None if use_dirichlet else bc)
+        if dofp_n:
+            dn = _get_sh(branch)
+            R_d = dn.residual(dn.to_dist2(np.asarray(T), np.asarray(p)),
+                              shard_state["To"], shard_state["po"],
+                              shard_state["Xo"], dt,
+                              bc=None if use_dirichlet else bc)
+            RT, Rp = dn.from_dist2(R_d)
+            return jnp.asarray(np.concatenate([RT, Rp]))
         return residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc,
                                branch)
 
@@ -370,11 +388,36 @@ def run(cfg: dict) -> dict:
                     f"restart cycles (raise gmres_restart/gmres_maxiter)")
             return np.asarray(res.x)
 
+    class _DofPartPrepared:
+        def __init__(self, dn, factors):
+            self.dn = dn
+            self.factors = factors
+
+        def solve(self, rhs):
+            rhs = np.asarray(rhs)
+            res = self.dn.solve(self.factors,
+                                self.dn.to_dist2(rhs[:n], rhs[n:]),
+                                rtol=lin_rtol_sh)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"distributed block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            dxT, dxp = self.dn.from_dist2(res.x)
+            return np.concatenate([dxT, dxp])
+
     def factorize(T, p, T_old_q, p_old_q, X_old, dt, bc, branch):
         if shard_n:
             sh = _get_sh(branch)
             return _ShardedPrepared(sh, sh.prepare(
                 T, p, shard_state["To"], shard_state["po"],
+                shard_state["Xo"], dt,
+                bc=None if use_dirichlet else bc))
+        if dofp_n:
+            dn = _get_sh(branch)
+            return _DofPartPrepared(dn, dn.prepare(
+                dn.to_dist2(np.asarray(T), np.asarray(p)),
+                shard_state["To"], shard_state["po"],
                 shard_state["Xo"], dt,
                 bc=None if use_dirichlet else bc))
         (JTT, JTp, JpT, Jpp), face = jacobian_fn(
@@ -469,6 +512,11 @@ def run(cfg: dict) -> dict:
             shard_state["To"] = sh0.pad_elem(T_old_q)
             shard_state["po"] = sh0.pad_elem(p_old_q)
             shard_state["Xo"] = sh0.pad_elem(X_old)
+        elif dofp_n:
+            dn0 = _get_sh(branch)
+            shard_state["To"] = dn0.pack_elem(np.asarray(T_old_q))
+            shard_state["po"] = dn0.pack_elem(np.asarray(p_old_q))
+            shard_state["Xo"] = dn0.pack_elem(np.asarray(X_old))
         if use_dirichlet:
             T = T.at[jnp.asarray(ess)].set(top_temperature_at(t))
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
@@ -600,9 +648,10 @@ def run_scan(cfg: dict) -> dict:
 
     if int(cfg.get("order", 1)) != 1:
         raise NotImplementedError("scan_stepping requires order 1")
-    if int(cfg.get("sharding_devices", 0)):
+    if int(cfg.get("sharding_devices", 0)) or int(cfg.get("dof_partition", 0)):
         raise NotImplementedError(
-            "scan_stepping and sharding_devices are mutually exclusive")
+            "scan_stepping is mutually exclusive with sharding_devices / "
+            "dof_partition")
     if bool(cfg.get("jacobian_check", False)):
         raise NotImplementedError(
             "jacobian_check is host-side; use the eager path")

@@ -374,6 +374,10 @@ def run(cfg: dict) -> dict:
 
     # sharding_devices: N element-shards every Newton step (one instance
     # per flux branch; sharded geometry refreshed after each mesh move)
+    if int(cfg.get("dof_partition", 0)):
+        raise NotImplementedError(
+            "dof_partition targets static meshes (cases 1/2.1); the "
+            "moving-mesh driver distributes via sharding_devices")
     shard_n = int(cfg.get("sharding_devices", 0))
     sh_cache = {}
     shard_state = {}

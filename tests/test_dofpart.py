@@ -238,6 +238,45 @@ def test_dofpart_ablation_residual_and_newton_match(ablation_problem):
     assert floats[8] < 2 * fes.nscalar / 2  # well below replicated 2n
 
 
+@pytest.mark.slow
+def test_case1_and_case21_drivers_dof_partitioned_match_lu():
+    """dof_partition: 8 runs the case-1 and case-2.1 drivers' Newton
+    steps with DOF-partitioned (T,p) vectors over the virtual device mesh
+    (the ParFESpace true-dof analog of mpirun -np N) and reproduces the
+    host-LU runs, including the per-flux-branch SEB instances."""
+    import tempfile
+
+    from cmfem_tpu.apps.ablation_case1 import run as run1
+    from cmfem_tpu.apps.ablation_case2_1 import run as run21
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    for runner, extra in (
+            (run1, {"material_file":
+                    f"{REF}/Input/material_tacot_case1.yaml"}),
+            (run21, {"material_file":
+                     f"{REF}/Input/material_tacot_case2_1.yaml",
+                     "boundary_conditions_file":
+                     f"{REF}/Input/"
+                     "boundary_conditions_ablation_case2_1.dat"})):
+        base = {
+            "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+            "order": 1, "dt": 0.05, "t_final": 0.1,
+            "newton_print_level": 0, "save_paraview": False,
+            "output_every": 100, **extra,
+        }
+        with tempfile.TemporaryDirectory() as d1, \
+                tempfile.TemporaryDirectory() as d2:
+            out_lu = runner({**base, "output_path": d1})
+            out_dp = runner({**base, "output_path": d2,
+                             "dof_partition": 8})
+        relT = (np.abs(out_lu["T"] - out_dp["T"]).max()
+                / np.abs(out_lu["T"]).max())
+        relp = (np.abs(out_lu["p"] - out_dp["p"]).max()
+                / np.abs(out_lu["p"]).max())
+        assert relT < 1e-6, runner.__module__
+        assert relp < 1e-8, runner.__module__
+
+
 def test_partition_more_parts_than_elements():
     """RCB must tolerate nparts >> ne (tiny smoke meshes on big virtual
     device meshes): empty recursion subsets may leave trailing parts
