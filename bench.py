@@ -214,7 +214,7 @@ def bench_mg(jax, jnp, n, order):
 
     mg = StructuredMG.build(n, order, make_form)
     lvl0 = mg.levels[0]
-    fn0, D0 = lvl0["op"].bind()
+    fn0, D0 = lvl0["op"].best_bind()
     mask0 = lvl0["mask"]
     diag0 = lvl0["diag"]
     Mmg, arrs = mg.bind()
@@ -282,10 +282,10 @@ def bench_ablation(jax, jnp, nx, ny):
     mask2[ess + n] = True
     mask2_j = jnp.asarray(mask2)
     from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+    lat = strip_dof_lattice(fes.node_positions)
+    sys_.set_dof_lattice(lat)   # window-slicing residual (no gather/segsum)
     bks = BlockNewtonKrylov(fes.element_dofs, n, ess, ess, restart=150,
-                            maxiter=10,
-                            dof_lattice=strip_dof_lattice(
-                                fes.node_positions))
+                            maxiter=10, dof_lattice=lat)
 
     @jax.jit
     def residual(T, p):

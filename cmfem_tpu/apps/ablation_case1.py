@@ -24,7 +24,8 @@ from .common import (
     replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, num_steps, make_block_linear_solver,
-    run_tp_newton_loop,
+    run_tp_newton_loop, maybe_enable_lattice_residual,
+    maybe_reorder_strip_mesh,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -141,7 +142,7 @@ def run(cfg: dict) -> dict:
 
     timer = StepTimer()
     mat = TacotMaterial.load_yaml(material_file)
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     lo, hi = mesh.bounding_box()
     xmid = 0.5 * (lo[0] + hi[0])
     fes = FESpace(mesh, order)
@@ -153,6 +154,7 @@ def run(cfg: dict) -> dict:
     quad_order = max(2, 2 * order + 2)
     ops = SpaceOps(fes, quad_order=quad_order)
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     ne, nq = sys_.ne, sys_.nq
     state = AblationState.initial(ne, nq, mat)
 
@@ -487,7 +489,7 @@ def run_scan(cfg: dict) -> dict:
         raise ValueError("output_every must be >= 1")
 
     mat = TacotMaterial.load_yaml(material_file)
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     lo, hi = mesh.bounding_box()
     xmid = 0.5 * (lo[0] + hi[0])
     fes = FESpace(mesh, order)
@@ -496,6 +498,7 @@ def run_scan(cfg: dict) -> dict:
           f"Global true dofs (T+p): {2 * n}")
     ops = SpaceOps(fes, quad_order=max(2, 2 * order + 2))
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     state0 = AblationState.initial(sys_.ne, sys_.nq, mat)
 
     ess = np.asarray(fes.boundary_dofs([bdr_top]))

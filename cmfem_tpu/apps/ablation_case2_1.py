@@ -32,6 +32,7 @@ from .common import (
     replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
+    maybe_enable_lattice_residual, maybe_reorder_strip_mesh,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -261,7 +262,7 @@ def run(cfg: dict) -> dict:
     def top_temperature_at(t):
         return top_T_sched.eval(t) if top_T_sched else top_T_value
 
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     lo, hi = mesh.bounding_box()
     xmid = 0.5 * (lo[0] + hi[0])
     fes = FESpace(mesh, order)
@@ -272,6 +273,7 @@ def run(cfg: dict) -> dict:
     quad_order = max(2, 2 * order + 2)
     ops = SpaceOps(fes, quad_order=quad_order)
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     ne, nq = sys_.ne, sys_.nq
     nr = mat.num_reactions
     state = AblationState.initial(ne, nq, mat)
@@ -721,7 +723,7 @@ def run_scan(cfg: dict) -> dict:
         top_T_sched = TopTemperatureSchedule.load_file(
             resolve_path(cfg, top_T_file))
 
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     lo, hi = mesh.bounding_box()
     xmid = 0.5 * (lo[0] + hi[0])
     fes = FESpace(mesh, 1)
@@ -729,6 +731,7 @@ def run_scan(cfg: dict) -> dict:
     print(f"Global true dofs (T+p): {2 * n}")
     ops = SpaceOps(fes, quad_order=4)
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     ne, nq = sys_.ne, sys_.nq
     nr = mat.num_reactions
     state0 = AblationState.initial(ne, nq, mat)

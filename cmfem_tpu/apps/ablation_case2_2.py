@@ -30,6 +30,7 @@ from .common import (
     replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
+    maybe_enable_lattice_residual, maybe_reorder_strip_mesh,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -332,13 +333,14 @@ def run(cfg: dict) -> dict:
         "boundary_conditions_file",
         "Input/boundary_conditions_ablation_case2_2.dat")))
 
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     fes = FESpace(mesh, order)
     n = fes.nscalar
     print(f"Global true dofs (T+p): {2 * n}")
     quad_order = max(2, 2 * order + 2)
     ops = SpaceOps(fes, quad_order=quad_order)
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     ne, nq = sys_.ne, sys_.nq
     nr = mat.num_reactions
     state = AblationState.initial(ne, nq, mat)
@@ -832,12 +834,13 @@ def run_scan(cfg: dict) -> dict:
         "boundary_conditions_file",
         "Input/boundary_conditions_ablation_case2_2.dat")))
 
-    mesh = load_mesh_from_cfg(cfg)
+    mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     fes = FESpace(mesh, 1)
     n = fes.nscalar
     print(f"Global true dofs (T+p): {2 * n}")
     ops = SpaceOps(fes, quad_order=4)
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    maybe_enable_lattice_residual(cfg, sys_, fes)
     ne, nq = sys_.ne, sys_.nq
     nr = mat.num_reactions
     state0 = AblationState.initial(ne, nq, mat)

@@ -259,3 +259,41 @@ def make_block_linear_solver(cfg: dict, element_dofs, n, ess_T, ess_p,
         return _Prepared(bks.prepare(blocks, face=face, face_elem=face_elem))
 
     return factory
+
+
+def maybe_enable_lattice_residual(cfg: dict, sys_, fes):
+    """Opt-in window-slicing ablation residual (YAML ``lattice_residual:
+    true``): on tensor-product strip meshes the residual's per-element
+    gather/segment_sum — the dominant TPU cost — becomes static window
+    slices (``AblationSystem.set_dof_lattice``).  Explicit opt-in raises
+    if the mesh does not qualify rather than silently degrading."""
+    if not bool(cfg.get("lattice_residual", False)):
+        return False
+    from ..solvers.blocksolve import strip_dof_lattice
+
+    sys_.set_dof_lattice(strip_dof_lattice(fes.node_positions))
+    print("lattice_residual: window-slicing residual path enabled "
+          f"({sys_.lat.NY}x{sys_.lat.NX} dof lattice)")
+    return True
+
+
+def maybe_reorder_strip_mesh(cfg: dict, mesh):
+    """With ``lattice_residual: true``, renumber strip-mesh elements
+    row-major over the cell lattice (ops/lattice2d.strip_element_order) so
+    the window-slicing residual path qualifies; GMSH transfinite meshes
+    enumerate elements in generator order.  No-op for other configs or
+    non-tensor meshes (the residual opt-in will then raise with a clear
+    message).  Must run BEFORE any per-element state is built."""
+    if not bool(cfg.get("lattice_residual", False)):
+        return mesh
+    from ..ops.lattice2d import reorder_mesh_elements, strip_element_order
+
+    try:
+        order = strip_element_order(mesh)
+    except ValueError:
+        return mesh
+    if (order == np.arange(len(order))).all():
+        return mesh
+    print(f"lattice_residual: renumbered {len(order)} strip elements "
+          "row-major over the cell lattice")
+    return reorder_mesh_elements(mesh, order)

@@ -269,6 +269,28 @@ class SumFactoredOperator:
 
         return fn, self.D
 
+    def best_bind(self, platform=None):
+        """(fn, D_arg): the fastest eligible apply variant for ``platform``
+        (default: the current default backend).
+
+        Measured ranking on v5e (BENCH_r02, 913k DOFs order 2): fused slab
+        kernel 897 > pallas z-fused 728 > plain XLA chain 571 MDOF/s.  The
+        fused kernel streams one y-slab of D through VMEM, so it is gated
+        on the double-buffered slab footprint (5.1MB compiles, 5.9MB
+        exhausts VMEM on v5e); the pallas path needs the lattice tile to
+        divide Ky*Kx.  Anything else (CPU, uncompressed D) falls back to
+        the generic bind."""
+        if platform is None:
+            platform = jax.default_backend()
+        if platform == "tpu" and self.compressed:
+            d_slab = self.D.shape[0] * self.Kz * self.q1 * self.Kx \
+                * self.D.dtype.itemsize
+            if d_slab <= 5_300_000:
+                return self.bind(use_fused=True)
+            if (self.Ky * self.Kx) % 256 == 0:
+                return self.bind(use_pallas=True, tile=256)
+        return self.bind()
+
     def _bind_periodic(self):
         """Apply with the z-tiled D pattern: identical math to the generic
         path, but the quadrature fields are viewed as (nz, q1, Ky, Kx) so

@@ -74,6 +74,20 @@ class AblationSystem:
         self.n = ops.fes.nscalar
         self.ne, self.nq = np.asarray(ops.gf.wdetJ).shape
         self.trace = BoundaryTrace(ops, attr_marker=[top_attr])
+        self.lat = None
+
+    def set_dof_lattice(self, lat):
+        """Enable the window-slicing residual path for tensor-product strip
+        meshes: per-element gather and segment_sum scalarize on TPU and are
+        ~2/3 of the residual wall-clock, so on a dof lattice they become
+        static window slices / overlap-adds (ops/lattice2d.py — the same
+        trick solvers/blocksolve.py plays for the GMRES matvec).  Raises
+        ValueError when the mesh elements are not row-major over the cell
+        lattice (callers fall back to the generic path)."""
+        from ..ops.lattice2d import StripLatticeOps
+
+        self.lat = StripLatticeOps(self.ops.fes.element_dofs, self.n, lat)
+        return self.lat
 
     # -- QP-level residual densities --------------------------------------
 
@@ -160,14 +174,28 @@ class AblationSystem:
         """Global block residual (R_T, R_p) for dof vectors T, p (n,)."""
         ops = self.ops
         gf = gf or ops.gf
-        T_e = jnp.asarray(T)[ops.eldofs]
-        p_e = jnp.asarray(p)[ops.eldofs]
-        Tq = jnp.einsum("qn,en->eq", ops.B, T_e)
-        pq = jnp.einsum("qn,en->eq", ops.B, p_e)
-        gT = jnp.sum(gf.invJ * jnp.einsum(
-            "qnr,en->eqr", ops.G, T_e)[..., :, None], axis=-2)
-        gp = jnp.sum(gf.invJ * jnp.einsum(
-            "qnr,en->eqr", ops.G, p_e)[..., :, None], axis=-2)
+        lp = self.lat
+        ndim = ops.G.shape[2]
+        if lp is not None:
+            Tl = lp.to_lat(jnp.asarray(T))
+            pl = lp.to_lat(jnp.asarray(p))
+            Tq = lp.interp(Tl, ops.B)
+            pq = lp.interp(pl, ops.B)
+            gTref = jnp.stack([lp.interp(Tl, ops.G[:, :, r])
+                               for r in range(ndim)], axis=-1)
+            gpref = jnp.stack([lp.interp(pl, ops.G[:, :, r])
+                               for r in range(ndim)], axis=-1)
+            gT = jnp.sum(gf.invJ * gTref[..., :, None], axis=-2)
+            gp = jnp.sum(gf.invJ * gpref[..., :, None], axis=-2)
+        else:
+            T_e = jnp.asarray(T)[ops.eldofs]
+            p_e = jnp.asarray(p)[ops.eldofs]
+            Tq = jnp.einsum("qn,en->eq", ops.B, T_e)
+            pq = jnp.einsum("qn,en->eq", ops.B, p_e)
+            gT = jnp.sum(gf.invJ * jnp.einsum(
+                "qnr,en->eqr", ops.G, T_e)[..., :, None], axis=-2)
+            gp = jnp.sum(gf.invJ * jnp.einsum(
+                "qnr,en->eqr", ops.G, p_e)[..., :, None], axis=-2)
         r0T, r1T, r0p, r1p = self._qp_residual(
             Tq, gT, pq, gp, T_old_q, p_old_q, X_old, dt, wq=wq, gcl=gcl,
             ale_toggles=ale_toggles)
@@ -177,7 +205,7 @@ class AblationSystem:
             r1ref = jnp.sum(gf.invJ * r1[..., None, :], axis=-1)
             y_e = y_e + jnp.einsum("qnr,eqr->en", ops.G,
                                    r1ref * gf.wdetJ[..., None])
-            return ops.scatter(y_e)
+            return lp.scatter(y_e) if lp is not None else ops.scatter(y_e)
 
         return scatter_pair(r0T, r1T), scatter_pair(r0p, r1p)
 

@@ -309,8 +309,13 @@ class StructuredMG:
         fns = []
         meta = []
         arrays = []
-        for lvl in self.levels:
-            fn, D = lvl["op"].bind()
+        for k, lvl in enumerate(self.levels):
+            # the V-cycle spends ~8 level-0 applies per iteration in the
+            # smoothers, so the FINE level rides its fastest kernel
+            # variant; coarse levels keep the plain bind — their applies
+            # are cheap and the fused kernel costs ~30s of Mosaic compile
+            # per level, which would swamp setup for a 6-level hierarchy
+            fn, D = (lvl["op"].best_bind() if k == 0 else lvl["op"].bind())
             fns.append(fn)
             arrays.append((D, lvl["diag"], lvl["mask"],
                            lvl.get("P1", jnp.zeros(0))))

@@ -129,3 +129,82 @@ def test_case1_order2_with_gmres_solver():
     assert np.isfinite(out["T"]).all()
     assert out["T"].max() > 1600.0
     assert out["state"].tau_elem.min() < 0.99
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_lattice_residual_matches_generic(order):
+    """The window-slicing strip-lattice residual (ops/lattice2d.py,
+    AblationSystem.set_dof_lattice) must reproduce the generic
+    gather/segment_sum path bit-for-bit up to reassociation (f64)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+
+    mesh = make_cartesian_mesh_2d(3, 7, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, order)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=2 * order + 2)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(300.0 + 900.0 * rng.random(n))
+    p = jnp.asarray(101325.0 * (1.0 + 0.3 * rng.random(n)))
+    To = ops.values_at_qp(jnp.full(n, 300.0))
+    po = ops.values_at_qp(jnp.full(n, 101325.0))
+    Xo = state.extent
+    dt = 0.05
+    RT0, Rp0 = sys_.residual(T, p, To, po, Xo, dt)
+
+    lat = strip_dof_lattice(fes.node_positions)
+    lp = sys_.set_dof_lattice(lat)
+    assert (lp.nyc, lp.nxc) == (7, 3)
+    RT1, Rp1 = sys_.residual(T, p, To, po, Xo, dt)
+    scale_T = float(jnp.abs(RT0).max())
+    scale_p = float(jnp.abs(Rp0).max())
+    assert float(jnp.abs(RT1 - RT0).max()) < 1e-12 * scale_T
+    assert float(jnp.abs(Rp1 - Rp0).max()) < 1e-12 * scale_p
+
+    # gather/scatter primitives round-trip
+    u = jnp.asarray(rng.random(n))
+    ul = lp.to_lat(u)
+    assert float(jnp.abs(lp.from_lat(ul) - u).max()) == 0.0
+    ue = lp.gather_elem(ul)
+    assert np.allclose(np.asarray(ue), np.asarray(u)[fes.element_dofs])
+    ye = jnp.asarray(rng.random(ue.shape))
+    ys = lp.scatter(ye)
+    import jax
+    yref = jax.ops.segment_sum(ye.reshape(-1),
+                               jnp.asarray(np.asarray(fes.element_dofs,
+                                                      np.int64).reshape(-1)),
+                               num_segments=n)
+    assert float(jnp.abs(ys - yref).max()) < 1e-13
+
+
+def test_strip_element_reorder_enables_lattice():
+    """GMSH transfinite strips enumerate elements in generator order;
+    strip_element_order renumbers them row-major so the window-slicing
+    residual qualifies on the reference meshes (driver opt-in
+    ``lattice_residual: true`` -> maybe_reorder_strip_mesh)."""
+    from cmfem_tpu.apps.common import load_mesh_from_cfg
+    from cmfem_tpu.core import FESpace
+    from cmfem_tpu.ops.lattice2d import (
+        StripLatticeOps, reorder_mesh_elements, strip_element_order,
+    )
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+
+    mesh = load_mesh_from_cfg(
+        {"mesh_file": f"{REF}/Mesh/ablation_strip.msh"})
+    order = strip_element_order(mesh)
+    assert not (order == np.arange(len(order))).all()
+    mesh2 = reorder_mesh_elements(mesh, order)
+    assert sorted(map(tuple, mesh2.elem_conn.tolist())) \
+        == sorted(map(tuple, mesh.elem_conn.tolist()))
+    fes = FESpace(mesh2, 1)
+    lp = StripLatticeOps(fes.element_dofs, fes.nscalar,
+                         strip_dof_lattice(fes.node_positions))
+    assert (lp.nyc, lp.nxc) == (239, 11)
