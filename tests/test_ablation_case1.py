@@ -125,6 +125,8 @@ def test_case1_order2_with_gmres_solver():
             "newton_print_level": 0, "save_paraview": False,
             "output_every": 100, "output_path": d,
             "linear_solver": "gmres",
+            # window-slicing residual on the renumbered GMSH strip
+            "lattice_residual": True,
         })
     assert np.isfinite(out["T"]).all()
     assert out["T"].max() > 1600.0
