@@ -103,10 +103,13 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
         if n % 2 == 0 and 2 * d_slab <= 5_300_000 and fields2 <= 12_000_000:
             candidates.append(("sumfact-fused-s2",
                                lambda: sfop.bind(use_fused=True, slab=2)))
-        if d_slab <= 5_300_000:
+        if d_slab <= 2_600_000:
             # FMA z-stage variant: z matmuls become unrolled FMAs (the
             # dense z contraction wastes NZ/(p+1) of its flops on the
-            # block-banded 1D basis); same slab D footprint
+            # block-banded 1D basis).  Tighter gate than the plain fused
+            # kernel: the unrolled z stage keeps ~4x more live VMEM
+            # (measured: 5.1MB D slab -> 22.9M scoped vmem OOM at order 4,
+            # while 2.5MB at order 2 compiles)
             candidates.append(("sumfact-zfma",
                                lambda: sfop.bind(use_fused=True,
                                                  z_fma=True)))

@@ -185,6 +185,7 @@ class BlockNewtonKrylov:
         Jacobian rebuild inside ``prepare``.
         """
         self.lattice = None
+        self.wlat = None
         if dof_lattice is None:
             return
         lat = np.asarray(dof_lattice, dtype=np.int64)
@@ -211,7 +212,32 @@ class BlockNewtonKrylov:
                                                    dtype=np.int64)
         stencil_idx = off_idx.reshape(ed.shape[0], self.nd, self.nd) \
             * (NY * NX) + row_pos
+        # windowed-assembly plan: when every element shares one lattice
+        # dof stencil AND elements are row-major over the cell lattice
+        # (make_cartesian_mesh_2d; GMSH strips after the lattice_residual
+        # renumbering), the per-rebuild stencil assembly becomes nd^2
+        # shifted overlap-adds instead of a (4*ne*nd^2)-entry segment_sum
+        # (which scalarizes on TPU).
+        win = None
+        self.wlat = None
+        offab = off_idx.reshape(ed.shape[0], self.nd, self.nd)
+        if (offab == offab[0]).all():
+            from ..ops.lattice2d import StripLatticeOps
+
+            try:
+                wl = StripLatticeOps(ed, self.n, lat)
+            except ValueError:
+                wl = None
+            if wl is not None:
+                self.wlat = wl
+                win = {
+                    "py": (NY - 1) // wl.nyc, "px": (NX - 1) // wl.nxc,
+                    "nyc": wl.nyc, "nxc": wl.nxc,
+                    "aoff": wl.offs,
+                    "kab": offab[0].tolist(),
+                }
         self.lattice = {
+            "win": win,
             "NY": NY, "NX": NX, "KO": KO, "pad": pad,
             "offs": [(int(a), int(b)) for a, b in offs],
             "idx": jnp.asarray(stencil_idx.reshape(-1)),
@@ -239,13 +265,30 @@ class BlockNewtonKrylov:
             return Je_s, pb, s
         L = self.lattice
         nd = self.nd
-        ngrid = L["KO"] * L["NY"] * L["NX"]
         blocks = jnp.stack([Je_s[:, :nd, :nd], Je_s[:, :nd, nd:],
                             Je_s[:, nd:, :nd], Je_s[:, nd:, nd:]])
-        idx4 = (L["idx"][None] + (jnp.arange(4) * ngrid)[:, None])
-        S = jax.ops.segment_sum(blocks.reshape(-1), idx4.reshape(-1),
-                                num_segments=4 * ngrid)
-        S = S.reshape(4, L["KO"], L["NY"], L["NX"])
+        W = L["win"]
+        if W is not None:
+            # nd^2 shifted overlap-adds (row dof a of every cell lands at
+            # window (aoff[a]::p); the offset slot k is fixed per (a, b))
+            NY, NX = L["NY"], L["NX"]
+            py, px, nyc, nxc = W["py"], W["px"], W["nyc"], W["nxc"]
+            S = jnp.zeros((4, L["KO"], NY, NX), Je_s.dtype)
+            bc = blocks.reshape(4, nyc, nxc, nd, nd)
+            for a, (oya, oxa) in enumerate(W["aoff"]):
+                padw = ((0, 0),
+                        (0, (NY - oya + py - 1) // py - nyc),
+                        (0, (NX - oxa + px - 1) // px - nxc))
+                for b in range(nd):
+                    k = W["kab"][a][b]
+                    S = S.at[:, k, oya::py, oxa::px].add(
+                        jnp.pad(bc[:, :, :, a, b], padw))
+        else:
+            ngrid = L["KO"] * L["NY"] * L["NX"]
+            idx4 = (L["idx"][None] + (jnp.arange(4) * ngrid)[:, None])
+            S = jax.ops.segment_sum(blocks.reshape(-1), idx4.reshape(-1),
+                                    num_segments=4 * ngrid)
+            S = S.reshape(4, L["KO"], L["NY"], L["NX"])
         pb_lat = pb[:, L["latflat"]]
         s_lat = s[L["latflat2"]]
         return S, pb_lat, s_lat
@@ -282,11 +325,21 @@ class BlockNewtonKrylov:
     # -- jitted apply / preconditioner / solve ------------------------------
 
     def _gather(self, x):
+        if self.wlat is not None:
+            # one n-gather per field + static window stacks (TPU: per-
+            # element gather scalarizes, windows do not)
+            return jnp.concatenate(
+                [self.wlat.gather_elem(self.wlat.to_lat(x[:self.n])),
+                 self.wlat.gather_elem(self.wlat.to_lat(x[self.n:]))],
+                axis=1)
         xT = x[:self.n][self.eldofs]
         xp = x[self.n:][self.eldofs]
         return jnp.concatenate([xT, xp], axis=1)        # (ne, 2nd)
 
     def _scatter(self, y_e):
+        if self.wlat is not None:
+            return jnp.concatenate([self.wlat.scatter(y_e[:, :self.nd]),
+                                    self.wlat.scatter(y_e[:, self.nd:])])
         flat = self.eldofs.reshape(-1)
         yT = jax.ops.segment_sum(y_e[:, :self.nd].reshape(-1), flat,
                                  num_segments=self.n)

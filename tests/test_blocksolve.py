@@ -297,3 +297,36 @@ def test_gmres_singular_operator_flags_nonconvergence():
     assert not bool(res.converged)
     # x stays at the initial guess: no usable Krylov direction exists
     np.testing.assert_allclose(np.asarray(res.x), 0.0)
+
+
+def test_windowed_stencil_assembly_matches_segment_sum():
+    """The row-major windowed stencil assembly (nd^2 overlap-adds) must
+    reproduce the segment_sum assembly exactly."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.solvers import BlockNewtonKrylov
+    from cmfem_tpu.solvers.blocksolve import strip_dof_lattice
+
+    mesh = make_cartesian_mesh_2d(4, 6, sx=0.0025, sy=0.05)
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ed = np.asarray(fes.element_dofs)
+    ne, nd = ed.shape
+    rng = np.random.default_rng(5)
+    eyed = np.eye(nd) * nd * 4.0
+    blocks = tuple(
+        jnp.asarray((rng.standard_normal((ne, nd, nd)) + eyed) * sc)
+        for sc in (1e2, 1e-3, 1e-3, 1e-6))
+    ess = np.asarray(fes.boundary_dofs())
+    bks = BlockNewtonKrylov(ed, n, ess, ess,
+                            dof_lattice=strip_dof_lattice(
+                                fes.node_positions))
+    assert bks.lattice["win"] is not None
+    S_win, pb_w, s_w = bks._prepare_impl(*blocks)
+    bks.lattice["win"] = None           # force the segment_sum fallback
+    S_seg, pb_s, s_s = bks._prepare_impl(*blocks)
+    assert np.allclose(np.asarray(S_win), np.asarray(S_seg),
+                       rtol=0, atol=1e-12 * float(jnp.abs(S_seg).max()))
+    assert np.allclose(np.asarray(pb_w), np.asarray(pb_s))
+    assert np.allclose(np.asarray(s_w), np.asarray(s_s))
