@@ -98,6 +98,12 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
         if d_slab <= 5_300_000:
             candidates.append(("sumfact-fused",
                                lambda: sfop.bind(use_fused=True)))
+        elif sfop.Kx % 2 == 0 and d_slab <= 2 * 5_300_000:
+            # D slab exceeds VMEM: stream it in 2 x-column chunks
+            # (sequential accumulating grid dim)
+            candidates.append(("sumfact-fused-xc2",
+                               lambda: sfop.bind(use_fused=True,
+                                                 x_chunks=2)))
         # 2-element slabs double every VMEM footprint for wider matmuls
         fields2 = 14 * sfop.NZ * 2 * sfop.q1 * sfop.Kx * 4
         if n % 2 == 0 and 2 * d_slab <= 5_300_000 and fields2 <= 12_000_000:

@@ -42,16 +42,18 @@ RESTART_VERSION = 1
 RESTART_TIME_TOL = 1e-12
 
 
-def save_restart(path, step, time, T, p, extent, world_size=1):
+def save_restart(path, step, time, T, p, extent, world_size=1,
+                 elem_order="file"):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, magic=np.uint64(RESTART_MAGIC),
              version=np.uint32(RESTART_VERSION),
              world_size=np.int32(world_size),
+             elem_order=np.str_(elem_order),
              step=np.int64(step), time=np.float64(time),
              T=np.asarray(T), p=np.asarray(p), extent=np.asarray(extent))
 
 
-def load_restart(path, n, ne, nq, nr, world_size=1):
+def load_restart(path, n, ne, nq, nr, world_size=1, elem_order="file"):
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path) as d:
@@ -63,6 +65,15 @@ def load_restart(path, n, ne, nq, nr, world_size=1):
             raise ValueError(
                 f"Restart checkpoint world size mismatch for {path} "
                 f"(file={int(d['world_size'])}, run={world_size}).")
+        # lattice_residual renumbers mesh elements (and, at order >= 2,
+        # interior dofs), so state written under one ordering cannot be
+        # resumed under the other (pre-tag checkpoints default to "file")
+        file_order = str(d["elem_order"]) if "elem_order" in d else "file"
+        if file_order != elem_order:
+            raise ValueError(
+                f"Restart element-order mismatch for {path}: checkpoint "
+                f"was written with elem_order={file_order!r} but this run "
+                f"uses {elem_order!r} (toggle 'lattice_residual' to match).")
         T = d["T"]; p = d["p"]; X = d["extent"]
         if len(T) != n or len(p) != n:
             raise ValueError(f"Restart true-dof size mismatch in: {path}")
@@ -465,7 +476,8 @@ def run(cfg: dict) -> dict:
     t = 0.0
     if restart_read:
         step, t, T_np, p_np, X_np = load_restart(
-            resolve_path(cfg, restart_read), n, ne, nq, nr)
+            resolve_path(cfg, restart_read), n, ne, nq, nr,
+            elem_order=cfg.get("_elem_order", "file"))
         T = jnp.asarray(T_np)
         p = jnp.asarray(p_np)
         state = AblationState.initial(ne, nq, mat)
@@ -578,7 +590,8 @@ def run(cfg: dict) -> dict:
                 write_now = True
                 restart_at_done = True
             if write_now:
-                save_restart(restart_write, step, t, T, p, state.extent)
+                save_restart(restart_write, step, t, T, p, state.extent,
+                     elem_order=cfg.get("_elem_order", "file"))
         out_sec = _time.perf_counter() - out_t0
         step_sec = _time.perf_counter() - step_t0
         timing_csv.writerow([step, bc_sec, newton_sec, nres, njac, nlin,
@@ -593,7 +606,8 @@ def run(cfg: dict) -> dict:
                   f"Tmax={float(jnp.max(T)):.1f}")
 
     if restart_write and restart_write_at_end:
-        save_restart(restart_write, step, t, T, p, state.extent)
+        save_restart(restart_write, step, t, T, p, state.extent,
+                     elem_order=cfg.get("_elem_order", "file"))
 
     _write_case21_final_csvs(cfg, output_path, bprime)
     with CsvWriter(os.path.join(output_path,
@@ -773,7 +787,8 @@ def run_scan(cfg: dict) -> dict:
     state_init = state0
     if restart_read:
         step0, t0, T_np, p_np, X_np = load_restart(
-            resolve_path(cfg, restart_read), n, ne, nq, nr)
+            resolve_path(cfg, restart_read), n, ne, nq, nr,
+            elem_order=cfg.get("_elem_order", "file"))
         T0 = jnp.asarray(T_np)
         p0 = jnp.asarray(p_np)
         X0 = jnp.asarray(X_np)
@@ -986,12 +1001,13 @@ def run_scan(cfg: dict) -> dict:
                                  0.0, 0.0, amort])
         if restart_write and e in trig:
             save_restart(restart_write, step0 + e, float(t_edges[e]),
-                         carry[0], carry[1], carry[2])
+                         carry[0], carry[1], carry[2],
+                         elem_order=cfg.get("_elem_order", "file"))
 
     T, p, X = carry
     if restart_write and restart_write_at_end:
         save_restart(restart_write, step0 + nsteps, float(t_edges[-1]),
-                     T, p, X)
+                     T, p, X, elem_order=cfg.get("_elem_order", "file"))
 
     for key in ("probes", "mass", "boundary", "newton", "timing"):
         csvs[key].close()

@@ -47,11 +47,13 @@ RESTART_VERSION_ALE = 2
 
 
 def save_restart_ale(path, step, time, T, p, extent, vertices,
-                     recession_total, recession_history, world_size=1):
+                     recession_total, recession_history, world_size=1,
+                     elem_order="file"):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, magic=np.uint64(RESTART_MAGIC),
              version=np.uint32(RESTART_VERSION_ALE),
              world_size=np.int32(world_size),
+             elem_order=np.str_(elem_order),
              step=np.int64(step), time=np.float64(time),
              T=np.asarray(T), p=np.asarray(p), extent=np.asarray(extent),
              vertices=np.asarray(vertices, dtype=np.float64),
@@ -60,7 +62,8 @@ def save_restart_ale(path, step, time, T, p, extent, vertices,
                                           dtype=np.float64).reshape(-1, 2))
 
 
-def load_restart_ale(path, n, ne, nq, nr, nverts, dim, world_size=1):
+def load_restart_ale(path, n, ne, nq, nr, nverts, dim, world_size=1,
+                     elem_order="file"):
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path) as d:
@@ -74,6 +77,12 @@ def load_restart_ale(path, n, ne, nq, nr, nverts, dim, world_size=1):
             raise ValueError(
                 f"Restart checkpoint world size mismatch for {path} "
                 f"(file={int(d['world_size'])}, run={world_size}).")
+        file_order = str(d["elem_order"]) if "elem_order" in d else "file"
+        if file_order != elem_order:
+            raise ValueError(
+                f"Restart element-order mismatch for {path}: checkpoint "
+                f"was written with elem_order={file_order!r} but this run "
+                f"uses {elem_order!r} (toggle 'lattice_residual' to match).")
         T = d["T"]; p = d["p"]; X = d["extent"]; V = d["vertices"]
         if len(T) != n or len(p) != n:
             raise ValueError(f"Restart true-dof size mismatch in: {path}")
@@ -507,7 +516,8 @@ def run(cfg: dict) -> dict:
         (step, t, T_np, p_np, X_np, V_np, recession_total,
          recession_history) = load_restart_ale(
             resolve_path(cfg, restart_read), n, ne, nq, nr,
-            mesh.vertices.shape[0], mesh.dim)
+            mesh.vertices.shape[0], mesh.dim,
+            elem_order=cfg.get("_elem_order", "file"))
         T = jnp.asarray(T_np)
         p = jnp.asarray(p_np)
         st0 = AblationState.initial(ne, nq, mat)
@@ -525,7 +535,8 @@ def run(cfg: dict) -> dict:
 
     def write_checkpoint():
         save_restart_ale(restart_write, step, t, T, p, state.extent,
-                         verts(), recession_total, recession_history)
+                         verts(), recession_total, recession_history,
+                         elem_order=cfg.get("_elem_order", "file"))
 
     def write_outputs(stepno, tnow):
         v = verts()

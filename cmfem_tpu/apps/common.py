@@ -296,4 +296,7 @@ def maybe_reorder_strip_mesh(cfg: dict, mesh):
         return mesh
     print(f"lattice_residual: renumbered {len(order)} strip elements "
           "row-major over the cell lattice")
+    # restart checkpoints tag the element ordering they were written
+    # under (state arrays and, at order >= 2, dof numbering follow it)
+    cfg["_elem_order"] = "strip-row-major"
     return reorder_mesh_elements(mesh, order)

@@ -101,13 +101,16 @@ class StripLatticeOps:
 
     def interp(self, ul, B):
         """Element-interior interpolation: lattice field (NY, NX) with a
-        (nq, nd) tabulation -> (ne, nq) QP values, windows-and-FMA only."""
+        (nq, nd) tabulation -> (ne, nq) QP values, windows-and-FMA only.
+        The tabulation must be concrete (static basis values); it is
+        baked into the program as compile-time FMA weights."""
+        Bn = np.asarray(B)
         ws = self.windows(ul)
         cols = []
-        for q in range(B.shape[0]):
-            acc = B[q, 0] * ws[0]
+        for q in range(Bn.shape[0]):
+            acc = float(Bn[q, 0]) * ws[0]
             for a in range(1, self.nd):
-                acc = acc + B[q, a] * ws[a]
+                acc = acc + float(Bn[q, a]) * ws[a]
             cols.append(acc.reshape(-1))
         return jnp.stack(cols, axis=1)              # (ne, nq)
 

@@ -175,7 +175,8 @@ class SumFactoredOperator:
 
     def bind(self, use_pallas: bool = False, tile: int = 256,
              interpret: bool = False, use_periodic: bool = False,
-             use_fused: bool = False, slab: int = 1, z_fma: bool = False):
+             use_fused: bool = False, slab: int = 1, z_fma: bool = False,
+             x_chunks: int = 1):
         """(fn(u, D) -> y, D) with all big arrays as jit args.
 
         use_pallas fuses the z-contraction -> D-apply -> transposed
@@ -201,7 +202,7 @@ class SumFactoredOperator:
                                              periodic=use_periodic,
                                              slab=slab)
             return self._bind_fused(interpret, periodic=use_periodic,
-                                    slab=slab)
+                                    slab=slab, x_chunks=x_chunks)
         if use_periodic and not use_pallas:
             return self._bind_periodic(), self.Dz
         if use_pallas:
@@ -283,10 +284,24 @@ class SumFactoredOperator:
         if platform is None:
             platform = jax.default_backend()
         if platform == "tpu" and self.compressed:
-            d_slab = self.D.shape[0] * self.Kz * self.q1 * self.Kx \
-                * self.D.dtype.itemsize
+            isz = self.D.dtype.itemsize
+            if self.z_periodic:
+                # FMA z-stage + z-periodic D: best measured path at every
+                # order (1141/1815/1770 vs 927/1252/1404 for the plain
+                # fused kernel, BENCH artifact).  Gate on the live QP-field
+                # footprint (~14 (NZ, q1*Kx) arrays in VMEM).
+                fields = 14 * self.NZ * self.q1 * self.Kx * isz
+                if fields <= 10_000_000:
+                    return self.bind(use_fused=True, use_periodic=True,
+                                     z_fma=True)
+            d_slab = self.D.shape[0] * self.Kz * self.q1 * self.Kx * isz
             if d_slab <= 5_300_000:
                 return self.bind(use_fused=True)
+            for cx in (2, 3, 4, 6, 8):
+                # stream the D slab in x-column chunks (measured 1286 vs
+                # 1084 MDOF/s for the pallas z-chain at order-3 48^3)
+                if self.Kx % cx == 0 and d_slab <= cx * 5_300_000:
+                    return self.bind(use_fused=True, x_chunks=cx)
             if (self.Ky * self.Kx) % 256 == 0:
                 return self.bind(use_pallas=True, tile=256)
         return self.bind()
@@ -348,7 +363,7 @@ class SumFactoredOperator:
         return fn
 
     def _bind_fused(self, interpret: bool = False, periodic: bool = False,
-                    slab: int = 1):
+                    slab: int = 1, x_chunks: int = 1):
         """Whole-operator fusion: ONE Pallas kernel per y-element slab does
         the x-interpolation, y-interpolation (unrolled scalar FMAs — the
         1D basis is a (q1, p+1) constant), z-contraction, D application,
@@ -364,7 +379,15 @@ class SumFactoredOperator:
         a small flop overhead bought for zero gather/scatter and zero
         QP-field HBM traffic.  slab > 1 widens every matmul's N dimension
         by the factor slab (fewer, fatter MXU calls) at the cost of
-        slab x the VMEM footprint."""
+        slab x the VMEM footprint.
+
+        x_chunks > 1 streams the D slab (the VMEM-limiting array) in
+        x-column chunks as a second, sequential grid dimension: every
+        QP-stage array shrinks by the factor C, the u slab is re-read per
+        chunk, and the partial (NZ, TP1*NX) outputs accumulate in the
+        revisited out block.  This keeps the fused kernel available when
+        the full D slab exceeds VMEM (non-periodic high order / large n,
+        e.g. order-3 48^3: 5.9MB slab -> 2x 2.95MB chunks)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -386,51 +409,63 @@ class SumFactoredOperator:
         TQ = T * q1                       # y-QP rows per slab
         TP = T * p                        # owned dof rows per slab
         TP1 = TP + 1                      # loaded dof rows per slab
+        C = int(x_chunks)
+        if C < 1 or Kx % C:
+            raise ValueError(f"x_chunks={C} must divide Kx={Kx}")
+        Kxc = Kx // C
 
         if periodic:
             Dre = np.asarray(self.Dz).reshape(mm, q1, G_, TQ, Kx)
-            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * q1, TQ * Kx)
             d_rows = q1
         else:
             Dre = np.asarray(self.D).reshape(mm, Kz, G_, TQ, Kx)
-            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * Kz, TQ * Kx)
             d_rows = Kz
+        # (G_, C, mm*d_rows, TQ*Kxc): grid-major slab, then x chunk
+        Dre = Dre.transpose(2, 0, 1, 3, 4) \
+            .reshape(G_, mm, d_rows, TQ, C, Kxc) \
+            .transpose(0, 4, 1, 2, 3, 5) \
+            .reshape(G_, C, mm * d_rows, TQ * Kxc)
         D_arg = jnp.asarray(Dre, dtype)
 
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
 
-        def ycon(ts, C):
-            # TP1 (NZ, Kx) dof rows -> (NZ, TQ*Kx) y-QP rows in (t, q)
+        def ycon(ts, Cw):
+            # TP1 (NZ, Kxc) dof rows -> (NZ, TQ*Kxc) y-QP rows in (t, q)
             # order (matching the D slab grouping), compile-time weights
             cols = []
             for t in range(T):
                 for q in range(q1):
-                    acc = C[q][0] * ts[t * p]
+                    acc = Cw[q][0] * ts[t * p]
                     for a in range(1, p1):
-                        acc = acc + C[q][a] * ts[t * p + a]
+                        acc = acc + Cw[q][a] * ts[t * p + a]
                     cols.append(acc)
             return jnp.concatenate(cols, axis=1)
 
         def kernel(axT_ref, daxT_ref, ax_ref, dax_ref, az_ref, azt_ref,
                    daz_ref, dazt_ref, u_ref, d_ref, y_ref):
+            if C > 1:
+                # accumulate partial x-chunk outputs in the revisited block
+                @pl.when(pl.program_id(1) == 0)
+                def _init():
+                    y_ref[...] = jnp.zeros_like(y_ref)
             # per-dof-row x contraction via static lane slices (lane-dim
             # reshapes are unsupported relayouts in Mosaic)
             u = u_ref[0]                              # (NZ, TP1*NX)
             t0xa, txxa = [], []
             for a in range(TP1):
                 ua = u[:, a * NX:(a + 1) * NX]
-                t0xa.append(dot(ua, axT_ref[...]))
-                txxa.append(dot(ua, daxT_ref[...]))
-            t0y = ycon(t0xa, Bc)                      # (NZ, TQ*Kx) value
+                t0xa.append(dot(ua, axT_ref[0]))
+                txxa.append(dot(ua, daxT_ref[0]))
+            t0y = ycon(t0xa, Bc)                      # (NZ, TQ*Kxc) value
             txy = ycon(txxa, Bc)                      # d/dxi_x
             tyy = ycon(t0xa, Gc)                      # d/dxi_y
             Azl = az_ref[...]
             V = [dot(Azl, t0y), dot(Azl, txy), dot(Azl, tyy),
-                 dot(daz_ref[...], t0y)]              # (Kz, q1*Kx)
-            Dl = d_ref[0].reshape(mm, d_rows, TQ * Kx)
+                 dot(daz_ref[...], t0y)]              # (Kz, TQ*Kxc)
+            Dl = d_ref[0, 0].reshape(mm, d_rows, TQ * Kxc)
             if periodic:
-                V = [v.reshape(nz, q1, TQ * Kx) for v in V]
+                V = [v.reshape(nz, q1, TQ * Kxc) for v in V]
                 pl_ = lambda i: Dl[i][None]
             else:
                 pl_ = lambda i: Dl[i]
@@ -446,10 +481,10 @@ class SumFactoredOperator:
                     t2 = plane * V[r]
                     Wg[s - 1] = t2 if Wg[s - 1] is None else Wg[s - 1] + t2
             if periodic:
-                W0 = W0.reshape(Kz, TQ * Kx)
-                Wg = [w.reshape(Kz, TQ * Kx) for w in Wg]
+                W0 = W0.reshape(Kz, TQ * Kxc)
+                Wg = [w.reshape(Kz, TQ * Kxc) for w in Wg]
             Azt = azt_ref[...]
-            U0 = dot(Azt, W0) + dot(dazt_ref[...], Wg[2])  # (NZ, TQ*Kx)
+            U0 = dot(Azt, W0) + dot(dazt_ref[...], Wg[2])  # (NZ, TQ*Kxc)
             Ux = dot(Azt, Wg[0])
             Uy = dot(Azt, Wg[1])
             # transposed y stage (global dof row r sums the B[q,a]
@@ -462,18 +497,26 @@ class SumFactoredOperator:
                     if a < 0 or a > p:
                         continue
                     for q in range(q1):
-                        sl = slice((t * q1 + q) * Kx, (t * q1 + q + 1) * Kx)
+                        sl = slice((t * q1 + q) * Kxc,
+                                   (t * q1 + q + 1) * Kxc)
                         c0 = Bc[q][a] * U0[:, sl] + Gc[q][a] * Uy[:, sl]
                         cx = Bc[q][a] * Ux[:, sl]
                         acc0 = c0 if acc0 is None else acc0 + c0
                         accx = cx if accx is None else accx + cx
-                ya = dot(acc0, ax_ref[...]) + dot(accx, dax_ref[...])
-                y_ref[0, :, r_ * NX:(r_ + 1) * NX] = ya
+                ya = dot(acc0, ax_ref[0]) + dot(accx, dax_ref[0])
+                sl_out = slice(r_ * NX, (r_ + 1) * NX)
+                if C > 1:
+                    y_ref[0, :, sl_out] = y_ref[0, :, sl_out] + ya
+                else:
+                    y_ref[0, :, sl_out] = ya
 
-        AxT = jnp.asarray(self.Ax.T)
-        DAxT = jnp.asarray(self.DAx.T)
-        Axm = jnp.asarray(self.Ax)
-        DAxm = jnp.asarray(self.DAx)
+        # x basis matrices pre-split by chunk: (C, NX, Kxc) / (C, Kxc, NX)
+        AxT = jnp.asarray(np.asarray(self.Ax.T)
+                          .reshape(NX, C, Kxc).transpose(1, 0, 2))
+        DAxT = jnp.asarray(np.asarray(self.DAx.T)
+                           .reshape(NX, C, Kxc).transpose(1, 0, 2))
+        Axm = jnp.asarray(np.asarray(self.Ax).reshape(C, Kxc, NX))
+        DAxm = jnp.asarray(np.asarray(self.DAx).reshape(C, Kxc, NX))
         Az = jnp.asarray(self.Az)
         DAz = jnp.asarray(self.DAz)
 
@@ -483,20 +526,27 @@ class SumFactoredOperator:
                 [u3[:, j * TP:j * TP + TP1, :] for j in range(G_)]
             ).reshape(G_, NZ, TP1 * NX)
             vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            xspec = lambda sh: pl.BlockSpec(
+                (1,) + sh, lambda j, c: (c, 0, 0), memory_space=pltpu.VMEM)
             outs = pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((G_, NZ, TP1 * NX), dtype),
-                grid=(G_,),
-                in_specs=[vm] * 8 + [
-                    pl.BlockSpec((1, NZ, TP1 * NX), lambda j: (j, 0, 0),
+                grid=(G_, C),
+                in_specs=[
+                    xspec((NX, Kxc)), xspec((NX, Kxc)),
+                    xspec((Kxc, NX)), xspec((Kxc, NX)),
+                ] + [vm] * 4 + [
+                    pl.BlockSpec((1, NZ, TP1 * NX), lambda j, c: (j, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mm * d_rows, TQ * Kx),
-                                 lambda j: (j, 0, 0),
+                    pl.BlockSpec((1, 1, mm * d_rows, TQ * Kxc),
+                                 lambda j, c: (j, c, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((1, NZ, TP1 * NX),
-                                       lambda j: (j, 0, 0),
+                                       lambda j, c: (j, 0, 0),
                                        memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
                 interpret=interpret,
             )(AxT, DAxT, Axm, DAxm, Az, Az.T, DAz, DAz.T, u_slabs, Dr)
             ysl = outs.reshape(G_, NZ, TP1, NX)

@@ -388,3 +388,30 @@ def test_jacobian_check_catches_wrong_face_jacobian(monkeypatch):
         sys_.jacobian_check(T, p, T_old_q, p_old_q, state.extent, dt,
                             seb=(BRANCH_CHEMISTRY_BLOWING, model, bprime),
                             bc=bc)
+
+
+def test_restart_elem_order_guard(tmp_path):
+    """Checkpoints record the element ordering they were written under;
+    resuming under a different ordering (lattice_residual toggled on a
+    renumbered strip) must be rejected, and pre-tag checkpoints default
+    to 'file'."""
+    import numpy as np
+    import pytest
+
+    from cmfem_tpu.apps.ablation_case2_1 import (
+        load_restart, save_restart,
+    )
+
+    n, ne, nq, nr = 6, 2, 4, 3
+    T = np.arange(n, dtype=float)
+    p = T + 10.0
+    X = np.zeros((ne, nq, nr))
+    f = str(tmp_path / "ck.npz")
+    save_restart(f, 3, 0.3, T, p, X, elem_order="strip-row-major")
+    out = load_restart(f, n, ne, nq, nr, elem_order="strip-row-major")
+    assert out[0] == 3
+    with pytest.raises(ValueError, match="element-order mismatch"):
+        load_restart(f, n, ne, nq, nr)          # run without the reorder
+    save_restart(f, 4, 0.4, T, p, X)            # default 'file' ordering
+    with pytest.raises(ValueError, match="element-order mismatch"):
+        load_restart(f, n, ne, nq, nr, elem_order="strip-row-major")
