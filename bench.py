@@ -119,6 +119,9 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
             candidates.append(("sumfact-zfma",
                                lambda: sfop.bind(use_fused=True,
                                                  z_fma=True)))
+        # (x-chunked zfma measured slower than x-chunked plain fused at
+        # orders 3-4 non-periodic — 1080 vs 1286 MDOF/s — so only the
+        # plain fused kernel gets an xc candidate above)
         if sfop.z_periodic:
             candidates.append(
                 ("sumfact-fused-periodic",

@@ -200,7 +200,7 @@ class SumFactoredOperator:
             if z_fma:
                 return self._bind_fused_zfma(interpret,
                                              periodic=use_periodic,
-                                             slab=slab)
+                                             slab=slab, x_chunks=x_chunks)
             return self._bind_fused(interpret, periodic=use_periodic,
                                     slab=slab, x_chunks=x_chunks)
         if use_periodic and not use_pallas:
@@ -560,7 +560,8 @@ class SumFactoredOperator:
         return fn, D_arg
 
     def _bind_fused_zfma(self, interpret: bool = False,
-                         periodic: bool = False, slab: int = 1):
+                         periodic: bool = False, slab: int = 1,
+                         x_chunks: int = 1):
         """Whole-operator fusion with FMA z-stages (v2 of the fused slab
         kernel): the 1D z basis is block-banded — each z-QP touches only
         p+1 dof planes — so the dense (Kz, NZ) z-contraction matmuls of
@@ -593,18 +594,24 @@ class SumFactoredOperator:
         TQ = T * q1
         TP = T * p
         TP1 = TP + 1
-        L = TQ * Kx                        # QP lanes per slab
+        C = int(x_chunks)
+        if C < 1 or Kx % C:
+            raise ValueError(f"x_chunks={C} must divide Kx={Kx}")
+        Kxc = Kx // C
+        L = TQ * Kxc                       # QP lanes per slab chunk
         LIN = TP1 * NX                     # dof lanes per slab
 
         if periodic:
             Dre = np.asarray(self.Dz).reshape(mm, q1, G_, TQ, Kx)
-            Dre = Dre.transpose(2, 0, 1, 3, 4).reshape(G_, mm * q1, L)
+            Dre = Dre.transpose(2, 0, 1, 3, 4)
             d_zrows = q1
         else:
             Dre = np.asarray(self.D).reshape(mm, nz, q1, G_, TQ, Kx)
-            Dre = Dre.transpose(3, 0, 1, 2, 4, 5).reshape(
-                G_, mm * nz * q1, L)
+            Dre = Dre.transpose(3, 0, 1, 2, 4, 5)
             d_zrows = nz * q1
+        # (G_, C, mm*d_zrows, TQ*Kxc): grid-major slab, then x chunk
+        Dre = Dre.reshape(G_, mm * d_zrows, TQ, C, Kxc) \
+            .transpose(0, 3, 1, 2, 4).reshape(G_, C, mm * d_zrows, L)
         D_arg = jnp.asarray(Dre, dtype)
 
         def dot(a, b):
@@ -612,11 +619,16 @@ class SumFactoredOperator:
 
         def kernel(axT_ref, daxT_ref, ax_ref, dax_ref, u_ref, d_ref,
                    y_ref):
+            if C > 1:
+                # accumulate partial x-chunk outputs in the revisited block
+                @pl.when(pl.program_id(1) == 0)
+                def _init():
+                    y_ref[...] = jnp.zeros_like(y_ref)
             u = u_ref[0]                   # (nz, p1, LIN)
-            # x contraction per (z-dof az, y-dof a): (nz, NX) @ (NX, Kx)
-            t0x = [[dot(u[:, az, a * NX:(a + 1) * NX], axT_ref[...])
+            # x contraction per (z-dof az, y-dof a): (nz, NX) @ (NX, Kxc)
+            t0x = [[dot(u[:, az, a * NX:(a + 1) * NX], axT_ref[0])
                     for a in range(TP1)] for az in range(p1)]
-            txx = [[dot(u[:, az, a * NX:(a + 1) * NX], daxT_ref[...])
+            txx = [[dot(u[:, az, a * NX:(a + 1) * NX], daxT_ref[0])
                     for a in range(TP1)] for az in range(p1)]
 
             def ycon(ts, C):
@@ -641,7 +653,7 @@ class SumFactoredOperator:
                 return acc
 
             # per-z-QP fields and D application, all (nz, L)
-            Dl = d_ref[0].reshape(mm, d_zrows, L)
+            Dl = d_ref[0, 0].reshape(mm, d_zrows, L)
             U0 = [None] * p1
             Ux = [None] * p1
             Uy = [None] * p1
@@ -682,20 +694,28 @@ class SumFactoredOperator:
                         if a < 0 or a > p:
                             continue
                         for q in range(q1):
-                            sl = slice((t * q1 + q) * Kx,
-                                       (t * q1 + q + 1) * Kx)
+                            sl = slice((t * q1 + q) * Kxc,
+                                       (t * q1 + q + 1) * Kxc)
                             c0 = Bc[q][a] * U0[az][:, sl] \
                                 + Gc[q][a] * Uy[az][:, sl]
                             cx = Bc[q][a] * Ux[az][:, sl]
                             acc0 = c0 if acc0 is None else acc0 + c0
                             accx = cx if accx is None else accx + cx
-                    ya = dot(acc0, ax_ref[...]) + dot(accx, dax_ref[...])
-                    y_ref[0, :, az, r_ * NX:(r_ + 1) * NX] = ya
+                    ya = dot(acc0, ax_ref[0]) + dot(accx, dax_ref[0])
+                    sl_out = slice(r_ * NX, (r_ + 1) * NX)
+                    if C > 1:
+                        y_ref[0, :, az, sl_out] = \
+                            y_ref[0, :, az, sl_out] + ya
+                    else:
+                        y_ref[0, :, az, sl_out] = ya
 
-        AxT = jnp.asarray(self.Ax.T)
-        DAxT = jnp.asarray(self.DAx.T)
-        Axm = jnp.asarray(self.Ax)
-        DAxm = jnp.asarray(self.DAx)
+        # x basis matrices pre-split by chunk: (C, NX, Kxc) / (C, Kxc, NX)
+        AxT = jnp.asarray(np.asarray(self.Ax.T)
+                          .reshape(NX, C, Kxc).transpose(1, 0, 2))
+        DAxT = jnp.asarray(np.asarray(self.DAx.T)
+                           .reshape(NX, C, Kxc).transpose(1, 0, 2))
+        Axm = jnp.asarray(np.asarray(self.Ax).reshape(C, Kxc, NX))
+        DAxm = jnp.asarray(np.asarray(self.DAx).reshape(C, Kxc, NX))
 
         def fn(u, Dr):
             u3 = u.astype(dtype).reshape(NZ, self.NY, NX)
@@ -704,21 +724,27 @@ class SumFactoredOperator:
             u_zy = jnp.stack(
                 [u_y[:, k * p:k * p + p1] for k in range(nz)], axis=1)
             u_slabs = u_zy.reshape(G_, nz, p1, LIN)
-            vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+            xspec = lambda sh: pl.BlockSpec(
+                (1,) + sh, lambda j, c: (c, 0, 0), memory_space=pltpu.VMEM)
             outs = pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((G_, nz, p1, LIN), dtype),
-                grid=(G_,),
-                in_specs=[vm] * 4 + [
-                    pl.BlockSpec((1, nz, p1, LIN), lambda j: (j, 0, 0, 0),
+                grid=(G_, C),
+                in_specs=[
+                    xspec((NX, Kxc)), xspec((NX, Kxc)),
+                    xspec((Kxc, NX)), xspec((Kxc, NX)),
+                    pl.BlockSpec((1, nz, p1, LIN),
+                                 lambda j, c: (j, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, mm * d_zrows, L),
-                                 lambda j: (j, 0, 0),
+                    pl.BlockSpec((1, 1, mm * d_zrows, L),
+                                 lambda j, c: (j, c, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((1, nz, p1, LIN),
-                                       lambda j: (j, 0, 0, 0),
+                                       lambda j, c: (j, 0, 0, 0),
                                        memory_space=pltpu.VMEM),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
                 interpret=interpret,
             )(AxT, DAxT, Axm, DAxm, u_slabs, Dr)
             ysl = outs.reshape(G_, nz, p1, TP1, NX)

@@ -247,12 +247,16 @@ def test_sumfact_fused_slab_matches_xla():
         for Cx in (2, 3):
             if sfop.Kx % Cx:
                 continue
-            fnc, Dc = sfop.bind(use_fused=True, interpret=True,
-                                x_chunks=Cx)
-            np.testing.assert_allclose(np.asarray(fnc(u, Dc)) / scale,
-                                       y_ref / scale, atol=1e-13)
-            if sfop.z_periodic:
-                fncp, Dcp = sfop.bind(use_fused=True, use_periodic=True,
-                                      interpret=True, x_chunks=Cx)
-                np.testing.assert_allclose(np.asarray(fncp(u, Dcp)) / scale,
+            for zf in (False, True):
+                fnc, Dc = sfop.bind(use_fused=True, interpret=True,
+                                    x_chunks=Cx, z_fma=zf)
+                np.testing.assert_allclose(np.asarray(fnc(u, Dc)) / scale,
                                            y_ref / scale, atol=1e-13)
+                if sfop.z_periodic:
+                    fncp, Dcp = sfop.bind(use_fused=True,
+                                          use_periodic=True,
+                                          interpret=True, x_chunks=Cx,
+                                          z_fma=zf)
+                    np.testing.assert_allclose(
+                        np.asarray(fncp(u, Dcp)) / scale,
+                        y_ref / scale, atol=1e-13)
