@@ -114,25 +114,48 @@ class StripLatticeOps:
             cols.append(acc.reshape(-1))
         return jnp.stack(cols, axis=1)              # (ne, nq)
 
+    def add_window(self, dst, vals, a):
+        """dst (..., NY, NX) += vals (..., nyc, nxc) scattered to local-dof
+        window ``a`` (the shared overlap-add used by scatter() and the
+        block solver's stencil assembly)."""
+        py = (self.NY - 1) // self.nyc
+        px = (self.NX - 1) // self.nxc
+        oy, ox = self.offs[a]
+        pads = [(0, 0)] * (vals.ndim - 2) + [
+            (0, (self.NY - oy + py - 1) // py - self.nyc),
+            (0, (self.NX - ox + px - 1) // px - self.nxc)]
+        return dst.at[..., oy::py, ox::px].add(jnp.pad(vals, pads))
+
     def scatter(self, y_e):
         """(ne, nd) element contributions -> dof-ordered (n,) via nd
         shifted overlap-adds (no segment_sum)."""
-        py = (self.NY - 1) // self.nyc
-        px = (self.NX - 1) // self.nxc
         ycells = y_e.reshape(self.nyc, self.nxc, self.nd)
         yl = jnp.zeros((self.NY, self.NX), y_e.dtype)
-        for a, (oy, ox) in enumerate(self.offs):
-            yl = yl.at[oy::py, ox::px].add(
-                jnp.pad(ycells[:, :, a],
-                        ((0, (self.NY - oy + py - 1) // py - self.nyc),
-                         (0, (self.NX - ox + px - 1) // px - self.nxc))))
+        for a in range(self.nd):
+            yl = self.add_window(yl, ycells[:, :, a], a)
         return self.from_lat(yl)
+
+
+def cluster_x_columns(vals, tol_factor=1e-8):
+    """Tolerance-walk clustering of 1D coordinates into columns: returns
+    (col_index_per_val, ncols).  The single home of the GMSH float-jitter
+    tolerance, shared by ``solvers.blocksolve.strip_dof_lattice`` and
+    ``strip_element_order``."""
+    vs = np.unique(vals)
+    span = max(float(vs[-1] - vs[0]), 1e-30)
+    tol = tol_factor * span
+    reps = [float(vs[0])]
+    for v in vs[1:]:
+        if v - reps[-1] > tol:
+            reps.append(float(v))
+    edges = 0.5 * (np.asarray(reps[1:]) + np.asarray(reps[:-1]))
+    return np.searchsorted(edges, vals), len(reps)
 
 
 def strip_element_order(mesh):
     """Row-major (y-outer, x-inner) element permutation for a 2D
     tensor-product strip mesh, from tolerance-clustered element centroids
-    (same clustering idea as ``solvers.blocksolve.strip_dof_lattice``).
+    (same clustering as ``solvers.blocksolve.strip_dof_lattice``).
     Returns ``order`` with ``elem_conn[order]`` row-major over cells, or
     raises ValueError when the centroids are not a full tensor grid."""
     cent = mesh.vertices[mesh.elem_conn].mean(axis=1)
@@ -142,18 +165,10 @@ def strip_element_order(mesh):
     # meshes share x columns exactly but carry per-column y jitter (848
     # distinct vertex-y values for 240 logical rows on ablation_strip.msh),
     # so y cannot be clustered globally
-    vs = np.sort(np.unique(cent[:, 0]))
-    span = max(float(vs[-1] - vs[0]), 1e-30)
-    reps = [float(vs[0])]
-    for v in vs[1:]:
-        if v - reps[-1] > 1e-8 * span:
-            reps.append(float(v))
-    nxc = len(reps)
+    cx, nxc = cluster_x_columns(cent[:, 0])
     if ne % nxc:
         raise ValueError("element centroids do not form a column lattice")
     nyc = ne // nxc
-    edges = 0.5 * (np.asarray(reps[1:]) + np.asarray(reps[:-1]))
-    cx = np.searchsorted(edges, cent[:, 0])
     cell = np.empty(ne, np.int64)
     for c in range(nxc):
         ids = np.nonzero(cx == c)[0]

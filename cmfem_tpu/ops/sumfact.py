@@ -383,9 +383,10 @@ class SumFactoredOperator:
 
         x_chunks > 1 streams the D slab (the VMEM-limiting array) in
         x-column chunks as a second, sequential grid dimension: every
-        QP-stage array shrinks by the factor C, the u slab is re-read per
-        chunk, and the partial (NZ, TP1*NX) outputs accumulate in the
-        revisited out block.  This keeps the fused kernel available when
+        QP-stage array shrinks by the factor C (the u slab's block index
+        is c-invariant, so Pallas keeps it resident across chunks), and
+        the partial (NZ, TP1*NX) outputs accumulate in the revisited out
+        block.  This keeps the fused kernel available when
         the full D slab exceeds VMEM (non-periodic high order / large n,
         e.g. order-3 48^3: 5.9MB slab -> 2x 2.95MB chunks)."""
         from jax.experimental import pallas as pl

@@ -87,6 +87,11 @@ class AblationSystem:
         from ..ops.lattice2d import StripLatticeOps
 
         self.lat = StripLatticeOps(self.ops.fes.element_dofs, self.n, lat)
+        # concrete tabulation copies for interp(): slicing the device
+        # arrays ops.G[:, :, r] under an enclosing jit trace yields
+        # tracers, which interp() cannot bake into FMA weights
+        self._Bn = np.asarray(self.ops.B)
+        self._Gn = np.asarray(self.ops.G)
         return self.lat
 
     # -- QP-level residual densities --------------------------------------
@@ -179,11 +184,11 @@ class AblationSystem:
         if lp is not None:
             Tl = lp.to_lat(jnp.asarray(T))
             pl = lp.to_lat(jnp.asarray(p))
-            Tq = lp.interp(Tl, ops.B)
-            pq = lp.interp(pl, ops.B)
-            gTref = jnp.stack([lp.interp(Tl, ops.G[:, :, r])
+            Tq = lp.interp(Tl, self._Bn)
+            pq = lp.interp(pl, self._Bn)
+            gTref = jnp.stack([lp.interp(Tl, self._Gn[:, :, r])
                                for r in range(ndim)], axis=-1)
-            gpref = jnp.stack([lp.interp(pl, ops.G[:, :, r])
+            gpref = jnp.stack([lp.interp(pl, self._Gn[:, :, r])
                                for r in range(ndim)], axis=-1)
             gT = jnp.sum(gf.invJ * gTref[..., :, None], axis=-2)
             gp = jnp.sum(gf.invJ * gpref[..., :, None], axis=-2)

@@ -47,24 +47,17 @@ def strip_dof_lattice(positions, tol_factor=1e-8):
     x (GMSH emits float jitter); each column must hold the same number of
     dofs, sorted by y.  Raises ValueError when the dofs are not a
     tensor-product lattice."""
+    from ..ops.lattice2d import cluster_x_columns
+
     pos = np.asarray(positions)
     if pos.ndim != 2 or pos.shape[1] < 2:
         raise ValueError("strip_dof_lattice needs (n, >=2) positions")
     xy = pos[:, :2]
     n = len(xy)
-    xsorted = np.sort(np.unique(xy[:, 0]))
-    span = max(float(xsorted[-1] - xsorted[0]), 1e-30)
-    tol = tol_factor * span
-    reps = [float(xsorted[0])]
-    for v in xsorted[1:]:
-        if v - reps[-1] > tol:
-            reps.append(float(v))
-    nx = len(reps)
+    col_of, nx = cluster_x_columns(xy[:, 0], tol_factor)
     if n % nx:
         raise ValueError("dofs do not tile an x-column lattice")
     ny = n // nx
-    edges = 0.5 * (np.asarray(reps[1:]) + np.asarray(reps[:-1]))
-    col_of = np.searchsorted(edges, xy[:, 0])
     lat = np.full((ny, nx), -1, dtype=np.int64)
     for c in range(nx):
         ids = np.nonzero(col_of == c)[0]
@@ -218,26 +211,18 @@ class BlockNewtonKrylov:
         # renumbering), the per-rebuild stencil assembly becomes nd^2
         # shifted overlap-adds instead of a (4*ne*nd^2)-entry segment_sum
         # (which scalarizes on TPU).
-        win = None
-        self.wlat = None
+        kab = None
         offab = off_idx.reshape(ed.shape[0], self.nd, self.nd)
         if (offab == offab[0]).all():
             from ..ops.lattice2d import StripLatticeOps
 
             try:
-                wl = StripLatticeOps(ed, self.n, lat)
+                self.wlat = StripLatticeOps(ed, self.n, lat)
+                kab = offab[0].tolist()    # offset slot of entry (a, b)
             except ValueError:
-                wl = None
-            if wl is not None:
-                self.wlat = wl
-                win = {
-                    "py": (NY - 1) // wl.nyc, "px": (NX - 1) // wl.nxc,
-                    "nyc": wl.nyc, "nxc": wl.nxc,
-                    "aoff": wl.offs,
-                    "kab": offab[0].tolist(),
-                }
+                pass
         self.lattice = {
-            "win": win,
+            "kab": kab,
             "NY": NY, "NX": NX, "KO": KO, "pad": pad,
             "offs": [(int(a), int(b)) for a, b in offs],
             "idx": jnp.asarray(stencil_idx.reshape(-1)),
@@ -267,22 +252,19 @@ class BlockNewtonKrylov:
         nd = self.nd
         blocks = jnp.stack([Je_s[:, :nd, :nd], Je_s[:, :nd, nd:],
                             Je_s[:, nd:, :nd], Je_s[:, nd:, nd:]])
-        W = L["win"]
-        if W is not None:
+        if self.wlat is not None:
             # nd^2 shifted overlap-adds (row dof a of every cell lands at
-            # window (aoff[a]::p); the offset slot k is fixed per (a, b))
+            # its lattice window; the offset slot k is fixed per (a, b))
+            wl, kab = self.wlat, L["kab"]
             NY, NX = L["NY"], L["NX"]
-            py, px, nyc, nxc = W["py"], W["px"], W["nyc"], W["nxc"]
-            S = jnp.zeros((4, L["KO"], NY, NX), Je_s.dtype)
-            bc = blocks.reshape(4, nyc, nxc, nd, nd)
-            for a, (oya, oxa) in enumerate(W["aoff"]):
-                padw = ((0, 0),
-                        (0, (NY - oya + py - 1) // py - nyc),
-                        (0, (NX - oxa + px - 1) // px - nxc))
+            Sk = [jnp.zeros((4, NY, NX), Je_s.dtype)
+                  for _ in range(L["KO"])]
+            bc = blocks.reshape(4, wl.nyc, wl.nxc, nd, nd)
+            for a in range(nd):
                 for b in range(nd):
-                    k = W["kab"][a][b]
-                    S = S.at[:, k, oya::py, oxa::px].add(
-                        jnp.pad(bc[:, :, :, a, b], padw))
+                    k = kab[a][b]
+                    Sk[k] = wl.add_window(Sk[k], bc[:, :, :, a, b], a)
+            S = jnp.stack(Sk, axis=1)       # (4, KO, NY, NX)
         else:
             ngrid = L["KO"] * L["NY"] * L["NX"]
             idx4 = (L["idx"][None] + (jnp.arange(4) * ngrid)[:, None])

@@ -171,6 +171,14 @@ def test_lattice_residual_matches_generic(order):
     assert float(jnp.abs(RT1 - RT0).max()) < 1e-12 * scale_T
     assert float(jnp.abs(Rp1 - Rp0).max()) < 1e-12 * scale_p
 
+    # the lattice path must survive an enclosing jit trace (interp bakes
+    # concrete numpy tabulations; device-array slices would be tracers)
+    import jax
+    RTj, Rpj = jax.jit(
+        lambda T_, p_: sys_.residual(T_, p_, To, po, Xo, dt))(T, p)
+    assert float(jnp.abs(RTj - RT0).max()) < 1e-9 * scale_T
+    assert float(jnp.abs(Rpj - Rp0).max()) < 1e-9 * scale_p
+
     # gather/scatter primitives round-trip
     u = jnp.asarray(rng.random(n))
     ul = lp.to_lat(u)

@@ -322,9 +322,9 @@ def test_windowed_stencil_assembly_matches_segment_sum():
     bks = BlockNewtonKrylov(ed, n, ess, ess,
                             dof_lattice=strip_dof_lattice(
                                 fes.node_positions))
-    assert bks.lattice["win"] is not None
+    assert bks.wlat is not None
     S_win, pb_w, s_w = bks._prepare_impl(*blocks)
-    bks.lattice["win"] = None           # force the segment_sum fallback
+    bks.wlat = None                     # force the segment_sum fallback
     S_seg, pb_s, s_s = bks._prepare_impl(*blocks)
     assert np.allclose(np.asarray(S_win), np.asarray(S_seg),
                        rtol=0, atol=1e-12 * float(jnp.abs(S_seg).max()))
