@@ -31,6 +31,7 @@ from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
     maybe_enable_lattice_residual, maybe_reorder_strip_mesh,
+    moving_mesh_and_ale_toggles,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -305,12 +306,10 @@ def run(cfg: dict) -> dict:
     recession_density_constant = float(cfg.get("recession_density_constant", 1200.0))
     max_step_recession = float(cfg.get("max_step_recession", float("inf")))
     min_quality_ratio = float(cfg.get("min_quality_ratio", 0.05))
-    recession_enabled = bool(cfg.get("recession_enabled", True))
-    # per-term ALE toggles + GCL storage (the _test ablation-study variant,
-    # ablation_test_case2_2_2D_test.cpp:120-123, :1678-1775)
-    ale_toggles = (bool(cfg.get("ale_mass_enabled", True)),
-                   bool(cfg.get("ale_energy_solid_enabled", True)),
-                   bool(cfg.get("ale_energy_gas_enabled", True)))
+    # moving_mesh / ale_enabled / ale_energy_enabled master switches plus
+    # the _test variant's per-term toggles, composed exactly like the
+    # reference (ablation_test_case2_2_2D.cpp:3712, _test.cpp:4409-4416)
+    recession_enabled, ale_toggles = moving_mesh_and_ale_toggles(cfg)
     gcl_enabled = bool(cfg.get("gcl_storage_enabled", False))
     amaryllis_mass_file = cfg.get("amaryllis_mass_file", "")
 
@@ -809,10 +808,7 @@ def run_scan(cfg: dict) -> dict:
         cfg.get("recession_density_constant", 1200.0))
     max_step_recession = float(cfg.get("max_step_recession", float("inf")))
     min_quality_ratio = float(cfg.get("min_quality_ratio", 0.05))
-    recession_enabled = bool(cfg.get("recession_enabled", True))
-    ale_toggles = (bool(cfg.get("ale_mass_enabled", True)),
-                   bool(cfg.get("ale_energy_solid_enabled", True)),
-                   bool(cfg.get("ale_energy_gas_enabled", True)))
+    recession_enabled, ale_toggles = moving_mesh_and_ale_toggles(cfg)
     gcl_enabled = bool(cfg.get("gcl_storage_enabled", False))
     amaryllis_mass_file = cfg.get("amaryllis_mass_file", "")
     if output_every < 1:

@@ -277,6 +277,35 @@ def maybe_enable_lattice_residual(cfg: dict, sys_, fes):
     return True
 
 
+def moving_mesh_and_ale_toggles(cfg: dict):
+    """Resolve the case-2.2 mesh-motion/ALE switch set with the
+    reference's exact composition (ablation_test_case2_2_2D.cpp:357-361,
+    :3712; _test.cpp:4409-4416):
+
+      moving_mesh (master)                -> recession machinery at all
+      ale_mass_active   = ale_enabled && ale_mass_enabled
+      ale_energy_solid  = ale_enabled && ale_energy_enabled
+                          && ale_energy_solid_enabled
+      ale_energy_gas    = ale_enabled && ale_energy_enabled
+                          && ale_energy_gas_enabled
+
+    (each additionally gated on moving_mesh by construction: with no mesh
+    motion the mesh velocity is absent, so the ALE terms never enter).
+    ``recession_enabled`` is kept as a back-compat alias of moving_mesh.
+    Validates ``mesh_smoothing_model`` like the reference (:483-491)."""
+    smoothing = str(cfg.get("mesh_smoothing_model", "laplacian")).lower()
+    if smoothing != "laplacian":
+        raise ValueError('mesh_smoothing_model must be "laplacian".')
+    moving = bool(cfg.get("moving_mesh", True)) \
+        and bool(cfg.get("recession_enabled", True))
+    ale = bool(cfg.get("ale_enabled", True))
+    ale_energy = ale and bool(cfg.get("ale_energy_enabled", True))
+    toggles = (ale and bool(cfg.get("ale_mass_enabled", True)),
+               ale_energy and bool(cfg.get("ale_energy_solid_enabled", True)),
+               ale_energy and bool(cfg.get("ale_energy_gas_enabled", True)))
+    return moving, toggles
+
+
 def maybe_reorder_strip_mesh(cfg: dict, mesh):
     """With ``lattice_residual: true``, renumber strip-mesh elements
     row-major over the cell lattice (ops/lattice2d.strip_element_order) so

@@ -71,6 +71,7 @@ def run(cfg: dict) -> dict:
     save_paraview = bool(cfg.get("save_paraview", True))
     paraview_every = int(cfg.get("paraview_every", 1))
     lin_rtol = float(cfg.get("linear_rel_tol", 1e-10))
+    lin_atol = float(cfg.get("linear_abs_tol", 0.0))
     lin_maxiter = int(cfg.get("linear_max_iter", 400))
     if alpha <= 0 or dt <= 0 or t_final < 0:
         raise ValueError("alpha and dt must be > 0, t_final >= 0")
@@ -131,7 +132,7 @@ def run(cfg: dict) -> dict:
         cycles = max(1, -(-lin_maxiter // restart))
         res = gmres(bc.constrain_operator(apply_A), B, x0=u,
                     M=jacobi_preconditioner(diag), rtol=lin_rtol,
-                    restart=restart, maxiter=cycles)
+                    atol=lin_atol, restart=restart, maxiter=cycles)
         return res.x, res.converged, res.residual
 
     u = jnp.asarray(fes.interpolate(

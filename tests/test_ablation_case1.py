@@ -107,6 +107,27 @@ def test_case1_scan_stepping_matches_eager(case1_out):
 
 
 @pytest.mark.slow
+def test_case1_reference_smoke_yaml_verbatim(tmp_path):
+    """The reference's own Input/input_ablation_case1_smoke.yaml drives the
+    driver key-for-key (mesh/material paths, top_temperature_schedule,
+    probes, acceptance echo; petsc_*/ksp_prefix/bdr_attr_sides/fiat_* are
+    tolerated like the reference tolerates unknown keys).  Only the output
+    location and horizon are overridden (3 steps for CI)."""
+    from cmfem_tpu.apps.ablation_case1 import run
+    from cmfem_tpu.utils.yamlcfg import load_yaml
+
+    cfg = load_yaml(f"{REF}/Input/input_ablation_case1_smoke.yaml")
+    cfg.update(output_path=str(tmp_path), save_paraview=False,
+               t_final=0.15, newton_print_level=0)
+    out = run(cfg)
+    assert out["T"].max() > 1600.0 and np.isfinite(out["p"]).all()
+    tol = (tmp_path / "fiat_error_tolerances.csv").read_text()
+    assert "temperature_rmse_max,150" in tol
+    probes = (tmp_path / "temperature_probes.csv").read_text().splitlines()
+    assert probes[0] == "time,wall,TC1,TC2,TC3,TC4,TC5,TC6,TC7"
+
+
+@pytest.mark.slow
 def test_case1_order2_with_gmres_solver():
     """Beyond-reference: the coupled (T,p) solve runs at H1 order 2 (the
     reference's ablation drivers are order-1 only), including the

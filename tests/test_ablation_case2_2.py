@@ -9,6 +9,28 @@ from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
 REF = "/root/reference/myapps/convection_diffusion"
 
 
+def test_moving_mesh_and_ale_toggle_composition():
+    """Reference master-switch composition (ablation_test_case2_2_2D.cpp:3712,
+    _test.cpp:4409-4416): ale_enabled gates everything, ale_energy_enabled
+    gates both energy terms, per-term toggles compose multiplicatively;
+    moving_mesh aliases recession_enabled; mesh_smoothing_model is
+    validated."""
+    from cmfem_tpu.apps.common import moving_mesh_and_ale_toggles as f
+
+    assert f({}) == (True, (True, True, True))
+    assert f({"moving_mesh": False}) == (False, (True, True, True))
+    assert f({"recession_enabled": False})[0] is False
+    assert f({"ale_enabled": False}) == (True, (False, False, False))
+    assert f({"ale_energy_enabled": False}) == (True, (True, False, False))
+    assert f({"ale_energy_enabled": False,
+              "ale_mass_enabled": False}) == (True, (False, False, False))
+    assert f({"ale_energy_solid_enabled": False}) == \
+        (True, (True, False, True))
+    assert f({"mesh_smoothing_model": "Laplacian"})[0] is True
+    with pytest.raises(ValueError, match="laplacian"):
+        f({"mesh_smoothing_model": "elastic"})
+
+
 def test_recession_handler_uniform_top_velocity():
     """Uniform downward top velocity -> linear velocity profile in y
     (Laplace solution) and exact recession bookkeeping."""
