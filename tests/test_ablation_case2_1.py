@@ -145,6 +145,24 @@ def case21_out(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_case21_reference_smoke_yaml_verbatim(tmp_path):
+    """The reference's own Input/input_ablation_case2_1_smoke.yaml drives
+    the driver key-for-key (SEB keys, jacobian_check knobs, CSV names; the
+    author-local B' table path falls back to the synthetic table).  Only
+    output location and horizon overridden."""
+    from cmfem_tpu.apps.ablation_case2_1 import run
+    from cmfem_tpu.utils.yamlcfg import load_yaml
+
+    cfg = load_yaml(f"{REF}/Input/input_ablation_case2_1_smoke.yaml")
+    cfg.update(output_path=str(tmp_path), save_paraview=False,
+               t_final=0.2, newton_print_level=0)
+    out = run(cfg)
+    assert out["T"].max() > 320.0 and np.isfinite(out["p"]).all()
+    bdr = (tmp_path / "boundary_diagnostics.csv").read_text().splitlines()
+    assert bdr[0].startswith("time,m_dot_g_surf,BprimeG_surf")
+
+
+@pytest.mark.slow
 def test_case21_runs_with_seb(case21_out):
     out, out_dir, _ = case21_out
     # SEB heats the wall above ambient within 0.3 s

@@ -176,6 +176,25 @@ def test_case22_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_case22_reference_smoke_yaml_verbatim(tmp_path):
+    """The reference's own Input/input_ablation_case2_2_smoke.yaml drives
+    the driver key-for-key (moving_mesh/ale_enabled/mesh_smoothing_model,
+    SEB mode, recession keys; the author-local B' table path falls back to
+    the synthetic table).  Only output location and horizon overridden."""
+    from cmfem_tpu.apps.ablation_case2_2 import run
+    from cmfem_tpu.utils.yamlcfg import load_yaml
+
+    cfg = load_yaml(f"{REF}/Input/input_ablation_case2_2_smoke.yaml")
+    cfg.update(output_path=str(tmp_path), save_paraview=False,
+               t_final=0.2, newton_print_level=0)
+    out = run(cfg)
+    assert out["T"].max() > 350.0
+    assert np.isfinite(out["recession_total"])
+    assert out["recession_total"] > 0.0
+    assert (tmp_path / "boundary_diagnostics.csv").exists()
+
+
+@pytest.mark.slow
 def test_case22_restart_roundtrip_with_mesh(tmp_path):
     """ALE restart checkpoints the RECEDED mesh (the reference's format
     omits mesh coordinates, SURVEY §5.4): resuming mid-recession continues
