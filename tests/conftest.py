@@ -20,6 +20,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the suite is compile-dominated (VERDICT r2 #8);
+# a warm cache turns a multi-hour 1-core run into minutes.  Opt out with
+# CMFEM_NO_COMPILE_CACHE=1.
+if os.environ.get("CMFEM_NO_COMPILE_CACHE", "0") != "1":
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 
