@@ -383,26 +383,32 @@ def run(cfg: dict) -> dict:
     p = p.at[jnp.asarray(ess)].set(bc0.p_w)
 
     # sharding_devices: N element-shards every Newton step (one instance
-    # per flux branch; sharded geometry refreshed after each mesh move)
-    if int(cfg.get("dof_partition", 0)):
-        raise NotImplementedError(
-            "dof_partition targets static meshes (cases 1/2.1); the "
-            "moving-mesh driver distributes via sharding_devices")
+    # per flux branch; sharded geometry refreshed after each mesh move).
+    # dof_partition: N additionally DOF-partitions the (T,p) vectors
+    # (owned slabs + ghost halos); update_geometry re-packs the factors
+    # after each mesh move (VERDICT r2 #7).
     shard_n = int(cfg.get("sharding_devices", 0))
+    dofp_n = int(cfg.get("dof_partition", 0))
+    if shard_n and dofp_n:
+        raise ValueError(
+            "sharding_devices and dof_partition are mutually exclusive")
     sh_cache = {}
     shard_state = {}
     lin_rtol_sh = float(cfg.get("linear_rtol", 1.0e-10))
 
     def _get_sh(branch):
         if branch not in sh_cache:
-            from ..parallel import ShardedAblationNewton, make_device_mesh
+            from ..parallel import (DofPartitionedAblationNewton,
+                                    ShardedAblationNewton, make_device_mesh)
 
-            ndev = shard_n
-            sh_cache[branch] = ShardedAblationNewton(
+            cls, ndev = ((DofPartitionedAblationNewton, dofp_n) if dofp_n
+                         else (ShardedAblationNewton, shard_n))
+            kw = {"gcl_enabled": gcl_enabled} if dofp_n else {}
+            sh_cache[branch] = cls(
                 sys_, make_device_mesh(ndev), np.zeros(0, dtype=np.int64),
                 ess, restart=int(cfg.get("gmres_restart", 400)),
                 maxiter=int(cfg.get("gmres_maxiter", 10)),
-                seb=(branch, model, bprime), ale_toggles=ale_toggles)
+                seb=(branch, model, bprime), ale_toggles=ale_toggles, **kw)
         return sh_cache[branch]
 
     @partial(jax.jit, static_argnames=("branch",))
@@ -423,6 +429,14 @@ def run(cfg: dict) -> dict:
             return _get_sh(branch).residual(
                 T, p, s["To"], s["po"], s["Xo"], dt, bc=bc, wq=s["wq"],
                 gcl=s["gcl"])
+        if dofp_n:
+            dn = _get_sh(branch)
+            s = shard_state
+            R_d = dn.residual(dn.to_dist2(np.asarray(T), np.asarray(p)),
+                              s["To"], s["po"], s["Xo"], dt, bc=bc,
+                              wq=s["wq"], gcl=s["gcl"])
+            RT, Rp = dn.from_dist2(R_d)
+            return jnp.asarray(np.concatenate([RT, Rp]))
         return residual_single(T, p, T_old_q, p_old_q, X_old, dt, bc,
                                branch, verts, wq, gcl)
 
@@ -456,6 +470,24 @@ def run(cfg: dict) -> dict:
                     f"restart cycles (raise gmres_restart/gmres_maxiter)")
             return np.asarray(res.x)
 
+    class _DofPartPrepared:
+        def __init__(self, dn, factors):
+            self.dn = dn
+            self.factors = factors
+
+        def solve(self, rhs):
+            rhs = np.asarray(rhs)
+            res = self.dn.solve(self.factors,
+                                self.dn.to_dist2(rhs[:n], rhs[n:]),
+                                rtol=lin_rtol_sh)
+            if not bool(res.converged):
+                raise RuntimeError(
+                    f"distributed block GMRES did not converge: residual "
+                    f"{float(res.residual):.3e} after {int(res.iters)} "
+                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            dxT, dxp = self.dn.from_dist2(res.x)
+            return np.concatenate([dxT, dxp])
+
     def factorize(args):
         if shard_n:
             (T_, p_, _To, _po, _Xo, dt_, bc_, branch_, _v, _w, _g) = args
@@ -463,6 +495,14 @@ def run(cfg: dict) -> dict:
             s = shard_state
             return _ShardedPrepared(sh, sh.prepare(
                 T_, p_, s["To"], s["po"], s["Xo"], dt_, bc=bc_, wq=s["wq"],
+                gcl=s["gcl"]))
+        if dofp_n:
+            (T_, p_, _To, _po, _Xo, dt_, bc_, branch_, _v, _w, _g) = args
+            dn = _get_sh(branch_)
+            s = shard_state
+            return _DofPartPrepared(dn, dn.prepare(
+                dn.to_dist2(np.asarray(T_), np.asarray(p_)),
+                s["To"], s["po"], s["Xo"], dt_, bc=bc_, wq=s["wq"],
                 gcl=s["gcl"]))
         (JTT, JTp, JpT, Jpp), (FJT, FJp) = jacobian_fn(*args)
         if iter_factory is not None:
@@ -620,6 +660,19 @@ def run(cfg: dict) -> dict:
             shard_state["wq"] = None if wq is None else sh0.pad_elem(wq)
             shard_state["gcl"] = None if gcl is None else (
                 sh0.pad_elem(gcl[0]), sh0.pad_elem(gcl[1]))
+        if dofp_n:
+            # the current-branch instance is the only one used this step;
+            # a just-constructed instance is refreshed here before use
+            dn0 = _get_sh(branch)
+            dn0.update_geometry(v_now)
+            shard_state["To"] = dn0.pack_elem(np.asarray(T_old_q))
+            shard_state["po"] = dn0.pack_elem(np.asarray(p_old_q))
+            shard_state["Xo"] = dn0.pack_elem(np.asarray(X_old))
+            shard_state["wq"] = None if wq is None else \
+                dn0.pack_elem(np.asarray(wq), "zero")
+            shard_state["gcl"] = None if gcl is None else (
+                dn0.pack_elem(np.asarray(gcl[0]), "dup"),
+                dn0.pack_elem(np.asarray(gcl[1]), "dup"))
 
         p = p.at[jnp.asarray(ess)].set(bc.p_w)
 
@@ -876,31 +929,33 @@ def run_scan(cfg: dict) -> dict:
     t_edges = np.minimum(t_final, dt_cfg * np.arange(nsteps + 1))
     print(f"Time steps: {nsteps}, nominal final time: {t_edges[-1]}")
 
-    # one surface-flux branch + constant chemistry over the whole window
-    # (branch is static in the traced program)
+    # surface-flux branch + chemistry toggle are STATIC in each traced
+    # program; the run is segmented wherever the per-step (branch, chem)
+    # label changes (the production schedule flips chemistryOn 1->0 at
+    # t=60.1 s, Input/boundary_conditions_ablation_case2_2.dat:5 /
+    # surface_bc_schedule.cpp:94-169) and one compiled scan instance per
+    # label is cached (per-state classification as in
+    # ablation_test_case2_1_2D.cpp:532-555)
     bcs = [schedule.eval(float(tv)) for tv in t_edges[1:]] or \
         [schedule.eval(0.0)]
-    branches = {classify_branch(b, model) for b in bcs}
-    chems = {b.chemistryOn for b in bcs}
-    if len(branches) > 1 or len(chems) > 1:
-        raise NotImplementedError(
-            f"scan_stepping needs a single flux branch over the run, got "
-            f"{sorted(branches)}; use the eager path")
-    branch = branches.pop()
-    chem_static = chems.pop()
+    step_labels = [(classify_branch(b, model), b.chemistryOn) for b in bcs]
+    seg_edges = {k for k in range(1, nsteps)
+                 if step_labels[k] != step_labels[k - 1]}
     rows = np.asarray(schedule.rows)
     sched_t = jnp.asarray(rows[:, 0])
     sched_cols = jnp.asarray(rows[:, 1:6])  # p_w, rhoeUeCH, h_r, hconv, Tedge
 
-    def bc_at(t):
-        mix = jax.vmap(lambda col: jnp.interp(t, sched_t, col),
-                       in_axes=1)(sched_cols)
-        return BoundaryState(
-            p_w=mix[0], rhoeUeCH=mix[1], h_r=mix[2],
-            hconv=mix[3] if schedule.has_hconv else 0.0,
-            Tedge=mix[4] if schedule.has_hconv else 300.0,
-            has_hconv=schedule.has_hconv, has_Tedge=schedule.has_hconv,
-            chemistryOn=chem_static)
+    def make_bc_at(chem_static):
+        def bc_at(t):
+            mix = jax.vmap(lambda col: jnp.interp(t, sched_t, col),
+                           in_axes=1)(sched_cols)
+            return BoundaryState(
+                p_w=mix[0], rhoeUeCH=mix[1], h_r=mix[2],
+                hconv=mix[3] if schedule.has_hconv else 0.0,
+                Tedge=mix[4] if schedule.has_hconv else 300.0,
+                has_hconv=schedule.has_hconv, has_Tedge=schedule.has_hconv,
+                chemistryOn=chem_static)
+        return bc_at
 
     # mesh-motion machinery (device): Laplacian smoothing + quality rule
     verts0 = np.asarray(mesh.vertices, dtype=np.float64)
@@ -951,7 +1006,10 @@ def run_scan(cfg: dict) -> dict:
                  M=jacobi_preconditioner(diag), rtol=rtol, maxiter=500)
         return res.x
 
-    def step_fn(carry, inp):
+    def make_step_fn(branch, chem_static):
+      bc_at = make_bc_at(chem_static)
+
+      def step_fn(carry, inp):
         T, p, X, verts, rec_total = carry
         t, dt = inp
         bc = bc_at(t)
@@ -1040,9 +1098,22 @@ def run_scan(cfg: dict) -> dict:
                it, r0, rn, done, res_h, upd_h, lin_ok)
         return carry, out
 
-    @jax.jit
-    def simulate_chunk(carry, ts, dts):
-        return jax.lax.scan(step_fn, carry, (ts, dts))
+      return step_fn
+
+    # one compiled scan program per (branch, chemistry) label, cached —
+    # the production deck crosses exactly one label change (t=60.1 s)
+    _sim_cache = {}
+
+    def simulate_chunk_for(label):
+        if label not in _sim_cache:
+            step_fn = make_step_fn(*label)
+
+            @jax.jit
+            def simulate_chunk(carry, ts, dts):
+                return jax.lax.scan(step_fn, carry, (ts, dts))
+
+            _sim_cache[label] = simulate_chunk
+        return _sim_cache[label]
 
     # ---- outputs -------------------------------------------------------
     ensure_outdir(output_path)
@@ -1094,10 +1165,14 @@ def run_scan(cfg: dict) -> dict:
         save_frame(0, 0.0, T0, p0, state0, verts0, 0.0)
 
     wall = 0.0
-    bounds = sorted(set(list(range(0, nsteps, output_every)) + [nsteps]))
+    bounds = sorted(set(list(range(0, nsteps, output_every)) + [nsteps])
+                    | seg_edges)
     for b, e in zip(bounds[:-1], bounds[1:]):
         ts = jnp.asarray(t_edges[b + 1:e + 1])
         dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
+        # chunk boundaries include every label change, so the label is
+        # constant within [b, e)
+        simulate_chunk = simulate_chunk_for(step_labels[b])
         w0 = _time.perf_counter()
         carry, outs = simulate_chunk(carry, ts, dts)
         jax.block_until_ready(carry[0])

@@ -256,6 +256,51 @@ def test_case21_scan_matches_eager(tmp_path):
 
 
 @pytest.mark.slow
+def test_case21_scan_matches_eager_across_chemistry_switch(tmp_path):
+    """VERDICT r2 #3: the scan path segments the run at schedule
+    chemistry/flux-branch changes (one compiled program per label) instead
+    of refusing multi-branch windows — the production decks flip
+    chemistryOn 1->0 at t=60.1 s
+    (Input/boundary_conditions_ablation_case2_1.dat:5).  Here the toggle is
+    at t=0.25: steps 1-2 run chemistry_blowing, steps 3-4 cooling_standard,
+    and scan must match eager across the switch."""
+    from cmfem_tpu.apps.ablation_case2_1 import run
+
+    sched = tmp_path / "bc_toggle.dat"
+    sched.write_text(
+        "// time(s) p_w(Pa) rhoeUeCH(kg/m2/s) h_r(J/kg) chemistryOn\n"
+        "0.0   101325.0  0.3  1.5e6  1\n"
+        "0.2   101325.0  0.3  1.5e6  1\n"
+        "0.25  101325.0  0.0  0.0    0\n"
+        "0.4   101325.0  0.0  0.0    0\n")
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_1.yaml",
+        "boundary_conditions_file": str(sched),
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.4,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 4})
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+    # the switch really happened: surface cooled after chemistry turned off
+    bdr = np.loadtxt(tmp_path / "scan" / "boundary_diagnostics.csv",
+                     delimiter=",", skiprows=1)
+    q_conv = bdr[:, 9]
+    assert q_conv[1] > 0 and q_conv[2] > 0       # heating while chem on
+    assert abs(q_conv[-1]) < abs(q_conv[2])      # cooling branch after
+
+
+@pytest.mark.slow
 def test_case21_scan_dirichlet_matches_eager(tmp_path):
     """Dirichlet-top-temperature mode through the scan path (no SEB
     faces; _prepare_impl solver branch) matches the eager driver."""

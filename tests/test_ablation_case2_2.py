@@ -352,6 +352,49 @@ def test_case22_scan_matches_eager(tmp_path):
     assert np.abs(pe[mask] - ps[mask]).max() < 1e-5
 
 
+@pytest.mark.slow
+def test_case22_scan_matches_eager_across_chemistry_switch(tmp_path):
+    """VERDICT r2 #3 (moving-mesh variant): the 2.2 scan path segments at
+    schedule chemistry/flux-branch changes, so the production deck's
+    t=60.1 s chemistryOn flip
+    (Input/boundary_conditions_ablation_case2_2.dat:5) runs
+    device-resident.  Toggle at t=0.25 with recession on; scan must match
+    eager across the switch, including the receded geometry."""
+    from cmfem_tpu.apps.ablation_case2_2 import run
+
+    sched = tmp_path / "bc_toggle.dat"
+    sched.write_text(
+        "// time(s) p_w(Pa) rhoeUeCH(kg/m2/s) h_r(J/kg) chemistryOn\n"
+        "0.0   101325.0  0.3    1.5e6  1\n"
+        "0.2   101325.0  0.3    1.5e6  1\n"
+        "0.25  101325.0  0.003  0.0    0\n"
+        "0.4   101325.0  0.003  0.0    0\n")
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file": str(sched),
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.4,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        "recession_density_mode": "char_surface",
+        "max_step_recession": 2.0e-4,
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 4})
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+    assert np.abs(out_s["vertices"] - out_e["vertices"]).max() < 1e-12
+    assert out_s["recession_total"] == pytest.approx(
+        out_e["recession_total"], rel=1e-8)
+
+
 def test_structured_remap_degenerate_cell_f32_finite():
     """A fully-collapsed lattice cell (yhi == ylo) must not produce
     inf/nan donors: the inverse-map guard uses finfo tiny of the RUNTIME
