@@ -139,8 +139,11 @@ def run(cfg: dict) -> dict:
         lambda x: np.asarray(exact_ref(jnp.asarray(x), 0.0))))
 
     ensure_outdir(output_path)
+    # l2_norm is the J-weighted physical-domain solution norm
+    # ||u_h||_{L2(Omega(t))} — the quantity the paper-style stability
+    # figure tracks (plot_ale_validation_be.py:40-60 reads it per dt)
     csv = CsvWriter(os.path.join(output_path, "error_history.csv"),
-                    ["step", "time", "l2_error", "linf_error"])
+                    ["step", "time", "l2_error", "linf_error", "l2_norm"])
     dc = VTUCollection("diffusion_mms_ale", fes, prefix_path=output_path) \
         if save_paraview else None
 
@@ -148,9 +151,11 @@ def run(cfg: dict) -> dict:
         ex = lambda x: np.asarray(exact_ref(jnp.asarray(x), t))
         Jw = lambda x: np.asarray(amap.jacobian_det(jnp.asarray(x), t))
         l2 = float(weighted_l2_error(ops, u, ex, Jw))
+        l2n = float(weighted_l2_error(
+            ops, u, lambda x: np.zeros(np.asarray(x).shape[:-1]), Jw))
         u_ex = fes.interpolate(ex)
         linf = float(np.max(np.abs(np.asarray(u) - u_ex)))
-        csv.writerow([step, t, l2, linf])
+        csv.writerow([step, t, l2, linf, l2n])
         if step <= 3 or step % 20 == 0:
             print(f"step={step}  t={t:.4f}  L2_error={l2:.6e}  "
                   f"Linf_error={linf:.6e}")
