@@ -43,12 +43,17 @@ class DofPartitionedAblationNewton:
     """Distributed-residual / AD-Jacobian / block-GMRES for the coupled
     (T, p) ablation system with DOF-partitioned vectors.
 
-    Static-mesh solves (cases 1 and 2.1); the moving-mesh ALE terms stay
-    on the replicated-vector path (``ShardedAblationNewton``)."""
+    Covers the static-mesh solves (cases 1 and 2.1) AND the moving-mesh
+    driver (case 2.2): ``update_geometry`` refreshes the packed geometric
+    factors after each mesh move (the ParFiniteElementSpace-under-MoveNodes
+    analog, mesh_recession_handler.cpp:299), and ``residual``/``prepare``
+    accept per-step ALE mesh-velocity slabs (``wq``) and GCL J_old/J_new
+    slabs (``gcl``) packed via ``pack_elem``."""
 
     def __init__(self, system: AblationSystem, dev_mesh: Mesh, ess_T, ess_p,
                  axis: str = "dd", restart: int = 400, maxiter: int = 10,
-                 seb=None, parts=None):
+                 seb=None, parts=None, ale_toggles=(True, True, True),
+                 gcl_enabled=False):
         self.sys = system
         self.mesh = dev_mesh
         self.axis = axis
@@ -57,6 +62,8 @@ class DofPartitionedAblationNewton:
         self.restart = int(restart)
         self.maxiter = int(maxiter)
         self.seb = seb
+        self.ale_toggles = tuple(ale_toggles)
+        self.gcl_enabled = bool(gcl_enabled)
         ndev = int(dev_mesh.devices.size)
         self.ndev = ndev
 
@@ -141,25 +148,64 @@ class DofPartitionedAblationNewton:
                 "eldofs_f": eldofs_f_loc,
                 "elem_local": epos[elem],
             }
-            packed = {}
             slot = np.zeros(len(elem), dtype=np.int64)
             for d in range(ndev):
                 idx = np.nonzero(fowner == d)[0]
                 slot[idx] = np.arange(len(idx))
-            dst = fowner * nfmax + slot
-            for k, a in fdata.items():
-                shape = (ndev * nfmax,) + a.shape[1:]
-                if k in ("wdS", "elem_local", "eldofs_f"):
-                    out = np.zeros(shape, dtype=a.dtype)
-                else:
-                    out = np.broadcast_to(a[:1], shape).copy()
-                out[dst] = a
-                packed[k] = jax.device_put(out, sh)
-            self._f = packed
+            self._f_dst = fowner * nfmax + slot
+            self._f = {k: self._pack_face(k, a) for k, a in fdata.items()}
 
+        self._wq0 = None
+        self._J0 = None
         self._residual_j = jax.jit(self._residual_impl)
         self._prepare_j = jax.jit(self._prepare_impl)
         self._solve = jax.jit(self._solve_impl)
+
+    def _pack_face(self, k, a):
+        """Per-face host array -> per-device packed batches (faces ride the
+        device owning their adjacent element)."""
+        a = np.asarray(a)
+        shape = (self.ndev * self.nf_local,) + a.shape[1:]
+        if k in ("wdS", "elem_local", "eldofs_f"):
+            out = np.zeros(shape, dtype=a.dtype)
+        else:
+            out = np.broadcast_to(a[:1], shape).copy()
+        out[self._f_dst] = a
+        return jax.device_put(out, self._sharding)
+
+    def update_geometry(self, vertices):
+        """Refresh the packed geometric factors (and SEB face geometry)
+        for moved mesh vertices — the case-2.2 ALE step.  Packed arrays
+        are jit ARGUMENTS, so no retrace; the reference analog is
+        ParFiniteElementSpace under MoveNodes
+        (mesh_recession_handler.cpp:299)."""
+        dp = self.part
+        gf = self.sys.ops.geometric_factors(jnp.asarray(vertices))
+        self.invJ = self._put(dp.pack_elem(np.asarray(gf.invJ), "dup"))
+        self.wdetJ = self._put(dp.pack_elem(np.asarray(gf.wdetJ), "zero"))
+        if self.seb is not None:
+            tr = self.sys.trace
+            ff = tr.face_factors(vertices)
+            for k, a in (("invJf", tr.element_invJ(vertices)),
+                         ("nrm", ff.normal), ("wdS", ff.wdS)):
+                self._f[k] = self._pack_face(k, a)
+
+    def _ale_defaults(self, wq, gcl):
+        """Packed zero mesh-velocity / -1 Jacobian slabs when the caller
+        has none (static mesh); built once and cached."""
+        if wq is None:
+            if self._wq0 is None:
+                gfq = np.asarray(self.sys.ops.gf.wdetJ)
+                dim = np.asarray(self.sys.ops.gf.invJ).shape[-1]
+                self._wq0 = self.pack_elem(
+                    np.zeros(gfq.shape + (dim,)), "zero")
+            wq = self._wq0
+        if gcl is None:
+            if self._J0 is None:
+                gfq = np.asarray(self.sys.ops.gf.wdetJ)
+                self._J0 = self.pack_elem(np.full(gfq.shape, -1.0), "dup")
+            gcl = (self._J0, self._J0)
+        return wq, gcl
 
     # -- layout converters ----------------------------------------------------
 
@@ -216,33 +262,32 @@ class DofPartitionedAblationNewton:
 
     # -- residual -------------------------------------------------------------
 
-    def _residual_impl(self, y, To, po, Xo, dt, bc, fvals):
+    def _residual_impl(self, y, To, po, Xo, dt, bc, fvals, wqe_g, Jo_g,
+                       Jn_g):
         axis = self.axis
         dp = self.part
-        elem_res = self.sys.elem_residual_fn(dt)
-        nq = np.asarray(self.sys.ops.gf.wdetJ).shape[1]
-        dim = np.asarray(self.sys.ops.gf.invJ).shape[-1]
+        elem_res = self.sys.elem_residual_fn(dt,
+                                             gcl_enabled=self.gcl_enabled,
+                                             ale_toggles=self.ale_toggles)
         with_seb = self.seb is not None
         n_loc = dp.n_loc
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis),) * 12 + (P(),)
-                 + tuple(P(axis) for _ in fvals),
+                 + tuple(P(axis) for _ in fvals) + (P(axis),) * 3,
                  out_specs=P(axis))
         def _res(y_own2, eldofs, invJ, wdetJ, To, po, Xo, pub_src, pub_dst,
                  pub_src_rev, ghost_src, mask_own2, bc, *fargs):
+            fargs, (wqe, Jo, Jn) = fargs[:-3], fargs[-3:]
             pub_src = pub_src.reshape(-1)
             pub_dst = pub_dst.reshape(-1)
             pub_src_rev = pub_src_rev.reshape(-1)
             ghost_src = ghost_src.reshape(-1)
             xloc2 = self._halo2(y_own2, pub_src, pub_dst, ghost_src)
             Tloc, ploc = xloc2[0], xloc2[1]
-            nel = eldofs.shape[0]
-            wqe = jnp.zeros((nel, nq, dim), Tloc.dtype)
-            JoJn = jnp.full((nel, nq), -1.0, Tloc.dtype)
             rT_e, rp_e = jax.vmap(elem_res)(
                 Tloc[eldofs], ploc[eldofs], invJ, wdetJ, To, po, Xo,
-                wqe, JoJn, JoJn)
+                wqe, Jo, Jn)
             flat = eldofs.reshape(-1)
             yT = jax.ops.segment_sum(rT_e.reshape(-1), flat,
                                      num_segments=n_loc)
@@ -266,22 +311,26 @@ class DofPartitionedAblationNewton:
 
         return _res(y, self.eldofs_loc, self.invJ, self.wdetJ, To, po, Xo,
                     self.pub_src, self.pub_dst, self.pub_src_rev,
-                    self.ghost_src, self.mask_own2, bc, *fvals)
+                    self.ghost_src, self.mask_own2, bc, *fvals,
+                    wqe_g, Jo_g, Jn_g)
 
-    def residual(self, y, To, po, Xo, dt, bc=None):
+    def residual(self, y, To, po, Xo, dt, bc=None, wq=None, gcl=None):
         """BC-masked distributed residual of the distributed two-field
-        vector ``y``; old-state slabs To/po/Xo from ``pack_elem``."""
+        vector ``y``; old-state slabs To/po/Xo (and optional ALE wq /
+        GCL J_old,J_new slabs) from ``pack_elem``."""
+        wq, gcl = self._ale_defaults(wq, gcl)
         return self._residual_j(y, To, po, Xo, jnp.asarray(dt), bc,
-                                self._face_vals())
+                                self._face_vals(), wq, gcl[0], gcl[1])
 
     # -- Jacobian preparation ----------------------------------------------------
 
-    def _prepare_impl(self, y, To, po, Xo, dt, bc, fvals):
+    def _prepare_impl(self, y, To, po, Xo, dt, bc, fvals, wqe_g, Jo_g,
+                      Jn_g):
         axis = self.axis
         dp = self.part
-        elem_res = self.sys.elem_residual_fn(dt)
-        nq = np.asarray(self.sys.ops.gf.wdetJ).shape[1]
-        dim = np.asarray(self.sys.ops.gf.invJ).shape[-1]
+        elem_res = self.sys.elem_residual_fn(dt,
+                                             gcl_enabled=self.gcl_enabled,
+                                             ale_toggles=self.ale_toggles)
         with_seb = self.seb is not None
         nd = self.nd
         n_loc = dp.n_loc
@@ -289,11 +338,12 @@ class DofPartitionedAblationNewton:
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(P(axis),) * 13 + (P(),)
-                 + tuple(P(axis) for _ in fvals),
+                 + tuple(P(axis) for _ in fvals) + (P(axis),) * 3,
                  out_specs=(P(axis), P(axis), P(axis)))
         def _prep(y_own2, eldofs, invJ, wdetJ, To, po, Xo, lmask,
                   mask2_loc, pub_src, pub_dst, pub_src_rev, ghost_src,
                   bc, *fargs):
+            fargs, (wqe, Jo, Jn) = fargs[:-3], fargs[-3:]
             pub_src = pub_src.reshape(-1)
             pub_dst = pub_dst.reshape(-1)
             pub_src_rev = pub_src_rev.reshape(-1)
@@ -301,13 +351,9 @@ class DofPartitionedAblationNewton:
             mask2_loc = mask2_loc.reshape(-1)
             xloc2 = self._halo2(y_own2, pub_src, pub_dst, ghost_src)
             Tloc, ploc = xloc2[0], xloc2[1]
-            nel = eldofs.shape[0]
-            wqe = jnp.zeros((nel, nq, dim), Tloc.dtype)
-            JoJn = jnp.full((nel, nq), -1.0, Tloc.dtype)
             jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)))
             (JTT, JTp), (JpT, Jpp) = jac(Tloc[eldofs], ploc[eldofs], invJ,
-                                         wdetJ, To, po, Xo, wqe, JoJn,
-                                         JoJn)
+                                         wdetJ, To, po, Xo, wqe, Jo, Jn)
             top = jnp.concatenate([JTT, JTp], axis=2)
             bot = jnp.concatenate([JpT, Jpp], axis=2)
             Je = jnp.concatenate([top, bot], axis=1)
@@ -352,14 +398,15 @@ class DofPartitionedAblationNewton:
         return _prep(y, self.eldofs_loc, self.invJ, self.wdetJ, To, po,
                      Xo, self.lmask, self.mask2_loc, self.pub_src,
                      self.pub_dst, self.pub_src_rev, self.ghost_src, bc,
-                     *fvals)
+                     *fvals, wqe_g, Jo_g, Jn_g)
 
-    def prepare(self, y, To, po, Xo, dt, bc=None):
+    def prepare(self, y, To, po, Xo, dt, bc=None, wq=None, gcl=None):
         """AD-assemble, BC-eliminate, and equilibrate on-device; returns
         (Je_s sharded element blocks, pb owned-slab PC, s owned-slab
         scaling)."""
+        wq, gcl = self._ale_defaults(wq, gcl)
         return self._prepare_j(y, To, po, Xo, jnp.asarray(dt), bc,
-                               self._face_vals())
+                               self._face_vals(), wq, gcl[0], gcl[1])
 
     # -- linear solve --------------------------------------------------------------
 
@@ -416,11 +463,12 @@ class DofPartitionedAblationNewton:
 
     # -- one full Newton iterate ---------------------------------------------------
 
-    def newton_step(self, y, To, po, Xo, dt, rtol=1e-10, bc=None):
+    def newton_step(self, y, To, po, Xo, dt, rtol=1e-10, bc=None, wq=None,
+                    gcl=None):
         """One distributed Newton iterate on the distributed two-field
         vector; returns (y', |R|, gmres cycles).  Essential DOFs are held
         fixed (the caller pre-sets BC values in y)."""
-        R = self.residual(y, To, po, Xo, dt, bc=bc)
-        fac = self.prepare(y, To, po, Xo, dt, bc=bc)
+        R = self.residual(y, To, po, Xo, dt, bc=bc, wq=wq, gcl=gcl)
+        fac = self.prepare(y, To, po, Xo, dt, bc=bc, wq=wq, gcl=gcl)
         res = self.solve(fac, -R, rtol=rtol)
         return y + res.x, jnp.linalg.norm(R), res.iters
