@@ -395,6 +395,74 @@ def test_case22_scan_matches_eager_across_chemistry_switch(tmp_path):
         out_e["recession_total"], rel=1e-8)
 
 
+@pytest.mark.slow
+def test_case22_scan_matches_eager_tri_strip(tmp_path):
+    """The production 2.2 deck runs on the TRIANGLE strip
+    (ablation_strip_tri_uniform.msh); the scan path's remap there is the
+    own-element TriStripRemap (per-step motion << QP edge margin, so the
+    host path's own-element fast path hits 100% and donors agree
+    bit-for-bit).  Scan must match eager on the tri mesh with recession
+    enabled."""
+    from cmfem_tpu.apps.ablation_case2_2 import run
+
+    base = {
+        "mesh_file": f"{REF}/Mesh/ablation_strip_tri_uniform.msh",
+        "material_file": f"{REF}/Input/material_tacot_case2_2.yaml",
+        "boundary_conditions_file":
+            f"{REF}/Input/boundary_conditions_ablation_case2_2.dat",
+        "order": 1,
+        "dt": 0.1,
+        "t_final": 0.3,
+        "newton_print_level": 0,
+        "save_paraview": False,
+        "recession_density_mode": "char_surface",
+        "max_step_recession": 2.0e-6,
+        "linear_solver": "gmres",
+        "linear_rtol": 1.0e-11,
+    }
+    out_e = run({**base, "output_path": str(tmp_path / "eager")})
+    out_s = run({**base, "output_path": str(tmp_path / "scan"),
+                 "scan_stepping": True, "output_every": 3})
+    for k in ("T", "p"):
+        num = np.abs(out_s[k] - out_e[k]).max()
+        den = np.abs(out_e[k]).max()
+        assert num / den < 1e-8, (k, num / den)
+    assert np.abs(out_s["vertices"] - out_e["vertices"]).max() < 1e-12
+    assert out_s["recession_total"] == pytest.approx(
+        out_e["recession_total"], rel=1e-8)
+
+
+def test_tri_strip_remap_margin_and_identity():
+    """TriStripRemap: zero mesh velocity is an exact no-op (each QP's
+    nearest donor is itself), and margin() reports a positive physical
+    bound."""
+    from cmfem_tpu.core import load_gmsh, FESpace
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.motion.remap import TriStripRemap
+
+    mesh = load_gmsh(f"{REF}/Mesh/ablation_strip_tri_uniform.msh")
+    fes = FESpace(mesh, 1)
+    ops = SpaceOps(fes, quad_order=4)
+    rm = TriStripRemap(mesh, ops)
+    assert rm.margin() > 0
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.uniform(0, 1, (rm.ne, rm.nq, 3)))
+    verts = jnp.asarray(mesh.vertices)
+    xq = jnp.asarray(ops.gf.xq)
+    wq = jnp.zeros((rm.ne, rm.nq, 2))
+    Xn = rm(X, verts, xq, wq, 0.1)
+    np.testing.assert_allclose(np.asarray(Xn), np.asarray(X), atol=1e-15)
+    # sub-margin vertical motion keeps donors in-element (values remain
+    # a permutation of the element's own QP rows)
+    wq = wq.at[:, :, 1].set(-0.5 * rm.margin() / 0.1)
+    Xn = rm(X, verts, xq, wq, 0.1)
+    assert np.isfinite(np.asarray(Xn)).all()
+    for e in (0, rm.ne // 2, rm.ne - 1):
+        rows = {tuple(np.round(r, 12)) for r in np.asarray(X[e])}
+        for r in np.asarray(Xn[e]):
+            assert tuple(np.round(r, 12)) in rows
+
+
 def test_structured_remap_degenerate_cell_f32_finite():
     """A fully-collapsed lattice cell (yhi == ylo) must not produce
     inf/nan donors: the inverse-map guard uses finfo tiny of the RUNTIME
