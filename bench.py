@@ -64,13 +64,17 @@ def time_left():
 def make_loop(jax, jnp, fn):
     """Time a fully-jitted loop of applies: per-call dispatch through the
     axon relay is ~60ms, so eager ops between applies would swamp the
-    measurement.  The normalization keeps values bounded and defeats CSE."""
+    measurement.  The feedback term defeats CSE/hoisting without a global
+    reduce — the r2 protocol's max-normalization added a full extra pass
+    over y per apply (measured: order-2 CG at 1787 MDOF/s vs the "bare"
+    apply loop at 1013), understating every apply number.  The constant
+    damping keeps values finite over 50 chained applies."""
 
     @jax.jit
     def many(u, *extra):
         def body(_, u):
             y = fn(u, *extra)
-            return y / (1.0 + jnp.max(jnp.abs(y)))
+            return 0.25 * y + 1e-30 * u
 
         return jax.lax.fori_loop(0, ITERS, body, u)
 
@@ -174,6 +178,20 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
                     ("sumfact-fused-periodic-s4",
                      lambda: sfop.bind(use_fused=True, use_periodic=True,
                                        slab=4)))
+            # zfma x slab: wider x/y matmuls on top of the FMA z stage
+            # (the order-2 winner's two levers composed); same ~4x live
+            # VMEM of zfma, so gate on half the plain-slab budgets
+            fields2 = 14 * sfop.NZ * 2 * sfop.q1 * sfop.Kx * 4
+            if n % 2 == 0 and fields2 <= 6_000_000:
+                candidates.append(
+                    ("sumfact-zfma-periodic-s2",
+                     lambda: sfop.bind(use_fused=True, use_periodic=True,
+                                       z_fma=True, slab=2)))
+            if n % 4 == 0 and fields4 <= 6_000_000:
+                candidates.append(
+                    ("sumfact-zfma-periodic-s4",
+                     lambda: sfop.bind(use_fused=True, use_periodic=True,
+                                       z_fma=True, slab=4)))
     KK = sfop.Ky * sfop.Kx
     if platform == "tpu" and sfop.compressed and KK % 256 == 0:
         candidates.append(("sumfact-pallas",
@@ -205,6 +223,8 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
                        "sumfact-fused-xc2"),
                       ("sumfact-zfma-periodic", "sumfact-fused-periodic",
                        "sumfact-fused-periodic-s4"),
+                      ("sumfact-zfma-periodic-s2",),
+                      ("sumfact-zfma-periodic-s4",),
                       ("sumfact-zfma-const", "sumfact-fused-const")):
             for name in group:
                 if any(c[0] == name for c in candidates):
@@ -573,7 +593,25 @@ def main():
             print(f"# ablation section failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    bsr_results = {}
+    if os.environ.get("BENCH_BLOCKSOLVE", "0") == "1":
+        if time_left() < 200:
+            skipped.append("blocksolve_refinement")
+        else:
+            try:
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"))
+                from blocksolve_refinement import run_study
+
+                bsr_results = run_study()
+                print(f"# blocksolve_refinement {bsr_results}",
+                      file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"# blocksolve_refinement failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+
     print(headline_json(mg=mg_results, ablation=abl_results,
+                        blocksolve_refinement=bsr_results,
                         skipped=skipped))
 
 

@@ -283,22 +283,37 @@ def moving_mesh_and_ale_toggles(cfg: dict):
     :3712; _test.cpp:4409-4416):
 
       moving_mesh (master)                -> recession machinery at all
-      ale_mass_active   = ale_enabled && ale_mass_enabled
-      ale_energy_solid  = ale_enabled && ale_energy_enabled
+      ale_mass_active   = moving_mesh && ale_enabled && ale_mass_enabled
+      ale_energy_solid  = moving_mesh && ale_enabled && ale_energy_enabled
                           && ale_energy_solid_enabled
-      ale_energy_gas    = ale_enabled && ale_energy_enabled
+      ale_energy_gas    = moving_mesh && ale_enabled && ale_energy_enabled
                           && ale_energy_gas_enabled
 
-    (each additionally gated on moving_mesh by construction: with no mesh
-    motion the mesh velocity is absent, so the ALE terms never enter).
-    ``recession_enabled`` is kept as a back-compat alias of moving_mesh.
+    The ``&& moving_mesh`` gate is explicit (as in _test.cpp:4409-4416)
+    rather than relying on the mesh velocity being zero when motion is
+    off; both give identical results today because every ALE term is
+    linear in the mesh velocity, but the explicit form survives future
+    non-linear-in-w terms.
+
+    INTENTIONAL SUPERSET (documented in docs/MIGRATION.md): the reference
+    PRODUCTION driver (ablation_test_case2_2_2D.cpp) parses only
+    moving_mesh/ale_enabled and silently ignores the per-term keys
+    (ale_mass_enabled, ale_energy_*_enabled — those exist only in the
+    _test variant, _test.cpp:120-123); here the production driver honors
+    them too.  Every reference production config leaves them at their
+    defaults (all true), where behavior is identical.
+
+    ``recession_enabled`` (default true) is NOT an alias: it AND-composes
+    with ``moving_mesh``, so setting either to false disables mesh
+    motion.  (``recession_enabled`` predates the reference-named
+    ``moving_mesh`` key in this package and is kept for back-compat.)
     Validates ``mesh_smoothing_model`` like the reference (:483-491)."""
     smoothing = str(cfg.get("mesh_smoothing_model", "laplacian")).lower()
     if smoothing != "laplacian":
         raise ValueError('mesh_smoothing_model must be "laplacian".')
     moving = bool(cfg.get("moving_mesh", True)) \
         and bool(cfg.get("recession_enabled", True))
-    ale = bool(cfg.get("ale_enabled", True))
+    ale = moving and bool(cfg.get("ale_enabled", True))
     ale_energy = ale and bool(cfg.get("ale_energy_enabled", True))
     toggles = (ale and bool(cfg.get("ale_mass_enabled", True)),
                ale_energy and bool(cfg.get("ale_energy_solid_enabled", True)),

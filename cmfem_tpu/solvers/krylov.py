@@ -22,37 +22,77 @@ class SolveResult(NamedTuple):
     iters: jnp.ndarray
     residual: jnp.ndarray  # final residual norm (CG: preconditioned rz norm^1/2 proxy)
     converged: jnp.ndarray
+    # total inner Krylov iterations (GMRES: Arnoldi steps summed over
+    # restart cycles; CG: == iters).  Defaulted so 4-field constructions
+    # elsewhere stay valid; -1 marks "not tracked".
+    inner_iters: jnp.ndarray | int = -1
 
 
 def _identity(x):
     return x
 
 
+def neumaier_dot(a, b, chunks: int = 256):
+    """Compensated (Neumaier/Kahan) dot product for f32 accuracy studies.
+
+    Products are formed in the working dtype, chunk partial sums use the
+    fast tree reduction, and the ``chunks`` partials are combined with a
+    sequential Neumaier compensation (a lax.scan of length ``chunks``) —
+    the accumulation error drops from O(eps*sqrt(chunks)) to O(eps)
+    while the elementwise product rounding (unfixable without wider
+    hardware arithmetic) remains.  Pass as ``cg(..., dot=neumaier_dot)``;
+    PARITY.md records the measured effect on-chip."""
+    a = jnp.ravel(a)
+    b = jnp.ravel(b)
+    n = a.shape[0]
+    c = min(chunks, n)
+    pad = (-n) % c
+    p = (a * b)
+    p = jnp.pad(p, (0, pad)).reshape(c, -1)
+    partials = jnp.sum(p, axis=1)
+
+    def step(carry, v):
+        s, comp = carry
+        t = s + v
+        comp = comp + jnp.where(jnp.abs(s) >= jnp.abs(v),
+                                (s - t) + v, (v - t) + s)
+        return (t, comp), None
+
+    (s, comp), _ = jax.lax.scan(step, (jnp.zeros((), p.dtype),
+                                       jnp.zeros((), p.dtype)), partials)
+    return s + comp
+
+
 def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
-       rtol=1e-12, atol=0.0, maxiter=1000) -> SolveResult:
-    """Preconditioned conjugate gradients for SPD operators."""
+       rtol=1e-12, atol=0.0, maxiter=1000,
+       dot: Callable | None = None) -> SolveResult:
+    """Preconditioned conjugate gradients for SPD operators.
+
+    ``dot`` overrides the inner product (default ``jnp.vdot``) — e.g.
+    ``neumaier_dot`` for the compensated-accumulation experiment."""
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).astype(b.dtype)
     M = M or _identity
+    dot = dot or jnp.vdot
 
     r0 = (b - apply_A(x0)).astype(b.dtype)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = dot(r0, z0)
     bnorm = jnp.linalg.norm(b)
     tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return jnp.logical_and(k < maxiter, jnp.vdot(r, r) > tol2)
+        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = apply_A(p).astype(b.dtype)
-        alpha = rz / jnp.vdot(p, Ap)
+        alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r).astype(b.dtype)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
@@ -155,19 +195,19 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
         # explicit (not Givens-estimated) residual: the estimate drifts
         # in f32; this is also the next cycle's starting vector
         r_new = M(b - apply_A(x_new))
-        return x_new, r_new, jnp.linalg.norm(r_new)
+        return x_new, r_new, jnp.linalg.norm(r_new), k
 
     def cond(state):
-        x, r, res, k = state
+        x, r, res, k, ki = state
         return jnp.logical_and(k < maxiter, res > tol)
 
     def body(state):
-        x, r, res, k = state
-        x, r, res = restart_cycle(x, r)
-        return (x, r, res, k + 1)
+        x, r, res, k, ki = state
+        x, r, res, k_in = restart_cycle(x, r)
+        return (x, r, res, k + 1, ki + k_in)
 
     r0 = M(b - apply_A(x0)).astype(dtype)
-    x, r, res, k = jax.lax.while_loop(
+    x, r, res, k, ki = jax.lax.while_loop(
         cond, body, (x0.astype(dtype), r0, jnp.linalg.norm(r0),
-                     jnp.asarray(0)))
-    return SolveResult(x, k, res, res <= tol)
+                     jnp.asarray(0), jnp.asarray(0)))
+    return SolveResult(x, k, res, res <= tol, ki)
