@@ -29,6 +29,7 @@ import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 from .common import (
+    check_linear_result, linear_usable, load_newton_config, scan_newton,
     replay_newton_history,
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
@@ -196,7 +197,6 @@ def run(cfg: dict) -> dict:
     from ..physics.surface_bc import SurfaceBCSchedule, TopTemperatureSchedule
     from ..physics.seb import SurfaceFluxModel, classify_branch
     from ..physics.ablation import AblationSystem, AblationState
-    from ..solvers import NewtonConfig
     from .ablation_case1 import evaluate_schedule  # noqa: F401 (shared pattern)
 
     material_file = resolve_path(cfg, cfg.get(
@@ -204,11 +204,7 @@ def run(cfg: dict) -> dict:
     order = int(cfg.get("order", 1))
     dt_cfg = float(cfg.get("dt", 1.0e-2))
     t_final = float(cfg.get("t_final", 120.0))
-    newton_cfg = NewtonConfig(
-        abs_tol=float(cfg.get("newton_abs_tol", 1e-8)),
-        rel_tol=float(cfg.get("newton_rel_tol", 1e-6)),
-        max_iter=int(cfg.get("newton_max_iter", 20)),
-    )
+    newton_cfg = load_newton_config(cfg)
     newton_print_level = int(cfg.get("newton_print_level", 1))
     jacobian_rebuild_freq = max(1, int(cfg.get("newton_jacobian_rebuild_freq", 1)))
     jacobian_check = bool(cfg.get("jacobian_check", False))
@@ -394,11 +390,7 @@ def run(cfg: dict) -> dict:
         def solve(self, rhs):
             res = self.sh.solve(self.factors, jnp.asarray(rhs),
                                 rtol=lin_rtol_sh)
-            if not bool(res.converged):
-                raise RuntimeError(
-                    f"block GMRES did not converge: residual "
-                    f"{float(res.residual):.3e} after {int(res.iters)} "
-                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            check_linear_result(res, "block GMRES")
             return np.asarray(res.x)
 
     class _DofPartPrepared:
@@ -411,11 +403,7 @@ def run(cfg: dict) -> dict:
             res = self.dn.solve(self.factors,
                                 self.dn.to_dist2(rhs[:n], rhs[n:]),
                                 rtol=lin_rtol_sh)
-            if not bool(res.converged):
-                raise RuntimeError(
-                    f"distributed block GMRES did not converge: residual "
-                    f"{float(res.residual):.3e} after {int(res.iters)} "
-                    f"restart cycles (raise gmres_restart/gmres_maxiter)")
+            check_linear_result(res, "distributed block GMRES")
             dxT, dxp = self.dn.from_dist2(res.x)
             return np.concatenate([dxT, dxp])
 
@@ -659,8 +647,8 @@ def run_scan(cfg: dict) -> dict:
                                       TopTemperatureSchedule)
     from ..physics.seb import SurfaceFluxModel, classify_branch
     from ..physics.ablation import AblationSystem, AblationState
-    from ..solvers import BlockNewtonKrylov
-    from ..solvers.blocksolve import strip_dof_lattice
+
+
 
     if int(cfg.get("order", 1)) != 1:
         raise NotImplementedError("scan_stepping requires order 1")
@@ -679,6 +667,11 @@ def run_scan(cfg: dict) -> dict:
     abs_tol = float(cfg.get("newton_abs_tol", 1e-8))
     rel_tol = float(cfg.get("newton_rel_tol", 1e-6))
     max_iter = int(cfg.get("newton_max_iter", 20))
+    stall_kw = dict(
+        stall_improve=float(cfg.get("newton_stall_improve", 1e-3)),
+        stall_patience=int(cfg.get("newton_stall_patience", 2)),
+        stall_accept_rel=float(cfg.get("newton_stall_accept_rel", 1e-3)),
+        stall_dx_rtol=cfg.get("newton_stall_dx_rtol", None))
     lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
     output_every = int(cfg.get("output_every", 10))
     if output_every < 1:
@@ -757,14 +750,9 @@ def run_scan(cfg: dict) -> dict:
     mask2[ess_T] = True
     mask2[ess + n] = True
     mask2_j = jnp.asarray(mask2)
-    try:
-        lat = strip_dof_lattice(fes.node_positions)
-    except ValueError:
-        lat = None
-    bks = BlockNewtonKrylov(fes.element_dofs, n, ess_T, ess,
-                            restart=int(cfg.get("gmres_restart", 400)),
-                            maxiter=int(cfg.get("gmres_maxiter", 10)),
-                            dof_lattice=lat)
+    from ..solvers.blocksolve import make_scan_block_solver
+    bks = make_scan_block_solver(cfg, fes.element_dofs, n, ess_T, ess,
+                                 fes.node_positions)
     face_elem_j = jnp.asarray(np.asarray(sys_.trace.elem, dtype=np.int64))
 
     # -- restart plumbing --------------------------------------------------
@@ -870,46 +858,26 @@ def run_scan(cfg: dict) -> dict:
                                                  model, bprime)
             return jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp]))
 
-        def nw_cond(st):
-            return (~st[5]) & (st[2] < max_iter)
+        def solve(T, p, R):
+            blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X, dt)
+            if use_dirichlet:
+                fac = bks._prepare_impl(*blocks)
+            else:
+                face = sys_.seb_face_jacobians(T, p, X, bc, branch,
+                                               model, bprime)
+                fac = bks._prepare_face(*blocks, *face, face_elem_j)
+            sol = bks._solve(*fac, -R, jnp.asarray(lin_rtol),
+                             jnp.asarray(0.0))
+            dx = sol.x
+            Tn = T + dx[:n]
+            if use_dirichlet:
+                Tn = Tn.at[essj].set(top_T_at(t))
+            pn = (p + dx[n:]).at[essj].set(bc.p_w)
+            return Tn, pn, jnp.linalg.norm(dx), linear_usable(sol)
 
-        def nw_body(st):
-            T, p, it, r0, _, _, res_h, upd_h, lin_ok = st
-            R = residual(T, p)
-            rn = jnp.linalg.norm(R)
-            r0 = jnp.where(it == 0, jnp.maximum(1.0, rn), r0)
-            done = (rn < abs_tol) | (rn / r0 < rel_tol)
-            res_h = res_h.at[it].set(rn)
-
-            def solve(tp):
-                T, p = tp
-                blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q,
-                                                X, dt)
-                if use_dirichlet:
-                    fac = bks._prepare_impl(*blocks)
-                else:
-                    face = sys_.seb_face_jacobians(T, p, X, bc, branch,
-                                                   model, bprime)
-                    fac = bks._prepare_face(*blocks, *face, face_elem_j)
-                sol = bks._solve(*fac, -R, jnp.asarray(lin_rtol),
-                                 jnp.asarray(0.0))
-                dx = sol.x
-                Tn = T + dx[:n]
-                if use_dirichlet:
-                    Tn = Tn.at[essj].set(top_T_at(t))
-                pn = (p + dx[n:]).at[essj].set(bc.p_w)
-                return Tn, pn, jnp.linalg.norm(dx), sol.converged
-
-            T, p, un, ok = jax.lax.cond(
-                done, lambda tp: (tp[0], tp[1], 0.0, True), solve, (T, p))
-            upd_h = upd_h.at[it].set(jnp.where(done, jnp.nan, un))
-            return (T, p, it + 1, r0, rn, done, res_h, upd_h, lin_ok & ok)
-
-        nanh = jnp.full(max_iter + 1, jnp.nan)
-        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = \
-            jax.lax.while_loop(nw_cond, nw_body,
-                               (T, p, 0, 1.0, jnp.inf, False, nanh, nanh,
-                                True))
+        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = scan_newton(
+            T, p, residual=residual, solve=solve, abs_tol=abs_tol,
+            rel_tol=rel_tol, max_iter=max_iter, **stall_kw)
 
         (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
          pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
@@ -990,6 +958,8 @@ def run_scan(cfg: dict) -> dict:
         carry, outs = simulate_chunk(carry, ts, dts)
         jax.block_until_ready(carry[0])
         wall += _time.perf_counter() - w0
+        print(f"[scan] steps {e}/{nsteps} wall={wall:.1f}s "
+              f"({1e3 * wall / max(1, e):.0f} ms/step avg)", flush=True)
         (Ts, ps, Xs, tau_es, rho_es, pi_es, mdot_es, extent_es, pi_qps,
          iters, r0s, rns, dones, res_hs, upd_hs, lin_oks) = \
             [np.asarray(o) for o in outs]

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .krylov import gmres
+from .krylov import SolveResult, gmres
 
 
 def strip_dof_lattice(positions, tol_factor=1e-8):
@@ -378,3 +378,220 @@ class BlockNewtonKrylov:
         return self._solve(Je_s, pb, s, jnp.asarray(b),
                            jnp.asarray(rtol, dtype=jnp.result_type(b)),
                            jnp.asarray(atol, dtype=jnp.result_type(b)))
+
+
+class BlockTridiagDirect(BlockNewtonKrylov):
+    """Exact block-tridiagonal direct solver for strip dof lattices —
+    the TPU-native analog of the reference's MUMPS LU
+    (Input/petsc_ablation*.opts: -ksp_type preonly -pc_type lu).
+
+    On an (NY, NX) dof lattice whose assembled stencil couples adjacent
+    y-levels only (order-1 strips: 9-point stencil), the equilibrated
+    two-field Jacobian is block-tridiagonal with dense (2 NX, 2 NX)
+    level blocks.  Factorization (block Thomas) and the two sweeps are
+    ``lax.scan``s over NY levels of small matmuls: no Krylov iteration,
+    no restart-length Arnoldi program (whose XLA compile alone is
+    minutes inside a scanned Newton), and no working-precision residual
+    floor beyond one iterative-refinement pass.  Newton gets true
+    Newton directions, matching the reference's direct-solve
+    convergence behavior.
+
+    Same ``prepare``/``solve``/``_prepare``/``_solve`` surface as
+    ``BlockNewtonKrylov`` so the scan-path Newton loops are
+    solver-agnostic.
+    """
+
+    def __init__(self, element_dofs, n, ess_T, ess_p, dof_lattice,
+                 restart: int = 16, maxiter: int = 6):
+        super().__init__(element_dofs, n, ess_T, ess_p, restart=restart,
+                         maxiter=maxiter, dof_lattice=dof_lattice)
+        if self.lattice is None:
+            raise ValueError("BlockTridiagDirect requires a dof lattice")
+        if max(abs(oy) for oy, _ in self.lattice["offs"]) > 1:
+            raise ValueError(
+                "stencil couples beyond adjacent y-levels (order > 1); "
+                "use the GMRES path")
+
+    # -- preparation: stencil -> level blocks -> block-Thomas factors ----
+
+    def _level_blocks(self, S):
+        """Scatter the (4, KO, NY, NX) DIA stencil into dense per-level
+        blocks A (diag), B (couples y-1), C (couples y+1), each
+        (NY, 2NX, 2NX), with essential rows replaced by identity
+        (the stencil's mask rows carry summed per-element identity
+        entries; the GMRES path overrides them in the matvec instead)."""
+        L = self.lattice
+        NY, NX = L["NY"], L["NX"]
+        m = 2 * NX
+        dt = S.dtype
+        A = jnp.zeros((NY, m, m), dt)
+        B = jnp.zeros((NY, m, m), dt)
+        C = jnp.zeros((NY, m, m), dt)
+        for k, (oy, ox) in enumerate(L["offs"]):
+            lo, hi = max(0, -ox), NX - max(0, ox)
+            if hi <= lo:
+                continue
+            rows = np.arange(lo, hi)
+            cols = rows + ox
+            for fg, (f, g) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                vals = S[fg, k][:, lo:hi]
+                if oy == 0:
+                    A = A.at[:, f * NX + rows, g * NX + cols].add(vals)
+                elif oy == -1:
+                    B = B.at[:, f * NX + rows, g * NX + cols].add(vals)
+                else:
+                    C = C.at[:, f * NX + rows, g * NX + cols].add(vals)
+        n = self.n
+        mT = L["mask2_lat"][:n].reshape(NY, NX)
+        mp = L["mask2_lat"][n:].reshape(NY, NX)
+        mrow = jnp.concatenate([mT, mp], axis=1).astype(dt)   # (NY, m)
+        keep = (1.0 - mrow)[:, :, None]
+        eye = jnp.eye(m, dtype=dt)
+        A = A * keep + eye[None] * mrow[:, :, None]
+        B = B * keep
+        C = C * keep
+        return A, B, C
+
+    def _prepare_core(self, Je):
+        """Block-QR elimination down the levels (the stable banded
+        factorization: orthogonal transforms bound the growth factor,
+        where block Thomas measured ~1e6 growth on the graded case-1
+        strip and turned f32 solves into noise).  Fill-in makes the
+        upper factor block-PENTAdiagonal: row y carries (R_y upper
+        triangular, C1_y, E_y) coupling x_{y+1} and x_{y+2}; the level
+        Q factors are kept to transform the rhs at solve time."""
+        S, pb, s = super()._prepare_core(Je)
+        A, B, C = self._level_blocks(S)
+        m = A.shape[1]
+        dt = A.dtype
+        zm = jnp.zeros((m, m), dt)
+
+        def qstep(carry, abc):
+            Dc, Cc = carry                      # current top row (E = 0)
+            By, Ay, Cy = abc                    # incoming row y+1
+            M = jnp.concatenate([Dc, By], axis=0)          # (2m, m)
+            Q, R = jnp.linalg.qr(M, mode="complete")       # Q (2m, 2m)
+            right = Q.T @ jnp.concatenate(
+                [jnp.concatenate([Cc, zm], axis=1),
+                 jnp.concatenate([Ay, Cy], axis=1)], axis=0)   # (2m, 2m)
+            out = (R[:m], right[:m, :m], right[:m, m:], Q)
+            return (right[m:, :m], right[m:, m:]), out
+
+        (Dl, _), (R, C1, E, Q) = jax.lax.scan(
+            qstep, (A[0], C[0]), (B[1:], A[1:], C[1:]))
+        # final level: QR of the remaining (m, m) block
+        Qf, Rf = jnp.linalg.qr(Dl, mode="complete")
+        return S, (R, C1, E, Q, Qf, Rf), s
+
+    # -- solve: rhs transform + block back-substitution + refinement -----
+
+    def _banded_solve(self, fac, blev):
+        R, C1, E, Q, Qf, Rf = fac
+        m = blev.shape[1]
+        dt = blev.dtype
+
+        def fwd(zc, inp):
+            Qy, b_next = inp
+            zz = Qy.T @ jnp.concatenate([zc, b_next])
+            return zz[m:], zz[:m]
+
+        zl, Z = jax.lax.scan(fwd, blev[0], (Q, blev[1:]))
+        zl = Qf.T @ zl
+
+        def bwd(carry, inp):
+            x1, x2 = carry                      # x_{y+1}, x_{y+2}
+            Ry, C1y, Ey, zy = inp
+            x = jax.scipy.linalg.solve_triangular(
+                Ry, zy - C1y @ x1 - Ey @ x2, lower=False)
+            return (x, x1), x
+
+        xl = jax.scipy.linalg.solve_triangular(Rf, zl, lower=False)
+        (x0, _), X = jax.lax.scan(bwd, (xl, jnp.zeros(m, dt)),
+                                  (R, C1, E, Z), reverse=True)
+        return jnp.concatenate([X, xl[None]], axis=0)
+
+    def _dia_matvec(self, S, y):
+        """Equilibrated stencil matvec in lattice order (mask rows pass
+        through as identity, matching the assembled identity rows)."""
+        L = self.lattice
+        NY, NX, pad = L["NY"], L["NX"], L["pad"]
+        n = self.n
+        xT = y[:n].reshape(NY, NX)
+        xp = y[n:].reshape(NY, NX)
+        pads = ((pad, pad), (pad, pad))
+        xTp = jnp.pad(xT, pads)
+        xpp = jnp.pad(xp, pads)
+        yT = jnp.zeros((NY, NX), y.dtype)
+        yp = jnp.zeros((NY, NX), y.dtype)
+        for k, (oy, ox) in enumerate(L["offs"]):
+            wT = xTp[pad + oy:pad + oy + NY, pad + ox:pad + ox + NX]
+            wp = xpp[pad + oy:pad + oy + NY, pad + ox:pad + ox + NX]
+            yT = yT + S[0, k] * wT + S[1, k] * wp
+            yp = yp + S[2, k] * wT + S[3, k] * wp
+        out = jnp.concatenate([yT.reshape(-1), yp.reshape(-1)])
+        return jnp.where(L["mask2_lat"], y, out)
+
+    def _to_levels(self, v):
+        L = self.lattice
+        NY, NX = L["NY"], L["NX"]
+        return jnp.concatenate([v[:self.n].reshape(NY, NX),
+                                v[self.n:].reshape(NY, NX)], axis=1)
+
+    def _from_levels(self, X):
+        NX = self.lattice["NX"]
+        return jnp.concatenate([X[:, :NX].reshape(-1),
+                                X[:, NX:].reshape(-1)])
+
+    def _solve_impl(self, S, fac, s, b, rtol, atol):
+        """GMRES with the banded-QR solve as (near-exact) left
+        preconditioner.  A pure direct solve is NOT enough here: the
+        equilibrated ablation Jacobian measures cond ~1e15, so any f32
+        factorization — even the backward-stable QR — leaves O(1)
+        relative residual (measured 0.17 at the real step-1 state).
+        GMRES *minimizes* the preconditioned residual over the Krylov
+        space, which is what Newton needs, and with M ~= A^-1 it gets
+        there in a few iterations instead of the point-block PC's
+        hundreds (f64: 1 iteration, direct-grade)."""
+        L = self.lattice
+        bl = jnp.asarray(b)[L["latflat2"]]
+
+        def M(r):
+            return self._from_levels(self._banded_solve(
+                fac, self._to_levels(r)))
+
+        res = gmres(lambda y: self._dia_matvec(S, y), s * bl, M=M,
+                    rtol=rtol, atol=atol, restart=self.restart,
+                    maxiter=self.maxiter)
+        return res._replace(x=(s * res.x)[L["dofperm2"]])
+
+    def solve(self, factors, b, rtol=1e-10, atol=0.0):
+        S, fac, s = factors
+        return self._solve(S, fac, s, jnp.asarray(b),
+                           jnp.asarray(rtol, dtype=jnp.result_type(b)),
+                           jnp.asarray(atol, dtype=jnp.result_type(b)))
+
+
+def make_scan_block_solver(cfg, element_dofs, n, ess_T, ess_p,
+                           node_positions):
+    """Device linear solver for the scan-path Newton loops: the
+    block-tridiagonal direct solver when the mesh qualifies (order-1
+    strip dof lattice; ``lattice_direct: false`` opts out), else
+    equilibrated block GMRES (``gmres_lattice: true`` uses the DIA
+    matvec when a lattice exists)."""
+    lat = None
+    if bool(cfg.get("gmres_lattice", True)):
+        try:
+            lat = strip_dof_lattice(node_positions)
+        except ValueError:
+            lat = None
+    if lat is not None and bool(cfg.get("lattice_direct", True)):
+        try:
+            return BlockTridiagDirect(element_dofs, n, ess_T, ess_p,
+                                      dof_lattice=lat)
+        except ValueError:
+            pass
+    return BlockNewtonKrylov(
+        element_dofs, n, ess_T, ess_p,
+        restart=int(cfg.get("gmres_restart", 400)),
+        maxiter=int(cfg.get("gmres_maxiter", 10)),
+        dof_lattice=lat)

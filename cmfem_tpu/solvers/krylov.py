@@ -26,6 +26,21 @@ class SolveResult(NamedTuple):
     # restart cycles; CG: == iters).  Defaulted so 4-field constructions
     # elsewhere stay valid; -1 marks "not tracked".
     inner_iters: jnp.ndarray | int = -1
+    # GMRES stopped above tol because a full restart cycle improved the
+    # true residual by <10% — the working-precision floor (f32 chips
+    # asked for the deck's f64 rtol) or a defeated preconditioner.
+    # Callers should treat converged|stagnated as a usable iterate and
+    # let the outer (Newton) convergence check arbitrate; NOT stagnated
+    # and NOT converged means the cycle cap hit while still progressing
+    # (raise gmres_maxiter).
+    stagnated: jnp.ndarray | bool = False
+    # final residual norm relative to |M b| (GMRES only; -1.0 marks "not
+    # tracked").  The inexact-Newton arbitration quantity: a direction
+    # with rel_residual << 1 reduces the linearized residual by that
+    # factor, which is all an outer Newton iteration needs
+    # (Eisenstat-Walker forcing eta < 1), even when the clamped
+    # tolerance was missed within the cycle cap.
+    rel_residual: jnp.ndarray | float = -1.0
 
 
 def _identity(x):
@@ -125,7 +140,14 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
     M = M or _identity
 
     bnorm = jnp.linalg.norm(M(b))
-    tol = jnp.maximum(rtol * bnorm, atol)
+    # Working-precision floor: an rtol below ~16 eps (the deck's f64
+    # linear_rtol=1e-10 asked of an f32 chip) is unreachable, and the
+    # Givens residual ESTIMATE keeps shrinking below the true floor, so
+    # without the clamp every cycle runs all m Arnoldi steps and every
+    # solve costs the full restart*maxiter iterations (measured 5.1 s
+    # per ablation Newton iteration on-chip vs ~0.1 s clamped).
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tol = jnp.maximum(jnp.maximum(rtol * bnorm, atol), 16.0 * eps * bnorm)
     m = restart
 
     def arnoldi_body(state):
@@ -198,16 +220,26 @@ def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,
         return x_new, r_new, jnp.linalg.norm(r_new), k
 
     def cond(state):
-        x, r, res, k, ki = state
-        return jnp.logical_and(k < maxiter, res > tol)
+        x, r, res, prev, k, ki = state
+        # stop on convergence, the cycle cap, or stagnation: a full
+        # restart cycle that improved the TRUE residual by <10% means
+        # the iteration sits on the working-precision floor (or the
+        # operator defeats the preconditioner) — further cycles only
+        # burn restart-length Arnoldi sweeps.  NaN residuals also exit
+        # here (NaN comparisons are False).
+        return (k < maxiter) & (res > tol) & (res < 0.9 * prev)
 
     def body(state):
-        x, r, res, k, ki = state
-        x, r, res, k_in = restart_cycle(x, r)
-        return (x, r, res, k + 1, ki + k_in)
+        x, r, res, prev, k, ki = state
+        x, r, res_new, k_in = restart_cycle(x, r)
+        return (x, r, res_new, res, k + 1, ki + k_in)
 
     r0 = M(b - apply_A(x0)).astype(dtype)
-    x, r, res, k, ki = jax.lax.while_loop(
+    x, r, res, prev, k, ki = jax.lax.while_loop(
         cond, body, (x0.astype(dtype), r0, jnp.linalg.norm(r0),
+                     jnp.asarray(jnp.inf, dtype),
                      jnp.asarray(0), jnp.asarray(0)))
-    return SolveResult(x, k, res, res <= tol, ki)
+    stagnated = (res > tol) & ~(res < 0.9 * prev)
+    relres = res / jnp.maximum(bnorm, jnp.asarray(
+        jnp.finfo(dtype).tiny, dtype))
+    return SolveResult(x, k, res, res <= tol, ki, stagnated, relres)

@@ -29,6 +29,24 @@ class NewtonConfig:
     rel_tol: float = 1.0e-8
     max_iter: int = 20
     jacobian_rebuild_freq: int = 1
+    # Working-precision stall exit (f32 chips run the decks' f64
+    # tolerances; the residual floors near rel ~1e-5 on the production
+    # ablation systems — measured on-chip, VERDICT r2 #1).  When the
+    # residual norm fails to improve by ``stall_improve`` relative to
+    # the best seen for ``stall_patience`` consecutive iterations AND
+    # the iterate already sits below ``stall_accept_rel`` relative
+    # residual, the iterate is accepted as converged-at-floor.  A
+    # genuinely diverging solve (rel >= stall_accept_rel) never
+    # stall-exits and still fails fast at max_iter.  Set
+    # stall_accept_rel = 0 to disable.
+    stall_improve: float = 1.0e-3
+    stall_patience: int = 2
+    stall_accept_rel: float = 1.0e-3
+    # second acceptance criterion for steps that START at the floor
+    # (r0 ~ rn so the relative test can never fire): accept when the
+    # last Newton update was numerically negligible, |dx| <=
+    # stall_dx_rtol * |x|.  None -> 30 eps of the working dtype.
+    stall_dx_rtol: float | None = None
 
 
 @dataclass
@@ -89,6 +107,12 @@ def newton_solve(
     du0 = 1.0
     jac_state = None
     freq = max(1, config.jacobian_rebuild_freq)
+    rbest = float("inf")
+    noimp = 0
+    un_prev = float("inf")
+    stall_dx_rtol = config.stall_dx_rtol
+    if stall_dx_rtol is None:
+        stall_dx_rtol = 30.0 * float(jnp.finfo(jnp.result_type(x)).eps)
 
     for it in range(config.max_iter):
         t0 = _time.perf_counter()
@@ -104,7 +128,15 @@ def newton_solve(
         result.final_residual = res_norm
         result.final_relative_residual = rel_res
 
-        if res_norm < config.abs_tol or rel_res < config.rel_tol:
+        noimp = 0 if res_norm < (1.0 - config.stall_improve) * rbest \
+            else noimp + 1
+        rbest = min(rbest, res_norm)
+        xnorm = float(jnp.linalg.norm(x))
+        stalled = (noimp >= config.stall_patience
+                   and (rel_res < config.stall_accept_rel
+                        or un_prev <= stall_dx_rtol * xnorm))
+
+        if res_norm < config.abs_tol or rel_res < config.rel_tol or stalled:
             result.converged = True
             result.iterations = it
             info = NewtonIterationInfo(
@@ -130,6 +162,7 @@ def newton_solve(
 
         t0 = _time.perf_counter()
         update_norm = float(jnp.linalg.norm(dx))
+        un_prev = update_norm
         if it == 0:
             du0 = max(1.0, update_norm)
             result.initial_update_norm = du0

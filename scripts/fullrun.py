@@ -149,6 +149,11 @@ def main():
     ap.add_argument("--newton-rel-tol", type=float, default=None)
     ap.add_argument("--newton-abs-tol", type=float, default=None)
     ap.add_argument("--gmres-maxiter", type=int, default=None)
+    ap.add_argument("--gmres-restart", type=int, default=None)
+    ap.add_argument("--linear-rtol", type=float, default=None,
+                    help="GMRES relative tolerance (deck default 1e-10 "
+                         "targets the f64 MUMPS-parity regime; ~1e-4 is "
+                         "the inexact-Newton setting for f32 chips)")
     ap.add_argument("--lattice", action="store_true",
                     help="enable the window-slicing lattice residual")
     ap.add_argument("--out-dir", default=None)
@@ -196,6 +201,10 @@ def main():
         cfg["newton_abs_tol"] = args.newton_abs_tol
     if args.gmres_maxiter is not None:
         cfg["gmres_maxiter"] = args.gmres_maxiter
+    if args.gmres_restart is not None:
+        cfg["gmres_restart"] = args.gmres_restart
+    if args.linear_rtol is not None:
+        cfg["linear_rtol"] = args.linear_rtol
     if args.lattice:
         cfg["lattice_residual"] = True
 

@@ -18,7 +18,8 @@ def test_moving_mesh_and_ale_toggle_composition():
     from cmfem_tpu.apps.common import moving_mesh_and_ale_toggles as f
 
     assert f({}) == (True, (True, True, True))
-    assert f({"moving_mesh": False}) == (False, (True, True, True))
+    # explicit '&& moving_mesh' gate on every ALE term (_test.cpp:4409-4416)
+    assert f({"moving_mesh": False}) == (False, (False, False, False))
     assert f({"recession_enabled": False})[0] is False
     assert f({"ale_enabled": False}) == (True, (False, False, False))
     assert f({"ale_energy_enabled": False}) == (True, (True, False, False))

@@ -330,3 +330,109 @@ def test_windowed_stencil_assembly_matches_segment_sum():
                        rtol=0, atol=1e-12 * float(jnp.abs(S_seg).max()))
     assert np.allclose(np.asarray(pb_w), np.asarray(pb_s))
     assert np.allclose(np.asarray(s_w), np.asarray(s_s))
+
+
+def test_block_tridiag_direct_matches_dense():
+    """BlockTridiagDirect (the lattice MUMPS analog) must reproduce the
+    dense solve to near machine precision — it is a direct method."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.solvers.blocksolve import (BlockTridiagDirect,
+                                              strip_dof_lattice)
+
+    mesh = make_cartesian_mesh_2d(5, 9)   # NY=10 levels, NX=6 columns
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ed = np.asarray(fes.element_dofs)
+    ne, nd = ed.shape
+    rng = np.random.default_rng(7)
+    eyed = np.eye(nd) * nd * 4.0
+    JTT = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e2
+    Jpp = (rng.standard_normal((ne, nd, nd)) + eyed) * 1.0e-6
+    JTp = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    JpT = rng.standard_normal((ne, nd, nd)) * 1.0e-3
+    ess = np.asarray(fes.boundary_dofs())
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    A = _dense_from_blocks(ed, n, (JTT, JTp, JpT, Jpp), mask2)
+    b = np.where(mask2, 0.0, rng.standard_normal(2 * n))
+    x_ref = np.linalg.solve(A, b)
+
+    lat = strip_dof_lattice(fes.node_positions)
+    btd = BlockTridiagDirect(ed, n, ess, ess, dof_lattice=lat)
+    fac = btd.prepare((jnp.asarray(JTT), jnp.asarray(JTp),
+                       jnp.asarray(JpT), jnp.asarray(Jpp)))
+    res = btd.solve(fac, jnp.asarray(b))
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-11
+    assert np.abs(x[mask2]).max() == 0.0
+
+
+def test_block_tridiag_direct_case1_system():
+    """On the real case-1 strip Jacobian at the actual step-1 Newton
+    state: f64 is LU-grade (the factorization is exact arithmetic);
+    f32 converges the PRECONDITIONED residual in very few Krylov
+    iterations (the equilibrated system measures cond ~1e15, so f32
+    SOLUTION error is meaningless for any method — GMRES's minimized
+    residual is the Newton-relevant quantity, and the banded-QR M gets
+    it to the floor at ~100x fewer iterations than the point-block PC)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, load_gmsh
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.ablation import AblationState, AblationSystem
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.solvers.blocksolve import (BlockTridiagDirect,
+                                              strip_dof_lattice)
+
+    mesh = load_gmsh(f"{REF}/Mesh/ablation_strip.msh")
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=1)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    ess = np.asarray(fes.boundary_dofs([1]))
+    essj = jnp.asarray(ess)
+    T = jnp.full(n, 300.0).at[essj].set(1644.0)
+    p = jnp.full(n, 101325.0)
+    T_old_q = ops.values_at_qp(jnp.full(n, 300.0))
+    p_old_q = ops.values_at_qp(p)
+    X = jnp.asarray(state.extent)
+    blocks = sys_.element_jacobians(T, p, T_old_q, p_old_q, X, 0.1)
+    RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X, 0.1)
+
+    mask2 = np.zeros(2 * n, dtype=bool)
+    mask2[ess] = True
+    mask2[ess + n] = True
+    A = _dense_from_blocks(np.asarray(fes.element_dofs), n, blocks, mask2)
+    b = np.where(mask2, 0.0,
+                 np.concatenate([np.asarray(RT), np.asarray(Rp)]))
+    x_ref = np.linalg.solve(A, b)
+
+    lat = strip_dof_lattice(fes.node_positions)
+    btd = BlockTridiagDirect(np.asarray(fes.element_dofs), n, ess, ess,
+                             dof_lattice=lat)
+    # f64: direct-grade in ~1 Krylov iteration
+    fac64 = btd.prepare(blocks)
+    res64 = btd.solve(fac64, jnp.asarray(b), rtol=1e-12)
+    rel64 = np.linalg.norm(np.asarray(res64.x) - x_ref) \
+        / np.linalg.norm(x_ref)
+    assert rel64 < 1e-9, rel64
+    assert int(res64.inner_iters) <= 4
+
+    # f32: converged-or-floored in << point-block-PC iterations, and the
+    # direction is Newton-usable (it reduces the linearized residual)
+    b32 = tuple(jnp.asarray(np.asarray(blk), jnp.float32)
+                for blk in blocks)
+    fac32 = btd.prepare(b32)
+    res32 = btd.solve(fac32, jnp.asarray(b, jnp.float32), rtol=1e-10)
+    assert bool(res32.converged) or bool(res32.stagnated)
+    assert int(res32.inner_iters) <= btd.restart * btd.maxiter
+    dx = np.asarray(res32.x, dtype=np.float64)
+    lin_res = np.linalg.norm(b - A @ dx) / np.linalg.norm(b)
+    # the unscaled linearized residual after the update must drop hard
+    assert lin_res < 5e-3, lin_res
