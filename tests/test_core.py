@@ -408,3 +408,33 @@ def test_locate_points_tolerates_degenerate_simplex():
     assert ids[0] >= 0 and ids[1] >= 0    # found in healthy elements
     assert ids[2] == -1                   # outside stays not-found
     assert np.isfinite(refs[:2]).all()
+
+
+def test_front_depth_both_crossing_directions():
+    """front_depth must find the tau front in the physical (charred
+    surface -> virgin depth, i.e. increasing-with-depth) orientation.
+
+    The reference's ComputeFrontDepth
+    (ablation_test_case1_2D.cpp:779-819) only detects decreasing
+    crossings, which never occur for the tau field it samples — our
+    front_depth is an intentional superset (see its docstring)."""
+    from cmfem_tpu.core.mesh import make_cartesian_mesh_2d
+    from cmfem_tpu.core.pointlocate import front_depth
+
+    ny = 40
+    mesh = make_cartesian_mesh_2d(2, ny, sx=0.01, sy=0.05)
+    # element row centers in y; charred (tau=0) above y=0.03, virgin below
+    yc = mesh.vertices[mesh.elem_conn].mean(axis=1)[:, 1]
+    tau_up = np.clip((0.03 - yc) / 0.01 + 0.5, 0.0, 1.0)  # rises with depth
+    d98 = front_depth(mesh, tau_up, 0.005, 0.05, 0.0, 0.98)
+    d02 = front_depth(mesh, tau_up, 0.005, 0.05, 0.0, 0.02)
+    # tau crosses 0.98 deeper (smaller y) than 0.02
+    assert d98 > d02 > 0.0
+    assert abs((0.05 - d98) - (0.03 - 0.0048)) < 5e-3
+    assert abs((0.05 - d02) - (0.03 + 0.0048)) < 5e-3
+    # decreasing orientation (the reference's only detected case) still works
+    d = front_depth(mesh, 1.0 - tau_up, 0.005, 0.05, 0.0, 0.5)
+    assert abs((0.05 - d) - 0.03) < 5e-3
+    # constant field: no front
+    assert front_depth(mesh, np.ones_like(tau_up), 0.005, 0.05, 0.0,
+                       0.98) == 0.0
