@@ -671,7 +671,8 @@ def run_scan(cfg: dict) -> dict:
         stall_improve=float(cfg.get("newton_stall_improve", 1e-3)),
         stall_patience=int(cfg.get("newton_stall_patience", 2)),
         stall_accept_rel=float(cfg.get("newton_stall_accept_rel", 1e-3)),
-        stall_dx_rtol=cfg.get("newton_stall_dx_rtol", None))
+        stall_dx_rtol=cfg.get("newton_stall_dx_rtol", None),
+        stall_flat_factor=float(cfg.get("newton_stall_flat_factor", 1.15)))
     lin_rtol = float(cfg.get("linear_rtol", 1.0e-10))
     output_every = int(cfg.get("output_every", 10))
     if output_every < 1:

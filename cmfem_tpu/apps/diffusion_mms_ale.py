@@ -133,7 +133,9 @@ def run(cfg: dict) -> dict:
         res = gmres(bc.constrain_operator(apply_A), B, x0=u,
                     M=jacobi_preconditioner(diag), rtol=lin_rtol,
                     atol=lin_atol, restart=restart, maxiter=cycles)
-        return res.x, res.converged, res.residual
+        # usable = converged | stagnated-at-working-precision-floor (the
+        # deck rtols target f64; see common.check_standalone_linear)
+        return res.x, res.converged | res.stagnated, res.residual
 
     u = jnp.asarray(fes.interpolate(
         lambda x: np.asarray(exact_ref(jnp.asarray(x), 0.0))))

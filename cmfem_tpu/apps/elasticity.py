@@ -14,7 +14,8 @@ import sys
 
 import numpy as np
 
-from .common import parse_args, setup_cpu_if_requested, echo_config, ensure_outdir
+from .common import (parse_args, setup_cpu_if_requested, echo_config,
+                     ensure_outdir, check_standalone_linear)
 from ..utils.yamlcfg import load_yaml
 from ..io import CsvWriter, VTUCollection
 
@@ -89,9 +90,7 @@ def run(cfg: dict) -> dict:
              M=jacobi_preconditioner(diag),
              rtol=float(cfg.get("solver_rtol", 1e-10)),
              maxiter=int(cfg.get("solver_maxiter", 5000)))
-    if not bool(res.converged):
-        raise RuntimeError(f"CG did not converge: iters={int(res.iters)} "
-                           f"residual={float(res.residual)}")
+    check_standalone_linear(res, "CG")
     u = np.asarray(res.x)
 
     # tip deflection: mean u_y over the free-end boundary nodes

@@ -14,7 +14,7 @@ import numpy as np
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir, validate_unit_circle,
+    ensure_outdir, validate_unit_circle, check_standalone_linear,
 )
 from ..utils.yamlcfg import load_yaml
 from ..io import CsvWriter, VTUCollection
@@ -106,10 +106,7 @@ def run(cfg: dict) -> dict:
                 rtol=float(cfg.get("solver_rtol", 1e-12)),
                 restart=int(cfg.get("solver_restart", 100)),
                 maxiter=int(cfg.get("solver_maxiter", 80)))
-    if not bool(res.converged):
-        raise RuntimeError(
-            f"Linear solver did not converge. Iterations={int(res.iters)}, "
-            f"residual={float(res.residual)}")
+    check_standalone_linear(res)
     u = res.x
 
     abs_l2 = float(l2_error(ops, u, exact))

@@ -80,15 +80,22 @@ def neumaier_dot(a, b, chunks: int = 256):
 
 def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
        rtol=1e-12, atol=0.0, maxiter=1000,
-       dot: Callable | None = None) -> SolveResult:
+       dot: Callable | None = None, stall_window: int = 64) -> SolveResult:
     """Preconditioned conjugate gradients for SPD operators.
 
     ``dot`` overrides the inner product (default ``jnp.vdot``) — e.g.
-    ``neumaier_dot`` for the compensated-accumulation experiment."""
+    ``neumaier_dot`` for the compensated-accumulation experiment.
+
+    ``stall_window``: stop (and flag ``stagnated``) when the residual
+    norm fails to improve 10% below its best over that many consecutive
+    iterations — the working-precision floor of the arithmetic, which
+    the deck f64 rtols (1e-10..1e-12) sit below on f32 chips.  CG's
+    residual is non-monotone, so the window is long; 0 disables."""
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).astype(b.dtype)
     M = M or _identity
     dot = dot or jnp.vdot
+    window = int(stall_window) if stall_window else (maxiter + 1)
 
     r0 = (b - apply_A(x0)).astype(b.dtype)
     z0 = M(r0)
@@ -97,11 +104,11 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
     tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
 
     def cond(state):
-        x, r, z, p, rz, k = state
-        return jnp.logical_and(k < maxiter, dot(r, r) > tol2)
+        x, r, z, p, rz, k, rr_best, kbest = state
+        return (k < maxiter) & (dot(r, r) > tol2) & (k - kbest < window)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, rr_best, kbest = state
         Ap = apply_A(p).astype(b.dtype)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
@@ -110,13 +117,21 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        rr = dot(r, r)
+        improved = rr < 0.81 * rr_best  # 10% in norm = 19% in norm^2
+        rr_best = jnp.minimum(rr, rr_best)
+        kbest = jnp.where(improved, k + 1, kbest)
+        return (x, r, z, p, rz_new, k + 1, rr_best, kbest)
 
     z0 = z0.astype(b.dtype)
-    state = (x0, r0, z0, z0, rz0.astype(b.dtype), jnp.asarray(0))
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, rz0.astype(b.dtype), jnp.asarray(0),
+             dot(r0, r0), jnp.asarray(0))
+    x, r, z, p, rz, k, rr_best, kbest = jax.lax.while_loop(cond, body, state)
     rnorm = jnp.linalg.norm(r)
-    return SolveResult(x, k, rnorm, rnorm <= jnp.sqrt(tol2) + 1e-300)
+    converged = rnorm <= jnp.sqrt(tol2) + 1e-300
+    stagnated = (~converged) & (k - kbest >= window)
+    return SolveResult(x, k, rnorm, converged, stagnated=stagnated,
+                       rel_residual=rnorm / jnp.maximum(bnorm, 1e-300))
 
 
 def gmres(apply_A: Callable, b, x0=None, M: Callable | None = None,

@@ -47,6 +47,21 @@ class NewtonConfig:
     # last Newton update was numerically negligible, |dx| <=
     # stall_dx_rtol * |x|.  None -> 30 eps of the working dtype.
     stall_dx_rtol: float | None = None
+    # third acceptance criterion — residual FLATNESS at the evaluation
+    # floor.  At small dt the BE storage terms amplify f32 rounding by
+    # 1/dt while the per-step residual signal shrinks by dt, so the f32
+    # evaluation floor can sit only a few times below the step's
+    # initial residual (measured on the production case-2.2 deck at
+    # dt=0.0025: R0 ~ 5.7, floor ~ 1.3 — the f64 oracle converges
+    # 5.7 -> 0.009 -> 3e-8 on the same step, so rel-based acceptance
+    # can never fire).  After one exact linear solve the iterate IS the
+    # f64 Newton iterate to working precision; the f32 residual just
+    # cannot see it.  Accept when the residual has been FLAT at its
+    # best value (rn <= stall_flat_factor * rbest) for
+    # ``stall_patience`` consecutive non-improving iterations.  A
+    # diverging solve shows a RISING residual (rn > flat_factor *
+    # rbest) and still fails fast at max_iter.  Set <= 1 to disable.
+    stall_flat_factor: float = 1.15
 
 
 @dataclass
@@ -134,7 +149,8 @@ def newton_solve(
         xnorm = float(jnp.linalg.norm(x))
         stalled = (noimp >= config.stall_patience
                    and (rel_res < config.stall_accept_rel
-                        or un_prev <= stall_dx_rtol * xnorm))
+                        or un_prev <= stall_dx_rtol * xnorm
+                        or res_norm <= config.stall_flat_factor * rbest))
 
         if res_norm < config.abs_tol or rel_res < config.rel_tol or stalled:
             result.converged = True

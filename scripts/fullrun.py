@@ -158,11 +158,20 @@ def main():
                     help="enable the window-slicing lattice residual")
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--artifact", default=None)
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="skip the run; rebuild the artifact JSON from the "
+                         "CSVs already in --out-dir (flushed per row, so a "
+                         "wall-clock-killed run still yields a partial "
+                         "artifact)")
+    ap.add_argument("--wall-s", type=float, default=0.0,
+                    help="wall-clock to record with --summarize-only")
     args = ap.parse_args()
 
     if args.x64:
         os.environ["CMFEM_X64"] = "1"
-    if args.cpu:
+    if args.cpu or args.summarize_only:
+        # summarize-only must never contend for the chip (another run may
+        # still hold it); it only reads CSVs
         os.environ["CMFEM_FORCE_CPU"] = "1"
 
     import importlib
@@ -209,17 +218,21 @@ def main():
         cfg["lattice_residual"] = True
 
     platform = jax.devices()[0].platform
-    print(f"fullrun {args.case}: platform={platform} dt={cfg['dt']} "
-          f"t_final={cfg['t_final']} scan={not args.eager}")
-    t0 = time.perf_counter()
-    run_out = mod.run(cfg)
-    wall = time.perf_counter() - t0
-
     extra = {"scan_stepping": not args.eager,
              "x64": os.environ.get("CMFEM_X64") == "1"}
-    if args.case == "case2_2":
-        extra["recession_total_m"] = float(run_out.get("recession_total",
-                                                       0.0))
+    if args.summarize_only:
+        wall = args.wall_s
+        run_out = {}
+        extra["partial"] = True
+    else:
+        print(f"fullrun {args.case}: platform={platform} dt={cfg['dt']} "
+              f"t_final={cfg['t_final']} scan={not args.eager}")
+        t0 = time.perf_counter()
+        run_out = mod.run(cfg)
+        wall = time.perf_counter() - t0
+        if args.case == "case2_2":
+            extra["recession_total_m"] = float(
+                run_out.get("recession_total", 0.0))
     art = summarize(args.case, out_dir, cfg, wall, run_out, platform, extra)
     path = args.artifact or os.path.join(REPO,
                                          f"artifacts_fullrun_{args.case}.json")

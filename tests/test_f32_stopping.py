@@ -80,9 +80,13 @@ def test_scan_newton_stall_exit_accepts_floor():
     assert float(rn) == pytest.approx(1.0e-4 * np.sqrt(2 * n))
 
 
-def test_scan_newton_divergence_still_fails_fast():
-    """rel residual above stall_accept_rel never stall-exits: the loop
-    runs to max_iter and reports done=False (reference fail-fast)."""
+def test_scan_newton_flat_residual_accepted_as_floor():
+    """SEMANTIC CHANGE with stall criterion (c): a residual that stays
+    FLAT while Newton keeps producing nonzero updates is accepted as the
+    working-precision evaluation floor (small-dt f32 regime of the
+    production case-2.2 deck) instead of failing at max_iter.  Genuine
+    divergence — a RISING residual — still fails fast
+    (test_scan_newton_flat_stall_rejects_divergence)."""
     n = 4
 
     def residual(T, p):
@@ -97,8 +101,15 @@ def test_scan_newton_divergence_still_fails_fast():
         lambda T, p: scan_newton(T, p, residual=residual, solve=solve,
                                  abs_tol=1e-10, rel_tol=1e-8, max_iter=7)
     )(T0, T0)
+    assert bool(done)
+    assert int(it) <= 4
+    # disabling criterion (c) restores the old fail-fast behavior
+    (T, p, it, r0, rn, done, *_rest) = jax.jit(
+        lambda T, p: scan_newton(T, p, residual=residual, solve=solve,
+                                 abs_tol=1e-10, rel_tol=1e-8, max_iter=7,
+                                 stall_flat_factor=0.0)
+    )(T0, T0)
     assert not bool(done)
-    assert int(it) == 7
 
 
 def test_scan_newton_converged_path_unchanged():
@@ -135,10 +146,23 @@ def test_newton_solve_stall_exit():
         config=NewtonConfig(abs_tol=1e-12, rel_tol=1e-8, max_iter=25))
     assert result.converged
     assert result.iterations == 2
-    # and genuine divergence (non-negligible updates, no residual
-    # improvement, rel >= stall_accept_rel) still fails
+    # a FLAT non-improving residual is now accepted as the evaluation
+    # floor (stall criterion (c)); disabling it restores old fail-fast
     x, result = newton_solve(
         lambda x: jnp.full(3, 0.7), jnp.ones(3),
+        solve_linear=lambda x, rhs, jac: jnp.full(3, 0.2),
+        config=NewtonConfig(abs_tol=1e-12, rel_tol=1e-8, max_iter=5,
+                            stall_flat_factor=0.0))
+    assert not result.converged
+    # genuine divergence (rising residual) never flat-exits
+    state = {"r": 0.5}
+
+    def rising(x):
+        state["r"] *= 1.4
+        return jnp.full(3, state["r"])
+
+    x, result = newton_solve(
+        rising, jnp.ones(3),
         solve_linear=lambda x, rhs, jac: jnp.full(3, 0.2),
         config=NewtonConfig(abs_tol=1e-12, rel_tol=1e-8, max_iter=5))
     assert not result.converged
@@ -177,3 +201,91 @@ def test_check_linear_result_arbitration():
                        jnp.asarray(False), 400, jnp.asarray(False))
     with pytest.raises(RuntimeError, match="did not converge"):
         check_linear_result(hard, "t")
+
+
+def test_scan_newton_flat_stall_accepts_evaluation_floor():
+    """Criterion (c): the residual floors FLAT at a value well above
+    stall_accept_rel * r0 (the small-dt f32 regime of the production
+    case-2.2 deck, where the evaluation floor sits only ~4x below R0 and
+    criteria (a)/(b) can never fire).  Synthetic residual with an exact
+    floor f: R = sign(T - T*) * max(|T - T*|, f)."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.apps.common import scan_newton
+
+    n = 8
+    Tstar = jnp.full(n, 2.0)
+    f = 0.25  # per-dof floor
+
+    def residual(T, p):
+        d = T - Tstar
+        Rt = jnp.sign(jnp.where(d == 0, 1.0, d)) * jnp.maximum(
+            jnp.abs(d), f)
+        return jnp.concatenate([Rt, jnp.zeros(n)])
+
+    def solve(T, p, R):
+        dT = R[:n]
+        return T - dT, p, jnp.linalg.norm(dT), True
+
+    # start 4 floors away: r0 = max(1, |R0|) ~ 4f sqrt(n), floor rel ~ 0.25
+    T0 = Tstar + 4 * f
+    (T, p, it, r0, rn, done, *_rest) = scan_newton(
+        T0, jnp.zeros(n), residual=residual, solve=solve,
+        abs_tol=1e-10, rel_tol=1e-8, max_iter=20,
+        stall_accept_rel=1e-3)  # (a) can never fire
+    assert bool(done)
+    assert int(it) <= 6
+    # accepted at the floor, not below it
+    assert float(rn) == pytest.approx(f * np.sqrt(n), rel=1e-6)
+
+
+def test_scan_newton_flat_stall_rejects_divergence():
+    """A rising residual must NOT flat-exit: fail-fast is preserved."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.apps.common import scan_newton
+
+    n = 4
+
+    def residual(T, p):
+        # grows 1.3x per accepted update
+        return jnp.concatenate([T, jnp.zeros(n)])
+
+    def solve(T, p, R):
+        T_new = 1.3 * T  # diverges
+        return T_new, p, jnp.linalg.norm(T_new - T), True
+
+    T0 = jnp.full(n, 1.0)
+    (T, p, it, r0, rn, done, *_rest) = scan_newton(
+        T0, jnp.zeros(n), residual=residual, solve=solve,
+        abs_tol=1e-10, rel_tol=1e-12, max_iter=12,
+        stall_accept_rel=1e-3)
+    assert not bool(done)
+    assert int(it) == 12
+
+
+def test_cg_stagnation_window():
+    """cg flags (not raises) stagnation at the working-precision floor:
+    an inconsistent system can never meet rtol; the window exit reports
+    stagnated=True and check_standalone_linear accepts it with a
+    warning."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.solvers.krylov import cg
+    from cmfem_tpu.apps.common import check_standalone_linear
+
+    # f32 arithmetic with the deck's f64 rtol: the residual floors near
+    # eps(f32) * cond-scale and can never reach 1e-12 relative
+    d = jnp.asarray(np.logspace(0, 2, 200), jnp.float32)
+    apply_A = lambda v: d * v
+    b = jnp.ones(200, jnp.float32)
+    res = cg(apply_A, b, rtol=1e-12, maxiter=2000, stall_window=32)
+    assert not bool(res.converged)
+    assert bool(res.stagnated)
+    assert float(res.rel_residual) < 1e-4  # floored, i.e. actually solved
+    check_standalone_linear(res, "CG")  # accepted with a warning
+
+    # a reachable tolerance still converges normally (no stagnation)
+    res2 = cg(apply_A, b, rtol=1e-4, maxiter=2000, stall_window=32)
+    assert bool(res2.converged)
+    assert not bool(res2.stagnated)
