@@ -441,7 +441,9 @@ def run_scan(cfg: dict) -> dict:
 
     from ..core import FESpace
     from ..ops import SpaceOps
-    from ..core.pointlocate import front_depth, h1_sampling_stencil
+    from ..core.pointlocate import (front_depth, front_depth_static,
+                                    front_line_stencil,
+                                    h1_sampling_stencil)
     from ..physics.tacot import TacotMaterial
     from ..physics.ablation import AblationSystem, AblationState
 
@@ -539,7 +541,8 @@ def run_scan(cfg: dict) -> dict:
             pn = (p + dx[n:]).at[essj].set(top_pressure)
             return Tn, pn, jnp.linalg.norm(dx), linear_usable(sol)
 
-        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = scan_newton(
+        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok,
+            nw_stalled) = scan_newton(
             T, p,
             residual=lambda T, p: residual_fn(T, p, T_old_q, p_old_q, X,
                                               dt),
@@ -552,7 +555,7 @@ def run_scan(cfg: dict) -> dict:
         mdot_surf = sys_.top_boundary_mass_flux(T, p, X)
         carry = (T, p, X, rho_e, pi_e, mdot_e, extent_e, pi_qp)
         out = (probe_vals, mdot_surf, tau_e, it, r0, rn, done,
-               res_h, upd_h, Tbc, lin_ok)
+               res_h, upd_h, Tbc, lin_ok, nw_stalled)
         return carry, out
 
     @jax.jit
@@ -606,8 +609,11 @@ def run_scan(cfg: dict) -> dict:
     # t = 0 row (initial state) + frame 0
     p0v = np.einsum("pn,pn->p", pweights, np.asarray(T0)[pdofs])
     m0 = float(sys_.top_boundary_mass_flux(T0, p0, state0))
-    f98_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.98)
-    f2_0 = front_depth(mesh, state0.tau_elem, xmid, hi[1], lo[1], 0.02)
+    # static mesh: locate the front sampling line ONCE (the per-step
+    # location sweep dominated the post-chunk host loop)
+    fl_ids, fl_ys = front_line_stencil(mesh, xmid, hi[1], lo[1])
+    f98_0 = front_depth_static(fl_ids, fl_ys, state0.tau_elem, hi[1], 0.98)
+    f2_0 = front_depth_static(fl_ids, fl_ys, state0.tau_elem, hi[1], 0.02)
     probes_csv.writerow([0.0, Tbc0] + [float(v) for v in p0v])
     mass_csv.writerow([0.0, m0, 0.0, f98_0, f2_0, 0.0])
     if dc is not None:
@@ -626,7 +632,11 @@ def run_scan(cfg: dict) -> dict:
         print(f"[scan] steps {e}/{nsteps} wall={wall:.1f}s "
               f"({1e3 * wall / max(1, e):.0f} ms/step avg)", flush=True)
         (probes, mdots, taus, iters, r0s, rns, dones, res_hs, upd_hs,
-         Tbcs, lin_oks) = [np.asarray(o) for o in outs]
+         Tbcs, lin_oks, nw_stalls) = [np.asarray(o) for o in outs]
+        if nw_stalls.any():
+            print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
+                  "accepted at the Newton working-precision stall floor "
+                  "(not the abs/rel tolerance)", flush=True)
         if not lin_oks.all():
             bad = b + int(np.nonzero(~lin_oks)[0][0]) + 1
             raise RuntimeError(
@@ -643,8 +653,9 @@ def run_scan(cfg: dict) -> dict:
             tk = float(t_edges[gstep])
             probes_csv.writerow([tk, float(Tbcs[k])]
                                 + [float(v) for v in probes[k]])
-            f98 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.98)
-            f2 = front_depth(mesh, taus[k], xmid, hi[1], lo[1], 0.02)
+            f98 = front_depth_static(fl_ids, fl_ys, taus[k], hi[1],
+                                     0.98)
+            f2 = front_depth_static(fl_ids, fl_ys, taus[k], hi[1], 0.02)
             mass_csv.writerow([tk, float(mdots[k]), 0.0, f98, f2, 0.0])
             replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
                                   float(r0s[k]), res_hs[k], upd_hs[k])

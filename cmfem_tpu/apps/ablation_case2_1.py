@@ -876,7 +876,8 @@ def run_scan(cfg: dict) -> dict:
             pn = (p + dx[n:]).at[essj].set(bc.p_w)
             return Tn, pn, jnp.linalg.norm(dx), linear_usable(sol)
 
-        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = scan_newton(
+        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok,
+            nw_stalled) = scan_newton(
             T, p, residual=residual, solve=solve, abs_tol=abs_tol,
             rel_tol=rel_tol, max_iter=max_iter, **stall_kw)
 
@@ -884,7 +885,7 @@ def run_scan(cfg: dict) -> dict:
          pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
         carry = (T, p, X)
         out = (T, p, X, tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp,
-               it, r0, rn, done, res_h, upd_h, lin_ok)
+               it, r0, rn, done, res_h, upd_h, lin_ok, nw_stalled)
         return carry, out
 
       return step_fn
@@ -932,6 +933,74 @@ def run_scan(cfg: dict) -> dict:
                                lo, hi, step0, float(t0), T0, p0, state_init,
                                use_dirichlet, output_every, nr)
 
+    # ---- chunk-batched output machinery (static mesh) ------------------
+    # The per-step host writer costs a point-location sweep, two
+    # front_depth sweeps, and one tunneled device call PER STEP
+    # (measured ~0.45 s/step on the production deck — more than the
+    # device step itself).  The mesh never moves here, so probe sampling
+    # and the front line are precomputed stencils, and the boundary
+    # diagnostics run as ONE batched (vmapped) device call per chunk.
+    from ..core.pointlocate import (front_depth_static, front_line_stencil,
+                                    h1_sampling_stencil)
+
+    pts_all_s = np.vstack([np.array([[probe_x, probe_y[0]]]), probe_pts])
+    pdofs_all, pw_all = h1_sampling_stencil(fes, pts_all_s)
+    fl_ids, fl_ys = front_line_stencil(mesh, xmid, hi[1], lo[1])
+    trace_elem_np = np.asarray(sys_.trace.elem)
+    _SURF_KEYS = type(sys_)._SURF_KEYS
+    _diag_batch_cache = {}
+
+    def diag_batch_for(label):
+        branch_l, chem_l = label
+        if label not in _diag_batch_cache:
+            def one(T, p, Xrep, pw, rUCH, hr, hc, Te):
+                bcc = BoundaryState(
+                    p_w=pw, rhoeUeCH=rUCH, h_r=hr,
+                    hconv=hc if schedule.has_hconv else 0.0,
+                    Tedge=Te if schedule.has_hconv else 300.0,
+                    has_hconv=schedule.has_hconv,
+                    has_Tedge=schedule.has_hconv, chemistryOn=chem_l)
+                vals = sys_.top_boundary_terms(T, p, Xrep, bcc, branch_l,
+                                               model, bprime)
+                return (jnp.stack([vals["m_dot_g_surf"]]
+                                  + [vals[k] for k in _SURF_KEYS]),
+                        jnp.stack([vals["clamps_p"], vals["clamps_bg"],
+                                   vals["clamps_t"]]))
+            _diag_batch_cache[label] = jax.jit(jax.vmap(one))
+        return _diag_batch_cache[label]
+
+    def chunk_diagnostics(label, b, e, Ts, ps, Xs):
+        """(diag (S, 15), clamps summed) for steps b+1..e; inputs padded
+        to output_every rows so every chunk reuses one compiled batch."""
+        S = e - b
+        pad = output_every - S
+
+        def padit(a):
+            return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0) \
+                if pad > 0 else a
+
+        bcr = bcs[b:e]
+        pws = padit(np.array([x.p_w for x in bcr]))
+        rs = padit(np.array([x.rhoeUeCH for x in bcr]))
+        hrs = padit(np.array([x.h_r for x in bcr]))
+        hcs = padit(np.array([x.hconv for x in bcr]))
+        tes = padit(np.array([x.Tedge for x in bcr]))
+        Xrep = padit(Xs[:, trace_elem_np, 0])
+        diagv, clampv = diag_batch_for(label)(
+            jnp.asarray(padit(Ts)), jnp.asarray(padit(ps)),
+            jnp.asarray(Xrep), jnp.asarray(pws), jnp.asarray(rs),
+            jnp.asarray(hrs), jnp.asarray(hcs), jnp.asarray(tes))
+        diagv = np.asarray(diagv)[:S]
+        if use_dirichlet:
+            diagv[:, 1:] = np.nan
+        clampv = np.asarray(clampv)[:S]
+        if bprime is not None:
+            cs = clampv.sum(axis=0)
+            bprime.clamp_stats.p += int(cs[0])
+            bprime.clamp_stats.bg += int(cs[1])
+            bprime.clamp_stats.t += int(cs[2])
+        return diagv
+
     # chunk boundaries: output frames ∪ restart write triggers (so a
     # checkpoint lands exactly at its trigger step, as in the eager loop)
     trig = set()
@@ -962,8 +1031,12 @@ def run_scan(cfg: dict) -> dict:
         print(f"[scan] steps {e}/{nsteps} wall={wall:.1f}s "
               f"({1e3 * wall / max(1, e):.0f} ms/step avg)", flush=True)
         (Ts, ps, Xs, tau_es, rho_es, pi_es, mdot_es, extent_es, pi_qps,
-         iters, r0s, rns, dones, res_hs, upd_hs, lin_oks) = \
+         iters, r0s, rns, dones, res_hs, upd_hs, lin_oks, nw_stalls) = \
             [np.asarray(o) for o in outs]
+        if nw_stalls.any():
+            print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
+                  "accepted at the Newton working-precision stall floor "
+                  "(not the abs/rel tolerance)", flush=True)
         if not lin_oks.all():
             bad = step0 + b + int(np.nonzero(~lin_oks)[0][0]) + 1
             raise RuntimeError(
@@ -975,19 +1048,42 @@ def run_scan(cfg: dict) -> dict:
                 f"Newton did not converge at step {step0 + b + k + 1}, "
                 f"final residual={rns[k]}")
         amort = wall / e
+        diagv = chunk_diagnostics(step_labels[b], b, e, Ts, ps, Xs)
+        # probes: precomputed stencil, all steps at once
+        pvals = np.einsum("spn,pn->sp", Ts[:, pdofs_all], pw_all)
         for k in range(e - b):
             gstep = step0 + b + k + 1
             tk = float(t_edges[b + k + 1])
-            state = build_state(Xs[k], tau_es[k], rho_es[k], pi_es[k],
-                                mdot_es[k], extent_es[k], pi_qps[k])
-            _write_case21_step_outputs(
-                csvs, dc, sys_, fes, mesh, schedule, model, bprime,
-                probe_x, probe_y, probe_pts, xmid, lo, hi, gstep, tk,
-                Ts[k], ps[k], state, use_dirichlet, output_every, nr)
+            f98 = front_depth_static(fl_ids, fl_ys, tau_es[k], hi[1],
+                                     0.98)
+            f2 = front_depth_static(fl_ids, fl_ys, tau_es[k], hi[1], 0.02)
+            csvs["probes"].writerow([tk] + [float(v) for v in pvals[k]])
+            csvs["mass"].writerow([tk, float(diagv[k][0]), 0.0, f98, f2,
+                                   0.0])
+            # 2.1's boundary CSV omits m_dot_c/rho_s (_BOUNDARY_DIAG_KEYS)
+            csvs["boundary"].writerow(
+                [tk, float(diagv[k][0])]
+                + [float(diagv[k][j]) for j in range(3, 15)])
             replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
                                   float(r0s[k]), res_hs[k], upd_hs[k])
             timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                                  0.0, 0.0, amort])
+            if dc is not None and gstep % output_every == 0:
+                state = build_state(Xs[k], tau_es[k], rho_es[k], pi_es[k],
+                                    mdot_es[k], extent_es[k], pi_qps[k])
+                fields = {
+                    "temperature": Ts[k], "pressure": ps[k],
+                    "tau": state.tau_elem, "rho_s": state.rho_elem,
+                    "pi_total": state.pi_elem, "m_dot_g": state.mdot_elem,
+                    "degree_char": state.degree_char_elem,
+                    "char_density_fraction":
+                        state.char_density_fraction_elem,
+                }
+                for r in range(nr):
+                    fields[f"X{r + 1}"] = state.extent_elem[r]
+                dc.save(gstep, tk, fields)
+        state = build_state(Xs[-1], tau_es[-1], rho_es[-1], pi_es[-1],
+                            mdot_es[-1], extent_es[-1], pi_qps[-1])
         if restart_write and e in trig:
             save_restart(restart_write, step0 + e, float(t_edges[e]),
                          carry[0], carry[1], carry[2],

@@ -257,6 +257,107 @@ def _finalize_case22_outputs(cfg, output_path, amaryllis_mass_file,
     return recession_metrics
 
 
+def _profile_scan_phases(jnp, _time, step_labels, make_bc_at, t_edges,
+                         T0, p0, state0, verts0, sys_, ops, bks, remap,
+                         smooth_mesh_velocity, min_quality, face_elem_j,
+                         mask2_j, lin_rtol, ale_toggles, model, bprime,
+                         vmax_rec, mesh, n, recession_density_mode,
+                         recession_density_constant, recession_enabled,
+                         gcl_enabled, make_step_fn, carry, write_outputs):
+    """Per-phase device timing of one production case-2.2 step
+    (CMFEM_SCAN_PROFILE=1).  Mirrors step_fn's phases exactly; median of
+    repeated jitted calls so tunnel dispatch latency shows up as the
+    'noop' baseline, not inside each phase."""
+    import jax
+
+    branch, chem = step_labels[0]
+    bc_at = make_bc_at(chem)
+    t1 = float(t_edges[1])
+    dtv = float(t_edges[1] - t_edges[0])
+    T, p = T0, p0
+    X = jnp.asarray(state0.extent)
+    verts = jnp.asarray(verts0)
+    bc = bc_at(t1)
+    REPS = 10
+    lat = getattr(bks, "lattice", None)
+    print(f"[profile] solver={type(bks).__name__} "
+          f"lattice={'%dx%d' % (lat['NY'], lat['NX']) if lat else None} "
+          f"ne={sys_.ne} nq={sys_.nq} n={n}")
+
+    def timeit(name, fn, *args):
+        f = jax.jit(fn)
+        r = jax.block_until_ready(f(*args))
+        tt0 = _time.perf_counter()
+        for _ in range(REPS):
+            r = jax.block_until_ready(f(*args))
+        ms = 1e3 * (_time.perf_counter() - tt0) / REPS
+        print(f"[profile] {name:28s} {ms:9.2f} ms", flush=True)
+        return r
+
+    timeit("noop (dispatch baseline)", lambda x: x + 1.0, T)
+    Xrep = jnp.mean(X, axis=1)[jnp.asarray(sys_.trace.elem)]
+    if recession_enabled:
+        vrec = timeit(
+            "recession velocity",
+            lambda T, p: jnp.minimum(sys_._recession_velocity_terms(
+                T, p, Xrep, bc, branch, model, bprime,
+                recession_density_mode, recession_density_constant,
+                verts), vmax_rec), T, p)
+        wy = timeit("smoothing CG",
+                    lambda v_r: smooth_mesh_velocity(verts, v_r), vrec)
+        w_nodal = jnp.zeros((n, mesh.dim)).at[:, 1].set(wy)
+        gf_pre = ops.geometric_factors(verts)
+        wq = jnp.einsum("qn,end->eqd", ops.B, w_nodal[ops.eldofs])
+        timeit("remap", lambda X: remap(X, verts, gf_pre.xq, wq, dtv), X)
+    else:
+        wq = jnp.zeros((sys_.ne, sys_.nq, mesh.dim))
+    timeit("min_quality + geom factors",
+           lambda v: (min_quality(v), ops.geometric_factors(v).detJ),
+           verts)
+    T_old_q = ops.values_at_qp(T)
+    p_old_q = ops.values_at_qp(p)
+    gf_now = ops.geometric_factors(verts)
+    gcl = (gf_now.detJ, gf_now.detJ) if gcl_enabled else None
+
+    def res_fn(T, p):
+        RT, Rp = sys_.residual(T, p, T_old_q, p_old_q, X, dtv, gf=gf_now,
+                               wq=wq, gcl=gcl, ale_toggles=ale_toggles)
+        RT = RT + sys_.seb_face_residual(T, p, X, bc, branch, model,
+                                         bprime, vertices=verts)
+        return jnp.where(mask2_j, 0.0, jnp.concatenate([RT, Rp]))
+
+    R = timeit("residual", res_fn, T, p)
+    blocks = timeit(
+        "element jacobians",
+        lambda T, p: sys_.element_jacobians(
+            T, p, T_old_q, p_old_q, X, dtv, gf=gf_now, wq=wq, gcl=gcl,
+            ale_toggles=ale_toggles), T, p)
+    face = timeit(
+        "face jacobians",
+        lambda T, p: sys_.seb_face_jacobians(T, p, X, bc, branch, model,
+                                             bprime, vertices=verts),
+        T, p)
+    fac = timeit("prepare (factorize)",
+                 lambda blocks, face: bks._prepare_face(
+                     *blocks, *face, face_elem_j), blocks, face)
+    timeit("linear solve",
+           lambda fac, R: bks._solve(*fac, -R, jnp.asarray(lin_rtol),
+                                     jnp.asarray(0.0)).x, fac, R)
+    timeit("advance_state",
+           lambda X, T, p: sys_.advance_state_arrays(X, T, p, dtv),
+           X, T, p)
+    step_fn = make_step_fn(branch, chem)
+    import numpy as _np
+    ts1 = jnp.asarray(t_edges[1:2])
+    dts1 = jnp.asarray(_np.diff(t_edges[0:2]))
+    timeit("FULL STEP (scan len-1)",
+           lambda c: jax.lax.scan(step_fn, c, (ts1, dts1))[0][0], carry)
+    w0 = _time.perf_counter()
+    write_outputs(t1, T0, p0, state0, verts0)
+    print(f"[profile] {'host step outputs':28s} "
+          f"{1e3 * (_time.perf_counter() - w0):9.2f} ms", flush=True)
+
+
 def run(cfg: dict) -> dict:
     _t_run0 = _time.perf_counter()
     if cfg.get("scan_stepping", False):
@@ -977,10 +1078,14 @@ def run_scan(cfg: dict) -> dict:
         if (np.isfinite(max_step_recession) and max_step_recession > 0
             and dt_cfg > 0) else np.inf
 
-    def smooth_mesh_velocity(verts, v_clamped):
+    def smooth_mesh_velocity(verts, v_clamped, wy0=None):
         """Vector-Laplacian smoothing on the current geometry; only the
         recession axis carries -v on top / 0 on bottom (the tangential
-        components solve to zero), mesh_recession_handler.cpp:219-279."""
+        components solve to zero), mesh_recession_handler.cpp:219-279.
+        ``wy0`` warm-starts the CG from the previous step's smoothed
+        field (the velocity changes slowly step-to-step at production
+        dt, so the warm-started solve converges in a few iterations
+        instead of running toward the 500 cap every step)."""
         gf_l = lap_ops.geometric_factors(verts)
         data = lap_form.assemble(gf_l)
         apply_A = lambda u: lap_form.apply(data, u)
@@ -991,15 +1096,72 @@ def run_scan(cfg: dict) -> dict:
         # is unreachable in f32 and would burn all 500 iterations inside
         # the fused scan every step
         rtol = max(1e-12, 50.0 * float(jnp.finfo(B.dtype).eps))
-        res = cg(lap_bc.constrain_operator(apply_A), B,
+        x0 = None if wy0 is None else \
+            jnp.asarray(wy0).at[topj].set(-v_clamped[topj])
+        res = cg(lap_bc.constrain_operator(apply_A), B, x0=x0,
                  M=jacobi_preconditioner(diag), rtol=rtol, maxiter=500)
         return res.x
+
+    # ---- in-scan diagnostics machinery ---------------------------------
+    # All per-step CSV quantities (probes, pressure, mass/fronts,
+    # boundary diagnostics, mass-eq probe, mesh diagnostics) are computed
+    # INSIDE the compiled scan step via tracked-candidate sampling
+    # (core.tracksample): the host post-chunk loop then only formats
+    # arrays into CSV rows.  The previous per-step host sampling cost
+    # ~1.5 s/step through the TPU tunnel — 7x the whole device step.
+    from ..core.tracksample import (TrackedSampler, front_depth_from_samples,
+                                    line_points)
+
+    v0lo = verts0.min(axis=0)
+    v0hi = verts0.max(axis=0)
+    diag_slack = max(2.0e-3, 0.1 * (v0hi[1] - v0lo[1]))
+    probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
+    # row 0 is the wall probe: its y tracks the receding surface per
+    # step (host analog clamps to hi[1] - 1e-9)
+    pts_all0 = np.vstack([[[probe_x, min(probe_y[0], v0hi[1] - 1e-9)]],
+                          probe_pts])
+    diag_sampler = TrackedSampler(mesh, pts_all0, y_slack=diag_slack)
+    pts_all0_j = jnp.asarray(pts_all0)
+    xmid_s = 0.5 * (v0lo[0] + v0hi[0])
+    line_pts = line_points(xmid_s, v0hi[1], v0lo[1])
+    line_sampler = TrackedSampler(mesh, line_pts, y_slack=diag_slack)
+    line_ys = jnp.asarray(line_pts[:, 1])
+    _SURF_KEYS = type(sys_)._SURF_KEYS
+
+    def step_diagnostics(T, p, X, pi_qp, tau_e, verts, bc, branch):
+        """Jittable per-step diagnostics: returns the tuple consumed by
+        the post-chunk CSV writer (wallT, probe_T (np,), wallp,
+        probe_p (np,), meq (np+1, 9), diag (15,), clamps (3,), f98, f2,
+        top_y)."""
+        top_y = jnp.max(verts[topj, 1])
+        pts = pts_all0_j.at[0, 1].set(
+            jnp.minimum(pts_all0_j[0, 1], top_y - 1e-9))
+        loc = diag_sampler.locate(verts, pts)
+        Ts_all = diag_sampler.sample_h1(loc, T)
+        ps_all = diag_sampler.sample_h1(loc, p)
+        meq = sys_.mass_eq_probe_scan(T, p, X, pi_qp, diag_sampler, loc,
+                                      verts)
+        Xrep0 = X[jnp.asarray(sys_.trace.elem), 0]
+        vals = sys_.top_boundary_terms(T, p, Xrep0, bc, branch, model,
+                                       bprime, vertices=verts)
+        diag = jnp.stack([vals["m_dot_g_surf"]]
+                         + [vals[k] for k in _SURF_KEYS])
+        clamps = jnp.stack([vals["clamps_p"], vals["clamps_bg"],
+                            vals["clamps_t"]]).astype(jnp.float64 if
+                                                      jax.config.jax_enable_x64
+                                                      else jnp.float32)
+        lloc = line_sampler.locate(verts)
+        lvals = line_sampler.sample_l2(lloc, tau_e)
+        f98 = front_depth_from_samples(lvals, line_ys, top_y, 0.98)
+        f2 = front_depth_from_samples(lvals, line_ys, top_y, 0.02)
+        return (Ts_all[0], Ts_all[1:], ps_all[0], ps_all[1:], meq, diag,
+                clamps, f98, f2, top_y)
 
     def make_step_fn(branch, chem_static):
       bc_at = make_bc_at(chem_static)
 
       def step_fn(carry, inp):
-        T, p, X, verts, rec_total = carry
+        (T, p, X, verts, rec_total, wy_prev) = carry[:6]
         t, dt = inp
         bc = bc_at(t)
 
@@ -1011,16 +1173,37 @@ def run_scan(cfg: dict) -> dict:
                 recession_density_mode, recession_density_constant, verts)
             v_rec = jnp.minimum(v_rec, vmax_rec)
             mean_v = jnp.mean(v_rec[topj]) if len(top_dofs) else 0.0
-            wy = smooth_mesh_velocity(verts, v_rec)
-            w_nodal = jnp.zeros((n, mesh.dim)).at[:, 1].set(wy)
-            gf_pre = ops.geometric_factors(verts)
-            wq = jnp.einsum("qn,end->eqd", ops.B, w_nodal[ops.eldofs])
-            X = remap(X, verts, gf_pre.xq, wq, dt)
-            # order-1 nodal mesh: scalar dofs == vertices
-            verts = verts + dt * w_nodal
-            rec_total = rec_total + mean_v * dt
-            max_disp = jnp.abs(dt * w_nodal).max()
-            J_old = gf_pre.detJ if gcl_enabled else None
+
+            # skip the smoothing solve + remap + mesh move entirely while
+            # the surface is not receding (pre-char heating and post-
+            # cooldown phases of the production schedule): the whole
+            # block is identity there and the smoothing CG dominates the
+            # non-Newton step cost
+            def _move(args):
+                X, verts, rec_total, wy_prev = args
+                wy = smooth_mesh_velocity(verts, v_rec, wy0=wy_prev)
+                w_nodal = jnp.zeros((n, mesh.dim)).at[:, 1].set(wy)
+                gf_pre = ops.geometric_factors(verts)
+                wq = jnp.einsum("qn,end->eqd", ops.B, w_nodal[ops.eldofs])
+                Xn = remap(X, verts, gf_pre.xq, wq, dt)
+                # order-1 nodal mesh: scalar dofs == vertices
+                verts_n = verts + dt * w_nodal
+                rec_n = rec_total + mean_v * dt
+                max_disp = jnp.abs(dt * w_nodal).max()
+                return (Xn, verts_n, rec_n, wy, wq, max_disp,
+                        gf_pre.detJ)
+
+            def _still(args):
+                X, verts, rec_total, wy_prev = args
+                return (X, verts, rec_total, jnp.zeros_like(wy_prev),
+                        jnp.zeros((ne, nq, mesh.dim)), 0.0,
+                        ops.geometric_factors(verts).detJ)
+
+            active = jnp.max(v_rec) * dt > 1e-16
+            (X, verts, rec_total, wy_prev, wq, max_disp,
+             J_pre) = jax.lax.cond(active, _move, _still,
+                                   (X, verts, rec_total, wy_prev))
+            J_old = J_pre if gcl_enabled else None
         else:
             wq = jnp.zeros((ne, nq, mesh.dim))
             mean_v = 0.0
@@ -1056,16 +1239,22 @@ def run_scan(cfg: dict) -> dict:
             pn = (p + dx[n:]).at[essj].set(bc.p_w)
             return Tn, pn, jnp.linalg.norm(dx), linear_usable(sol)
 
-        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = scan_newton(
+        (T, p, it, r0, rn, done, res_h, upd_h, lin_ok,
+            nw_stalled) = scan_newton(
             T, p, residual=residual, solve=solve, abs_tol=abs_tol,
             rel_tol=rel_tol, max_iter=max_iter, **stall_kw)
 
         (X, tau_e, rho_e, pi_e, mdot_e, extent_e,
          pi_qp) = sys_.advance_state_arrays(X, T, p, dt)
-        carry = (T, p, X, verts, rec_total)
-        out = (T, p, X, verts, rec_total, mean_v, max_disp, minq,
-               tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp,
-               it, r0, rn, done, res_h, upd_h, lin_ok)
+        (wallT, probe_T, wallp, probe_p, meq, diag, clamps, f98, f2,
+         top_y) = step_diagnostics(T, p, X, pi_qp, tau_e, verts, bc,
+                                   branch)
+        carry = (T, p, X, verts, rec_total, wy_prev,
+                 tau_e, rho_e, pi_e, mdot_e, extent_e, pi_qp)
+        out = (rec_total, mean_v, max_disp, minq,
+               it, r0, rn, done, res_h, upd_h, lin_ok, nw_stalled,
+               wallT, probe_T, wallp, probe_p, meq, diag, clamps,
+               f98, f2, top_y)
         return carry, out
 
       return step_fn
@@ -1125,12 +1314,54 @@ def run_scan(cfg: dict) -> dict:
     T0 = jnp.full(n, 300.0)
     bc0 = schedule.eval(0.0)
     p0 = jnp.full(n, bc0.p_w).at[essj].set(bc0.p_w)
-    carry = (T0, p0, jnp.asarray(state0.extent), jnp.asarray(verts0), 0.0)
+    carry = (T0, p0, jnp.asarray(state0.extent), jnp.asarray(verts0), 0.0,
+             jnp.zeros(n),
+             jnp.asarray(state0.tau_elem), jnp.asarray(state0.rho_elem),
+             jnp.asarray(state0.pi_elem), jnp.asarray(state0.mdot_elem),
+             jnp.asarray(state0.extent_elem),
+             jnp.asarray(state0.pi_qp if state0.pi_qp is not None
+                         else np.zeros((ne, nq))))
     recession_history = [(0.0, 0.0)]
 
-    _write_case22_step_outputs(csvs, sys_, fes, mesh, schedule, model,
-                               bprime, probe_x, probe_y, probe_pts, 0.0,
-                               T0, p0, state0, verts0, 0.0, 0.0, 1.0)
+    if os.environ.get("CMFEM_SCAN_PROFILE", "0") == "1":
+        # per-phase device timing of one production step (perf tool; not
+        # a validation path).  CMFEM_SCAN_PROFILE=1 python -m ...
+        _profile_scan_phases(
+            jnp, _time, step_labels, make_bc_at, t_edges, T0, p0, state0,
+            verts0, sys_, ops, bks, remap, smooth_mesh_velocity,
+            min_quality, face_elem_j, mask2_j, lin_rtol, ale_toggles,
+            model, bprime, vmax_rec, mesh, n, recession_density_mode,
+            recession_density_constant, recession_enabled, gcl_enabled,
+            make_step_fn, carry,
+            lambda tnow, T, p, st, v: _write_case22_step_outputs(
+                csvs, sys_, fes, mesh, schedule, model, bprime, probe_x,
+                probe_y, probe_pts, tnow, T, p, st, v, 0.0, 0.0, 1.0))
+        for c in csvs.values():
+            c.close()
+        return {"profiled": True}
+
+    # step-0 rows via the same jitted diagnostics the scan uses (the
+    # host writer would compile its own sampling/physics programs —
+    # measured ~87 s one-time through the TPU tunnel)
+    import functools
+    branch0 = classify_branch(bc0, model)
+    d0 = jax.jit(functools.partial(step_diagnostics, branch=branch0))(
+        T0, p0, carry[2], carry[11], carry[6], jnp.asarray(verts0), bc0)
+    (wallT0, probeT0, wallp0, probep0, meq0, diag0, clamps0, f98_0, f2_0,
+     topy0) = [np.asarray(x) for x in d0]
+    if bprime is not None:
+        bprime.clamp_stats.p += int(clamps0[0])
+        bprime.clamp_stats.bg += int(clamps0[1])
+        bprime.clamp_stats.t += int(clamps0[2])
+    csvs["probes"].writerow([0.0, float(wallT0)]
+                            + [float(x) for x in probeT0])
+    csvs["pressure"].writerow([0.0, float(wallp0)]
+                              + [float(x) for x in probep0])
+    csvs["meshdiag"].writerow([0.0, float(topy0), 1.0, 0.0, 0.0])
+    csvs["masseq"].writerow([0.0] + [float(x) for x in meq0.reshape(-1)])
+    csvs["mass"].writerow([0.0, float(diag0[0]), float(diag0[1]),
+                           float(f98_0), float(f2_0), 0.0])
+    csvs["boundary"].writerow([0.0] + [float(x) for x in diag0])
     if dc is not None:
         save_frame(0, 0.0, T0, p0, state0, verts0, 0.0)
 
@@ -1149,9 +1380,14 @@ def run_scan(cfg: dict) -> dict:
         wall += _time.perf_counter() - w0
         print(f"[scan] steps {e}/{nsteps} wall={wall:.1f}s "
               f"({1e3 * wall / max(1, e):.0f} ms/step avg)", flush=True)
-        (Ts, ps, Xs, vs, rtots, mean_vs, max_disps, minqs, tau_es, rho_es,
-         pi_es, mdot_es, extent_es, pi_qps, iters, r0s, rns, dones, res_hs,
-         upd_hs, lin_oks) = [np.asarray(o) for o in outs]
+        (rtots, mean_vs, max_disps, minqs, iters, r0s, rns, dones, res_hs,
+         upd_hs, lin_oks, nw_stalls, wallTs, probeTs, wallps, probeps,
+         meqs, diags, clampss, f98s, f2s,
+         topys) = [np.asarray(o) for o in outs]
+        if nw_stalls.any():
+            print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
+                  "accepted at the Newton working-precision stall floor "
+                  "(not the abs/rel tolerance)", flush=True)
         if not lin_oks.all():
             bad = b + int(np.nonzero(~lin_oks)[0][0]) + 1
             raise RuntimeError(
@@ -1170,29 +1406,45 @@ def run_scan(cfg: dict) -> dict:
                 f"Mesh quality ratio below configured minimum threshold "
                 f"at step {bad}.")
         amort = wall / e
+        # clamp-count bookkeeping moved on-device with the diagnostics
+        if bprime is not None:
+            cs = clampss.sum(axis=0)
+            bprime.clamp_stats.p += int(cs[0])
+            bprime.clamp_stats.bg += int(cs[1])
+            bprime.clamp_stats.t += int(cs[2])
         for k in range(e - b):
             gstep = b + k + 1
             tk = float(t_edges[gstep])
-            st_k = build_state(Xs[k], tau_es[k], rho_es[k], pi_es[k],
-                               mdot_es[k], extent_es[k], pi_qps[k])
             recession_history.append((tk, float(rtots[k])))
-            _write_case22_step_outputs(
-                csvs, sys_, fes, mesh, schedule, model, bprime, probe_x,
-                probe_y, probe_pts, tk, Ts[k], ps[k], st_k, vs[k],
-                float(rtots[k]), float(max_disps[k]), float(qratio[k]))
+            csvs["probes"].writerow([tk, float(wallTs[k])]
+                                    + [float(x) for x in probeTs[k]])
+            csvs["pressure"].writerow([tk, float(wallps[k])]
+                                      + [float(x) for x in probeps[k]])
+            csvs["meshdiag"].writerow([tk, float(topys[k]),
+                                       float(qratio[k]),
+                                       float(max_disps[k]),
+                                       float(rtots[k])])
+            csvs["masseq"].writerow([tk] + [float(x)
+                                            for x in meqs[k].reshape(-1)])
+            csvs["mass"].writerow([tk, float(diags[k][0]),
+                                   float(diags[k][1]), float(f98s[k]),
+                                   float(f2s[k]), float(rtots[k])])
+            csvs["boundary"].writerow([tk] + [float(x) for x in diags[k]])
             replay_newton_history(newton_csv, gstep, tk, int(iters[k]),
                                   float(r0s[k]), res_hs[k], upd_hs[k])
             timing_csv.writerow([gstep, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                                  0.0, 0.0, amort])
         if dc is not None and e % output_every == 0:
-            st = build_state(Xs[-1], tau_es[-1], rho_es[-1], pi_es[-1],
-                             mdot_es[-1], extent_es[-1], pi_qps[-1])
-            save_frame(e, float(t_edges[e]), Ts[-1], ps[-1], st, vs[-1],
+            st = build_state(np.asarray(carry[2]),
+                             *[np.asarray(a) for a in carry[6:12]])
+            save_frame(e, float(t_edges[e]), np.asarray(carry[0]),
+                       np.asarray(carry[1]), st, np.asarray(carry[3]),
                        float(rtots[-1]))
 
-    (T, p, X, verts_f, rec_total) = carry
-    state = build_state(X, tau_es[-1], rho_es[-1], pi_es[-1], mdot_es[-1],
-                        extent_es[-1], pi_qps[-1]) if nsteps else state0
+    (T, p, X, verts_f, rec_total) = carry[:5]
+    state = build_state(np.asarray(X), *[np.asarray(a)
+                                         for a in carry[6:12]]) \
+        if nsteps else state0
 
     for key in ("probes", "mass", "boundary", "newton", "pressure",
                 "meshdiag", "masseq", "timing"):

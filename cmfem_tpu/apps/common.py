@@ -117,6 +117,14 @@ _lin_warnings = {"count": 0}
 # at >10%/cycle without arriving within gmres_maxiter cycles.
 LINEAR_FORCING_ETA = 1.0e-2
 
+# Acceptance bound for STANDALONE stagnated solves: a linear driver with
+# no outer Newton arbiter may accept a stagnation-window exit only when
+# the achieved true relative residual is below this floor — loose enough
+# for the f32 precision floor (~100s of eps after conditioning), tight
+# enough that a defeated preconditioner stalling at rel ~1e-1 raises
+# instead of silently producing wrong error metrics (ADVICE r3 #3).
+STAGNATION_ACCEPT_REL = 1.0e-3
+
 
 def linear_usable(sol, eta: float = LINEAR_FORCING_ETA):
     """Jittable: is this SolveResult a Newton-usable direction?
@@ -170,12 +178,26 @@ def check_standalone_linear(res, what="Linear solver"):
     raises with the tuning hint."""
     if bool(res.converged):
         return
+    rel = float(getattr(res, "rel_residual", -1.0))
     if bool(getattr(res, "stagnated", False)):
-        print(f"WARNING: {what} stopped at the working-precision floor: "
-              f"residual {float(res.residual):.3e} after "
-              f"{int(res.iters)} iterations (deck rtol targets the f64 "
-              "regime).")
-        return
+        # a stagnated iterate is only acceptable if it actually SOLVED
+        # the system to within a loose precision-floor bound: plain slow
+        # convergence (a defeated preconditioner stalling at rel ~1e-1)
+        # also trips the stagnation window, and silently accepting it
+        # hands the driver a wrong solution (ADVICE r3 #3)
+        if 0.0 <= rel <= STAGNATION_ACCEPT_REL:
+            print(f"WARNING: {what} stopped at the working-precision "
+                  f"floor: residual {float(res.residual):.3e} "
+                  f"(rel {rel:.1e}) after {int(res.iters)} iterations "
+                  "(deck rtol targets the f64 regime).")
+            return
+        raise RuntimeError(
+            f"{what} stagnated ABOVE the acceptance floor: rel residual "
+            f"{rel:.3e} > {STAGNATION_ACCEPT_REL:.1e} after "
+            f"{int(res.iters)} iterations — the preconditioner is "
+            "defeated or the system is inconsistent; this is not a "
+            "working-precision floor (improve the preconditioner or "
+            "raise solver_maxiter)")
     raise RuntimeError(
         f"{what} did not converge. Iterations={int(res.iters)}, "
         f"residual={float(res.residual)} "
@@ -230,45 +252,62 @@ def scan_newton(T, p, *, residual, solve, abs_tol, rel_tol, max_iter,
           which covers steps that START at the floor (r0 ~ rn, rel ~ 1,
           e.g. a quiescent step after the surface ramp completes) where
           (a) can never fire;
-      (c) rn <= stall_flat_factor * rbest — the residual is FLAT at its
-          best value.  At small dt the BE storage terms amplify f32
-          rounding by 1/dt while the per-step signal shrinks by dt, so
-          the f32 evaluation floor sits only a few times below R0 (the
-          production case-2.2 deck at dt=0.0025 floors at rel ~0.22
-          while the f64 oracle reaches 3e-9 on the same step): after one
-          good linear solve the iterate IS the f64 Newton iterate to
-          working precision and neither (a) nor (b) can ever fire.  A
-          diverging solve shows a RISING residual and never flat-exits
-          (see NewtonConfig.stall_flat_factor).
+      (c) the residual has been FLAT at its best value for the whole
+          non-improving window: max(residuals since the last
+          improvement) <= stall_flat_factor * rbest, where rbest is the
+          best BEFORE this iteration's residual is absorbed, AND every
+          linear solve so far was usable (lin_ok).  At small dt the BE
+          storage terms amplify f32 rounding by 1/dt while the per-step
+          signal shrinks by dt, so the f32 evaluation floor sits only a
+          few times below R0 (the production case-2.2 deck at dt=0.0025
+          floors at rel ~0.22 while the f64 oracle reaches 3e-9 on the
+          same step): after one good linear solve the iterate IS the f64
+          Newton iterate to working precision and neither (a) nor (b)
+          can ever fire.  Tracking the window MAXIMUM (not just the
+          latest rn) means an oscillating divergence (1.0, 5.0, 1.1)
+          never flat-exits on the dip, and the lin_ok gate keeps the
+          'after one good linear solve' justification honest
+          (ADVICE r3 #2).  Set stall_flat_factor <= 1 to disable
+          criterion (c) entirely.
 
     Returns (T, p, iters, r0, rn, done, res_history, update_history,
-    linear_ok) with NaN-padded fixed-length histories for the newton
-    CSV replay."""
+    linear_ok, stalled) with NaN-padded fixed-length histories for the
+    newton CSV replay; ``stalled`` is True when ``done`` came from a
+    stall-acceptance exit rather than the abs/rel tolerance, so drivers
+    can count and surface floor-accepted steps distinctly."""
     import jax
     import jax.numpy as jnp
 
     if stall_dx_rtol is None:
         stall_dx_rtol = 30.0 * float(jnp.finfo(
             jnp.result_type(T)).eps)
+    flat_enabled = float(stall_flat_factor) > 1.0
 
     def nw_cond(st):
         return (~st[5]) & (st[2] < max_iter)
 
     def nw_body(st):
         (T, p, it, r0, _, _, res_h, upd_h, lin_ok, rbest, noimp,
-         un_prev) = st
+         un_prev, rmax, was_stalled) = st
         R = residual(T, p)
         rn = jnp.linalg.norm(R)
         r0 = jnp.where(it == 0, jnp.maximum(1.0, rn), r0)
+        rbest_pre = rbest
         improved = rn < (1.0 - stall_improve) * rbest
         noimp = jnp.where(improved, 0, noimp + 1)
+        # max residual over the current non-improving window
+        rmax = jnp.where(improved, rn, jnp.maximum(rmax, rn))
         rbest = jnp.minimum(rbest, rn)
         xnorm = jnp.sqrt(jnp.sum(T * T) + jnp.sum(p * p))
+        flat_ok = (lin_ok & (rmax <= stall_flat_factor * rbest_pre)
+                   if flat_enabled else jnp.asarray(False))
         stalled = (noimp >= stall_patience) & (
             (rn / r0 < stall_accept_rel)
             | (un_prev <= stall_dx_rtol * xnorm)
-            | (rn <= stall_flat_factor * rbest))
-        done = (rn < abs_tol) | (rn / r0 < rel_tol) | stalled
+            | flat_ok)
+        tol_done = (rn < abs_tol) | (rn / r0 < rel_tol)
+        done = tol_done | stalled
+        was_stalled = was_stalled | (stalled & ~tol_done)
         res_h = res_h.at[it].set(rn)
 
         T, p, un, ok = jax.lax.cond(
@@ -276,14 +315,15 @@ def scan_newton(T, p, *, residual, solve, abs_tol, rel_tol, max_iter,
             lambda tp: solve(tp[0], tp[1], R), (T, p))
         upd_h = upd_h.at[it].set(jnp.where(done, jnp.nan, un))
         return (T, p, it + 1, r0, rn, done, res_h, upd_h, lin_ok & ok,
-                rbest, noimp, jnp.where(done, un_prev, un))
+                rbest, noimp, jnp.where(done, un_prev, un), rmax,
+                was_stalled)
 
     nanh = jnp.full(max_iter + 1, jnp.nan)
     out = jax.lax.while_loop(
         nw_cond, nw_body,
         (T, p, 0, 1.0, jnp.inf, False, nanh, nanh, True, jnp.inf, 0,
-         jnp.inf))
-    return out[:9]
+         jnp.inf, jnp.inf, False))
+    return out[:9] + (out[13],)
 
 
 def replay_newton_history(newton_csv, gstep, tk, nit, r0k, res_h, upd_h):

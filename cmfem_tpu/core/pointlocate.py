@@ -246,7 +246,13 @@ def front_depth(mesh: Mesh, elem_vals, x, y_top, y_bottom, threshold,
     ys = y0 - np.arange(ns + 1) * (y0 - y1) / ns
     pts = np.stack([np.full(ns + 1, x), ys], axis=1)
     vals = sample_l2(mesh, elem_vals, pts, vertices)
-    for k in range(1, ns + 1):
+    return front_depth_from_line(vals, ys, y_top, threshold)
+
+
+def front_depth_from_line(vals, ys, y_top, threshold):
+    """Crossing detection of ``front_depth`` on precomputed line samples
+    (pure numpy — no location pass, no device dispatch)."""
+    for k in range(1, len(vals)):
         vp, vc = vals[k - 1], vals[k]
         if (np.isfinite(vp) and np.isfinite(vc)
                 and (vp > threshold >= vc or vp < threshold <= vc)):
@@ -256,6 +262,30 @@ def front_depth(mesh: Mesh, elem_vals, x, y_top, y_bottom, threshold,
             y_cross = ys[k - 1] - frac * (ys[k - 1] - ys[k])
             return max(0.0, y_top - y_cross)
     return 0.0
+
+
+def front_line_stencil(mesh: Mesh, x, y_top, y_bottom, ns=250,
+                       vertices=None):
+    """Precompute the front_depth sampling line ONCE for a STATIC mesh
+    (the case-1/2.1 scan drivers call front_depth per step; the location
+    pass is an O(npts * ne) sweep that dominated their host post-chunk
+    loops).  Returns (elem_ids (ns+1,), ys (ns+1,)); per step,
+    ``front_depth_static(elem_ids, ys, elem_vals, y_top, thr)``."""
+    eps = 1e-9
+    y0 = y_top - eps
+    y1 = y_bottom + eps
+    ys = y0 - np.arange(ns + 1) * (y0 - y1) / ns
+    pts = np.stack([np.full(ns + 1, x), ys], axis=1)
+    elem_ids, _ = locate_points(mesh, pts, vertices)
+    return elem_ids, ys
+
+
+def front_depth_static(elem_ids, ys, elem_vals, y_top, threshold):
+    """front_depth on a precomputed ``front_line_stencil`` (numpy-only
+    per-step cost)."""
+    vals = np.asarray(elem_vals)
+    v = np.where(elem_ids >= 0, vals[np.maximum(elem_ids, 0)], np.nan)
+    return front_depth_from_line(v, ys, y_top, threshold)
 
 
 def sample_h1_grad(fes, u, points, vertices=None):

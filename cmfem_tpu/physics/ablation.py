@@ -716,6 +716,36 @@ class AblationSystem:
         out[found, 8] = -rho_darcy * gradp_y + rho * rho_darcy * gy
         return out
 
+    def mass_eq_probe_scan(self, T, p, X, pi_qp, sampler, loc, verts):
+        """Jittable ``mass_eq_probe``: same 9 columns per point
+        (SampleMassEqProbeAtPoint, ablation_test_case2_2_2D_test.cpp:
+        3483-3560), fed by a ``TrackedSampler`` location so the scan
+        drivers emit the mass-probe CSV without host round trips.
+        ``loc = sampler.locate(verts)``; NaN rows where not found."""
+        eid, ref, found = loc
+        Tpt = sampler.sample_h1(loc, T)
+        ppt = sampler.sample_h1(loc, p)
+        gp = sampler.sample_grad(loc, p, verts)
+        qp_ref = jnp.asarray(self.ops.quad.points)
+        d2 = ((ref[:, None, :] - qp_ref[None]) ** 2).sum(axis=2)
+        nearest_q = jnp.argmin(d2, axis=1)
+        e_safe = jnp.maximum(eid, 0)
+        Xn = X[e_safe, nearest_q]                      # (npts, nr)
+        solid = self.mat.solid_props(Tpt, ppt, Xn)
+        gas = self.mat.gas_props(Tpt, ppt)
+        mu = jnp.maximum(gas["mu"], MU_FLOOR)
+        rho = gas["rho"]
+        K = solid["K"]
+        rho_darcy = rho * K / mu
+        gy = self.gravity[1] if self.gravity.shape[0] > 1 else 0.0
+        gradp_y = gp[:, 1]
+        pi = pi_qp[e_safe, nearest_q]
+        out = jnp.stack([
+            pi, solid["tau"], solid["eps_g"] * rho, gradp_y, rho,
+            gas["mu"], K, rho_darcy,
+            -rho_darcy * gradp_y + rho * rho_darcy * gy], axis=1)
+        return jnp.where(found[:, None], out, jnp.nan)
+
     def top_boundary_mass_flux(self, T, p, state, vertices=None):
         """Area-averaged outward Darcy mass flux on the top boundary
         (ComputeTopBoundaryMassFlux :634-746).  Uses the adjacent element's

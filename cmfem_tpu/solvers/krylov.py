@@ -90,12 +90,42 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
     norm fails to improve 10% below its best over that many consecutive
     iterations — the working-precision floor of the arithmetic, which
     the deck f64 rtols (1e-10..1e-12) sit below on f32 chips.  CG's
-    residual is non-monotone, so the window is long; 0 disables."""
+    residual is non-monotone, so the window is long; 0 disables.
+
+    Stagnation, the convergence test, and the reported
+    ``residual``/``rel_residual`` are all anchored on EXPLICITLY
+    computed true residuals ``b - A x`` (ADVICE r3 #1): the recursive
+    residual keeps shrinking below the true-residual floor in f32 (it
+    measures the consistency of its own recurrence, not the error).
+    Every ``stall_window/2`` iterations the recursive residual is
+    REPLACED by the true one (standard residual replacement; one extra
+    operator apply per half-window), and two stall signals are tracked:
+
+      (1) DETACHMENT — at a replacement checkpoint the true residual is
+          >4x the recursive one.  The recursion has decoupled from the
+          error, which is exactly the working-precision-floor
+          signature; two consecutive detached checkpoints exit.  A
+          healthy solve in any precision keeps the two residuals glued
+          (they diverge only at the floor), so slow or oscillating
+          convergence never trips this.
+      (2) FLAT WINDOW — no 10%-below-best improvement for
+          ``stall_window`` iterations AND the current residual sits
+          within 2x of the historical best.  The nearness guard
+          distinguishes a converged-flat floor (e.g. an inconsistent
+          system in f64, where recursion and truth agree) from CG's
+          legitimate residual EXCURSIONS on ill-conditioned SPD systems,
+          whose 2-norm can rise far above the eventual path back down
+          (the Jacobi-preconditioned elasticity bench rises to 29x |b|
+          for ~300 iterations before converging to 1e-10).
+
+    The final residual is recomputed explicitly after the loop."""
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).astype(b.dtype)
     M = M or _identity
     dot = dot or jnp.vdot
     window = int(stall_window) if stall_window else (maxiter + 1)
+    # trued-residual checkpoint period: two per stall window
+    check = max(1, window // 2)
 
     r0 = (b - apply_A(x0)).astype(b.dtype)
     z0 = M(r0)
@@ -103,33 +133,70 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
     bnorm = jnp.linalg.norm(b)
     tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
 
+    def _flat(st):
+        # no new minimum for a full window AND the latest TRUE residual
+        # sits near the best TRUE value: a converged-flat floor, not an
+        # excursion.  True (checkpoint) values only — the recursive
+        # residual dips below the floor and would poison the guard.
+        (x, r, z, p, rz, rr, k, rr_best, kbest, detach, rr_true,
+         rr_true_best) = st
+        return (k - kbest >= window) & (rr_true <= 4.0 * rr_true_best)
+
     def cond(state):
-        x, r, z, p, rz, k, rr_best, kbest = state
-        return (k < maxiter) & (dot(r, r) > tol2) & (k - kbest < window)
+        rr, k, detach = state[5], state[6], state[9]
+        return (k < maxiter) & (rr > tol2) & (detach < 2) & ~_flat(state)
 
     def body(state):
-        x, r, z, p, rz, k, rr_best, kbest = state
+        (x, r, z, p, rz, rr, k, rr_best, kbest, detach, rr_true,
+         rr_true_best) = state
         Ap = apply_A(p).astype(b.dtype)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
+        rr_rec = dot(r, r)
+        # residual replacement at checkpoints: swap the recursive
+        # residual for the explicit b - A x before the preconditioner
+        # and direction update, so the recurrence re-anchors on truth
+        do_check = (k + 1) % check == 0
+        r = jax.lax.cond(do_check,
+                         lambda xx, rr_: (b - apply_A(xx)).astype(b.dtype),
+                         lambda xx, rr_: rr_, x, r)
         z = M(r).astype(b.dtype)
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        rr = dot(r, r)
+        rr = dot(r, r)           # true rr at checkpoints, recursive else
+        detached = do_check & (rr > 16.0 * rr_rec)  # 4x in norm
+        detach = jnp.where(do_check,
+                           jnp.where(detached, detach + 1, 0), detach)
+        rr_true = jnp.where(do_check, rr, rr_true)
+        rr_true_best = jnp.where(do_check,
+                                 jnp.minimum(rr, rr_true_best),
+                                 rr_true_best)
         improved = rr < 0.81 * rr_best  # 10% in norm = 19% in norm^2
         rr_best = jnp.minimum(rr, rr_best)
         kbest = jnp.where(improved, k + 1, kbest)
-        return (x, r, z, p, rz_new, k + 1, rr_best, kbest)
+        return (x, r, z, p, rz_new, rr, k + 1, rr_best, kbest, detach,
+                rr_true, rr_true_best)
 
     z0 = z0.astype(b.dtype)
-    state = (x0, r0, z0, z0, rz0.astype(b.dtype), jnp.asarray(0),
-             dot(r0, r0), jnp.asarray(0))
-    x, r, z, p, rz, k, rr_best, kbest = jax.lax.while_loop(cond, body, state)
-    rnorm = jnp.linalg.norm(r)
+    rr0 = dot(r0, r0)
+    state = (x0, r0, z0, z0, rz0.astype(b.dtype), rr0,
+             jnp.asarray(0), rr0, jnp.asarray(0), jnp.asarray(0),
+             rr0, rr0)
+    state = jax.lax.while_loop(cond, body, state)
+    k, detach = state[6], state[9]
+    rr, kbest = state[5], state[8]
+    x = state[0]
+    # explicit final residual: the recursive r under-reports in f32
+    rnorm = jnp.linalg.norm(b - apply_A(x))
     converged = rnorm <= jnp.sqrt(tol2) + 1e-300
-    stagnated = (~converged) & (k - kbest >= window)
+    # stagnated: the true residual is above tol but the loop exited on a
+    # floor signal — detachment, the guarded flat window, or the
+    # RECURSIVE residual passing a tolerance the true one cannot reach.
+    # A plain maxiter exit stays unflagged.
+    stagnated = (~converged) & ((detach >= 2) | _flat(state)
+                                | (rr <= tol2))
     return SolveResult(x, k, rnorm, converged, stagnated=stagnated,
                        rel_residual=rnorm / jnp.maximum(bnorm, 1e-300))
 

@@ -57,10 +57,15 @@ class NewtonConfig:
     # can never fire).  After one exact linear solve the iterate IS the
     # f64 Newton iterate to working precision; the f32 residual just
     # cannot see it.  Accept when the residual has been FLAT at its
-    # best value (rn <= stall_flat_factor * rbest) for
-    # ``stall_patience`` consecutive non-improving iterations.  A
-    # diverging solve shows a RISING residual (rn > flat_factor *
-    # rbest) and still fails fast at max_iter.  Set <= 1 to disable.
+    # best pre-update value — max(residuals since the last improvement)
+    # <= stall_flat_factor * rbest — for ``stall_patience`` consecutive
+    # non-improving iterations.  Judging the window MAXIMUM against the
+    # best BEFORE the current residual is absorbed means a diverging or
+    # oscillating solve (residuals 1.0, 5.0, 1.1) never flat-exits on a
+    # dip; it still fails fast at max_iter.  Set <= 1 to disable this
+    # criterion (values in (0, 1] would otherwise still fire on an
+    # exactly flat residual, since rbest bounds the window max from
+    # below — so the implementation disables the whole test there).
     stall_flat_factor: float = 1.15
 
 
@@ -97,6 +102,9 @@ class NewtonResult:
     final_relative_update: float = 0.0
     timing: NewtonTiming = field(default_factory=NewtonTiming)
     history: List[NewtonIterationInfo] = field(default_factory=list)
+    # converged came from a working-precision stall-acceptance exit,
+    # not the abs/rel tolerance (drivers surface these distinctly)
+    stalled: bool = False
 
 
 def newton_solve(
@@ -123,11 +131,13 @@ def newton_solve(
     jac_state = None
     freq = max(1, config.jacobian_rebuild_freq)
     rbest = float("inf")
+    rmax = float("inf")
     noimp = 0
     un_prev = float("inf")
     stall_dx_rtol = config.stall_dx_rtol
     if stall_dx_rtol is None:
         stall_dx_rtol = 30.0 * float(jnp.finfo(jnp.result_type(x)).eps)
+    flat_enabled = config.stall_flat_factor > 1.0
 
     for it in range(config.max_iter):
         t0 = _time.perf_counter()
@@ -143,17 +153,25 @@ def newton_solve(
         result.final_residual = res_norm
         result.final_relative_residual = rel_res
 
-        noimp = 0 if res_norm < (1.0 - config.stall_improve) * rbest \
-            else noimp + 1
+        rbest_pre = rbest
+        improved = res_norm < (1.0 - config.stall_improve) * rbest
+        noimp = 0 if improved else noimp + 1
+        # max residual over the current non-improving window: an
+        # oscillating divergence never flat-exits on a dip
+        rmax = res_norm if improved else max(rmax, res_norm)
         rbest = min(rbest, res_norm)
         xnorm = float(jnp.linalg.norm(x))
+        flat_ok = (flat_enabled
+                   and rmax <= config.stall_flat_factor * rbest_pre)
         stalled = (noimp >= config.stall_patience
                    and (rel_res < config.stall_accept_rel
                         or un_prev <= stall_dx_rtol * xnorm
-                        or res_norm <= config.stall_flat_factor * rbest))
+                        or flat_ok))
+        tol_done = res_norm < config.abs_tol or rel_res < config.rel_tol
 
-        if res_norm < config.abs_tol or rel_res < config.rel_tol or stalled:
+        if tol_done or stalled:
             result.converged = True
+            result.stalled = stalled and not tol_done
             result.iterations = it
             info = NewtonIterationInfo(
                 iter=it, residual_norm=res_norm, residual_norm0=r0,

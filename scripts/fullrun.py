@@ -64,7 +64,7 @@ def summarize(case, out_dir, cfg, wall_s, run_out, platform, extra):
         "hostname": _platform.node(),
         "dt": cfg["dt"],
         "t_final": cfg["t_final"],
-        "wall_s": round(wall_s, 2),
+        "wall_s": None if wall_s is None else round(wall_s, 2),
         **extra,
     }
 
@@ -82,8 +82,8 @@ def summarize(case, out_dir, cfg, wall_s, run_out, platform, extra):
         art["n_steps"] = len(steps)
         art["newton_iters_mean"] = round(sum(iters) / max(1, len(iters)), 3)
         art["newton_iters_max"] = max(iters) if iters else 0
-    art["ms_per_step"] = round(1e3 * wall_s / max(1, art.get("n_steps", 1)),
-                               2)
+    art["ms_per_step"] = None if wall_s is None else round(
+        1e3 * wall_s / max(1, art.get("n_steps", 1)), 2)
 
     # mass metrics: fronts, mdot peak, recession
     mm = os.path.join(out_dir, cfg.get("mass_csv", "mass_metrics.csv"))
@@ -156,6 +156,17 @@ def main():
                          "the inexact-Newton setting for f32 chips)")
     ap.add_argument("--lattice", action="store_true",
                     help="enable the window-slicing lattice residual")
+    ap.add_argument("--stall-improve", type=float, default=0.01,
+                    help="newton_stall_improve for the scan Newton loops: "
+                         "an iteration counts as progress only if it "
+                         "improves the residual by this fraction. The "
+                         "library default (1e-3) lets f32 floor-creep "
+                         "(~0.5%%/iter between 2.09 and 2.03) burn 13 "
+                         "Newton iterations per step on the production "
+                         "2.2 deck; 1%% exits ~3 iterations after real "
+                         "progress stops. Healthy Newton steps improve "
+                         "orders of magnitude per iteration and are "
+                         "unaffected.")
     ap.add_argument("--out-dir", default=None)
     ap.add_argument("--artifact", default=None)
     ap.add_argument("--summarize-only", action="store_true",
@@ -163,8 +174,10 @@ def main():
                          "CSVs already in --out-dir (flushed per row, so a "
                          "wall-clock-killed run still yields a partial "
                          "artifact)")
-    ap.add_argument("--wall-s", type=float, default=0.0,
-                    help="wall-clock to record with --summarize-only")
+    ap.add_argument("--wall-s", type=float, default=None,
+                    help="wall-clock to record with --summarize-only "
+                         "(omitted -> wall_s/ms_per_step are null in the "
+                         "artifact instead of a fake 0.0)")
     args = ap.parse_args()
 
     if args.x64:
@@ -216,6 +229,8 @@ def main():
         cfg["linear_rtol"] = args.linear_rtol
     if args.lattice:
         cfg["lattice_residual"] = True
+    if args.stall_improve is not None:
+        cfg["newton_stall_improve"] = args.stall_improve
 
     platform = jax.devices()[0].platform
     extra = {"scan_stepping": not args.eager,

@@ -69,7 +69,7 @@ def test_scan_newton_stall_exit_accepts_floor():
         return T, p, jnp.asarray(0.0), True
 
     T0 = jnp.zeros(n)
-    (T, p, it, r0, rn, done, res_h, upd_h, lin_ok) = jax.jit(
+    (T, p, it, r0, rn, done, res_h, upd_h, lin_ok, nw_stalled) = jax.jit(
         lambda T, p: scan_newton(T, p, residual=residual, solve=solve,
                                  abs_tol=1e-10, rel_tol=1e-8, max_iter=20)
     )(T0, T0)
@@ -289,3 +289,138 @@ def test_cg_stagnation_window():
     res2 = cg(apply_A, b, rtol=1e-4, maxiter=2000, stall_window=32)
     assert bool(res2.converged)
     assert not bool(res2.stagnated)
+
+
+def test_scan_newton_flat_stall_rejects_oscillating_divergence():
+    """ADVICE r3 #2: criterion (c) judges the window MAXIMUM against the
+    pre-update best, so an oscillating divergence (1.0 -> 5.0 -> 1.1)
+    must not flat-exit on the dip back near the best."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.apps.common import scan_newton
+
+    seq = jnp.asarray([1.0, 5.0, 1.1, 6.0, 1.2, 7.0, 1.3, 8.0])
+
+    def residual(T, p):
+        it = jnp.asarray(T[0], jnp.int32)
+        r = seq[jnp.minimum(it, seq.shape[0] - 1)]
+        # 4-vector with norm == seq[it]
+        return jnp.full(4, r / 2.0)
+
+    def solve(T, p, R):
+        return T + 1.0, p, jnp.asarray(1.0), True
+
+    T0 = jnp.zeros(2)
+    (T, p, it, r0, rn, done, res_h, upd_h, lin_ok, nw_stalled) = \
+        scan_newton(T0, jnp.zeros(2), residual=residual, solve=solve,
+                    abs_tol=1e-10, rel_tol=1e-12, max_iter=8,
+                    stall_accept_rel=0.0, stall_dx_rtol=0.0)
+    assert not bool(done)
+    assert not bool(nw_stalled)
+    assert int(it) == 8
+
+
+def test_scan_newton_flat_stall_gated_on_linear_ok():
+    """Criterion (c)'s justification is 'after one good linear solve';
+    a flat residual with a FAILED linear solve must not flat-exit."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.apps.common import scan_newton
+
+    def residual(T, p):
+        return jnp.full(4, 0.5)
+
+    def solve(T, p, R):
+        return T + 0.1, p, jnp.asarray(0.1), False  # lin_ok = False
+
+    T0 = jnp.ones(2)
+    (T, p, it, r0, rn, done, res_h, upd_h, lin_ok, nw_stalled) = \
+        scan_newton(T0, jnp.zeros(2), residual=residual, solve=solve,
+                    abs_tol=1e-10, rel_tol=1e-12, max_iter=6,
+                    stall_accept_rel=0.0, stall_dx_rtol=0.0)
+    assert not bool(done)
+    assert not bool(lin_ok)
+
+
+def test_scan_newton_reports_stalled_flag():
+    """A flat-floor acceptance sets the distinct stalled flag; a
+    tolerance convergence does not."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.apps.common import scan_newton
+
+    def residual(T, p):
+        return jnp.full(4, 0.5)
+
+    def solve(T, p, R):
+        return T + 0.1, p, jnp.asarray(0.1), True
+
+    T0 = jnp.ones(2)
+    out = scan_newton(T0, jnp.zeros(2), residual=residual, solve=solve,
+                      abs_tol=1e-10, rel_tol=1e-12, max_iter=7)
+    assert bool(out[5]) and bool(out[9])  # done via stall -> stalled
+
+    target = jnp.asarray([2.0, -1.0])
+
+    def residual2(T, p):
+        return jnp.concatenate([T - target, p])
+
+    def solve2(T, p, R):
+        dT = -(T - target)
+        return T + dT, p, jnp.linalg.norm(dT), True
+
+    out = scan_newton(jnp.zeros(2), jnp.zeros(2), residual=residual2,
+                      solve=solve2, abs_tol=1e-10, rel_tol=1e-8,
+                      max_iter=7)
+    assert bool(out[5]) and not bool(out[9])
+
+
+def test_check_standalone_linear_rejects_high_rel_stagnation():
+    """ADVICE r3 #3: a stagnated standalone solve is accepted only when
+    the achieved rel residual is below the precision-floor bound; a
+    defeated preconditioner stalling at rel ~0.5 raises."""
+    import pytest as _pytest
+
+    from cmfem_tpu.apps.common import check_standalone_linear
+    from cmfem_tpu.solvers.krylov import SolveResult
+
+    import jax.numpy as jnp
+
+    bad = SolveResult(jnp.zeros(4), jnp.asarray(50), jnp.asarray(0.5),
+                      jnp.asarray(False), stagnated=jnp.asarray(True),
+                      rel_residual=jnp.asarray(0.5))
+    with _pytest.raises(RuntimeError, match="ABOVE the acceptance floor"):
+        check_standalone_linear(bad, "CG")
+
+    ok = SolveResult(jnp.zeros(4), jnp.asarray(50), jnp.asarray(1e-6),
+                     jnp.asarray(False), stagnated=jnp.asarray(True),
+                     rel_residual=jnp.asarray(1e-6))
+    check_standalone_linear(ok, "CG")  # accepted with a warning
+
+
+def test_newton_solve_flat_stall_matches_scan_semantics():
+    """Host-path newton_solve: oscillating divergence must not flat-exit
+    and a flat floor sets result.stalled."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.solvers.newton import NewtonConfig, newton_solve
+
+    seq = [1.0, 5.0, 1.1, 6.0, 1.2, 7.0, 1.3, 8.0]
+    state = {"it": 0}
+
+    def residual_osc(x):
+        r = seq[min(state["it"], len(seq) - 1)]
+        state["it"] += 1
+        return jnp.full(4, r / 2.0)
+
+    cfg = NewtonConfig(abs_tol=1e-10, rel_tol=1e-12, max_iter=8,
+                       stall_accept_rel=0.0, stall_dx_rtol=0.0)
+    x, res = newton_solve(residual_osc, jnp.zeros(2),
+                          lambda x, rhs, js: jnp.ones(2), cfg)
+    assert not res.converged
+
+    x, res = newton_solve(lambda x: jnp.full(4, 0.5), jnp.ones(2),
+                          lambda x, rhs, js: jnp.full(2, 0.1),
+                          NewtonConfig(abs_tol=1e-10, rel_tol=1e-12,
+                                       max_iter=7))
+    assert res.converged and res.stalled
