@@ -294,6 +294,48 @@ def _profile_scan_phases(jnp, _time, step_labels, make_bc_at, t_edges,
         print(f"[profile] {name:28s} {ms:9.2f} ms", flush=True)
         return r
 
+    warm = int(os.environ.get("CMFEM_SCAN_PROFILE_WARM", "0"))
+    carry0 = carry
+    if warm and os.environ.get("CMFEM_SCAN_PROFILE_STEPS", "0") == "1":
+        # per-step walk with a compiled len-1 program: exposes the
+        # state-dependent cost spread that averages hide
+        step_fn_w = make_step_fn(branch, chem)
+        sfn = jax.jit(lambda c, t, d: jax.lax.scan(
+            step_fn_w, c, (jnp.reshape(t, (1,)), jnp.reshape(d, (1,)))))
+        c = carry0
+        w0 = _time.perf_counter()
+        c, o = sfn(c, float(t_edges[1]), float(t_edges[1] - t_edges[0]))
+        jax.block_until_ready(c[0])
+        print(f"[profile] len-1 compile+step1: "
+              f"{_time.perf_counter() - w0:.1f}s", flush=True)
+        for k in range(1, warm):
+            tk = float(t_edges[k + 1])
+            dk = float(t_edges[k + 1] - t_edges[k])
+            w0 = _time.perf_counter()
+            c, o = sfn(c, tk, dk)
+            jax.block_until_ready(c[0])
+            ms = 1e3 * (_time.perf_counter() - w0)
+            nit = int(o[4][0])
+            print(f"[profile] step {k + 1:3d} t={tk:7.4f} {ms:8.1f} ms "
+                  f"newton_iters={nit}", flush=True)
+        return
+    if warm:
+        step_fn_w = make_step_fn(branch, chem)
+        tsw = jnp.asarray(t_edges[1:warm + 1])
+        dtsw = jnp.asarray(t_edges[1:warm + 1]
+                           - t_edges[0:warm])
+        w0 = _time.perf_counter()
+        carry, _ = jax.jit(lambda c: jax.lax.scan(step_fn_w, c,
+                                                  (tsw, dtsw)))(carry)
+        jax.block_until_ready(carry[0])
+        print(f"[profile] warmup {warm} steps: "
+              f"{_time.perf_counter() - w0:.1f}s (incl. compile)",
+              flush=True)
+        T, p, X, verts = carry[0], carry[1], carry[2], carry[3]
+        t1 = float(t_edges[warm + 1])
+        dtv = float(t_edges[warm + 1] - t_edges[warm])
+        bc = bc_at(t1)
+
     timeit("noop (dispatch baseline)", lambda x: x + 1.0, T)
     Xrep = jnp.mean(X, axis=1)[jnp.asarray(sys_.trace.elem)]
     if recession_enabled:
@@ -990,13 +1032,21 @@ def run_scan(cfg: dict) -> dict:
         "boundary_conditions_file",
         "Input/boundary_conditions_ablation_case2_2.dat")))
 
+    _t_setup = _time.perf_counter()
+    _mark = lambda what: print(
+        f"[setup] {what}: {_time.perf_counter() - _t_setup:.1f}s",
+        flush=True)
     mesh = maybe_reorder_strip_mesh(cfg, load_mesh_from_cfg(cfg))
     fes = FESpace(mesh, 1)
+    _mark("mesh+fes")
     n = fes.nscalar
     print(f"Global true dofs (T+p): {2 * n}")
     ops = SpaceOps(fes, quad_order=4)
+    _mark("spaceops")
     sys_ = AblationSystem(ops, mat, gravity=gravity, top_attr=bdr_top)
+    _mark("ablation system")
     maybe_enable_lattice_residual(cfg, sys_, fes)
+    _mark("lattice residual")
     ne, nq = sys_.ne, sys_.nq
     nr = mat.num_reactions
     state0 = AblationState.initial(ne, nq, mat)
@@ -1010,10 +1060,13 @@ def run_scan(cfg: dict) -> dict:
     # node positions), so it stays valid as the mesh recedes; it turns the
     # GMRES matvec into gather-free shifted-window stencil multiplies
     from ..solvers.blocksolve import make_scan_block_solver
+    _mark("state + bdofs")
     bks = make_scan_block_solver(cfg, fes.element_dofs, n,
                                  np.zeros(0, dtype=np.int64), ess,
                                  fes.node_positions)
+    _mark("block solver")
     face_elem_j = jnp.asarray(np.asarray(sys_.trace.elem, dtype=np.int64))
+    _mark("mesh+fes+ops+system+solver")
 
     nsteps = num_steps(t_final, dt_cfg)
     t_edges = np.minimum(t_final, dt_cfg * np.arange(nsteps + 1))
@@ -1068,7 +1121,7 @@ def run_scan(cfg: dict) -> dict:
                                         qual_args[1], qual_args[2])
         return jnp.min(gfq.detJ)
 
-    init_minq = float(min_quality(jnp.asarray(verts0)))
+    init_minq = float(jax.jit(min_quality)(jnp.asarray(verts0)))
     if not np.isfinite(init_minq) or init_minq <= 0:
         raise RuntimeError(
             "Invalid initial mesh quality for moving-mesh recession.")
@@ -1127,6 +1180,7 @@ def run_scan(cfg: dict) -> dict:
     line_sampler = TrackedSampler(mesh, line_pts, y_slack=diag_slack)
     line_ys = jnp.asarray(line_pts[:, 1])
     _SURF_KEYS = type(sys_)._SURF_KEYS
+    _mark("motion + diagnostics machinery")
 
     def step_diagnostics(T, p, X, pi_qp, tau_e, verts, bc, branch):
         """Jittable per-step diagnostics: returns the tuple consumed by
@@ -1345,8 +1399,12 @@ def run_scan(cfg: dict) -> dict:
     # measured ~87 s one-time through the TPU tunnel)
     import functools
     branch0 = classify_branch(bc0, model)
+    _t_d0 = _time.perf_counter()
     d0 = jax.jit(functools.partial(step_diagnostics, branch=branch0))(
         T0, p0, carry[2], carry[11], carry[6], jnp.asarray(verts0), bc0)
+    jax.block_until_ready(d0[0])
+    print(f"[setup] step-0 diagnostics (incl. jit): "
+          f"{_time.perf_counter() - _t_d0:.1f}s", flush=True)
     (wallT0, probeT0, wallp0, probep0, meq0, diag0, clamps0, f98_0, f2_0,
      topy0) = [np.asarray(x) for x in d0]
     if bprime is not None:
@@ -1365,6 +1423,7 @@ def run_scan(cfg: dict) -> dict:
     if dc is not None:
         save_frame(0, 0.0, T0, p0, state0, verts0, 0.0)
 
+    _mark("outputs + step-0 rows (ready to step)")
     wall = 0.0
     bounds = sorted(set(list(range(0, nsteps, output_every)) + [nsteps])
                     | seg_edges)

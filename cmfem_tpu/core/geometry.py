@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,8 +30,10 @@ class GeometricFactors:
     xq: jnp.ndarray
 
 
-def _inv_det(J):
-    """Batched inverse + determinant for 1x1/2x2/3x3 matrices."""
+def _inv_det(J, xp=jnp):
+    """Batched inverse + determinant for 1x1/2x2/3x3 matrices.
+    ``xp`` selects the array module (jnp in-trace, np for the host-side
+    setup path)."""
     d = J.shape[-1]
     if d == 1:
         det = J[..., 0, 0]
@@ -40,8 +43,8 @@ def _inv_det(J):
         a, b = J[..., 0, 0], J[..., 0, 1]
         c, dd = J[..., 1, 0], J[..., 1, 1]
         det = a * dd - b * c
-        inv = jnp.stack(
-            [jnp.stack([dd, -b], -1), jnp.stack([-c, a], -1)], -2
+        inv = xp.stack(
+            [xp.stack([dd, -b], -1), xp.stack([-c, a], -1)], -2
         ) / det[..., None, None]
         return det, inv
     if d == 3:
@@ -56,11 +59,11 @@ def _inv_det(J):
         c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
         c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
         c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
-        inv = jnp.stack(
+        inv = xp.stack(
             [
-                jnp.stack([c00, c10, c20], -1),
-                jnp.stack([c01, c11, c21], -1),
-                jnp.stack([c02, c12, c22], -1),
+                xp.stack([c00, c10, c20], -1),
+                xp.stack([c01, c11, c21], -1),
+                xp.stack([c02, c12, c22], -1),
             ],
             -2,
         ) / det[..., None, None]
@@ -84,6 +87,28 @@ def compute_geometric_factors(coords_e, Bgeo, Ggeo, weights) -> GeometricFactors
     J = jnp.einsum("end,qnr->eqdr", coords_e, Ggeo)
     det, inv = _inv_det(J)
     xq = jnp.einsum("qn,end->eqd", Bgeo, coords_e)
+    return GeometricFactors(det, inv, weights[None, :] * det, xq)
+
+
+def compute_geometric_factors_host(coords_e, Bgeo, Ggeo, weights):
+    """SETUP-time geometric factors computed entirely on the HOST.
+
+    Outside jit, evaluating the factors on the tunneled TPU is
+    pathological twice over: eagerly each of the ~15 ops compiles its
+    own program (~20 s apiece through the remote compiler, 280 s
+    measured for one evaluation), and fetching a device buffer produced
+    here back to the host stalls for minutes in the tunnel transfer
+    path.  Setup-time consumers only need host arrays anyway (shapes,
+    initial mesh quality, assembly constants that jit re-embeds), so
+    numpy is both correct and instant; in-trace callers keep using
+    ``compute_geometric_factors``."""
+    coords_e = np.asarray(coords_e)
+    Bgeo = np.asarray(Bgeo)
+    Ggeo = np.asarray(Ggeo)
+    weights = np.asarray(weights)
+    J = np.einsum("end,qnr->eqdr", coords_e, Ggeo)
+    det, inv = _inv_det(J, xp=np)
+    xq = np.einsum("qn,end->eqd", Bgeo, coords_e)
     return GeometricFactors(det, inv, weights[None, :] * det, xq)
 
 

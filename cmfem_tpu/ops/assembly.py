@@ -70,8 +70,16 @@ class SpaceOps:
         Bg, Gg = geo.eval(self.quad.points)
         self._Bgeo = jnp.asarray(Bg)
         self._Ggeo = jnp.asarray(Gg)
+        self._Bgeo_np = np.asarray(Bg)
+        self._Ggeo_np = np.asarray(Gg)
         self._conn = jnp.asarray(mesh.elem_conn)
-        self.gf = self.geometric_factors(jnp.asarray(mesh.vertices))
+        # setup-time factors on the HOST: computing them on the
+        # tunneled TPU costs minutes (eager per-op compiles + a wedged
+        # device->host fetch path; see compute_geometric_factors_host)
+        from ..core.geometry import compute_geometric_factors_host
+        self.gf = compute_geometric_factors_host(
+            np.asarray(mesh.vertices)[np.asarray(mesh.elem_conn)],
+            self._Bgeo_np, self._Ggeo_np, self.quad.weights)
 
         # boundary tabulations
         self.face = None

@@ -235,6 +235,12 @@ def main():
     platform = jax.devices()[0].platform
     extra = {"scan_stepping": not args.eager,
              "x64": os.environ.get("CMFEM_X64") == "1"}
+    overrides = {k: getattr(args, k) for k in
+                 ("newton_rel_tol", "newton_abs_tol", "gmres_maxiter",
+                  "gmres_restart", "linear_rtol", "stall_improve",
+                  "output_every") if getattr(args, k) is not None}
+    if overrides:
+        extra["overrides"] = overrides
     if args.summarize_only:
         wall = args.wall_s
         run_out = {}
