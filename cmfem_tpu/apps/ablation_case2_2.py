@@ -1081,7 +1081,9 @@ def run_scan(cfg: dict) -> dict:
     # ablation_test_case2_1_2D.cpp:532-555)
     bcs = [schedule.eval(float(tv)) for tv in t_edges[1:]] or \
         [schedule.eval(0.0)]
+    _mark("schedule eval")
     step_labels = [(classify_branch(b, model), b.chemistryOn) for b in bcs]
+    _mark("labels")
     seg_edges = {k for k in range(1, nsteps)
                  if step_labels[k] != step_labels[k - 1]}
     rows = np.asarray(schedule.rows)
@@ -1121,12 +1123,15 @@ def run_scan(cfg: dict) -> dict:
                                         qual_args[1], qual_args[2])
         return jnp.min(gfq.detJ)
 
+    _mark("quality rule tabulation")
     init_minq = float(jax.jit(min_quality)(jnp.asarray(verts0)))
+    _mark("init mesh quality")
     if not np.isfinite(init_minq) or init_minq <= 0:
         raise RuntimeError(
             "Invalid initial mesh quality for moving-mesh recession.")
 
     remap = make_scan_remap(mesh, ops) if recession_enabled else None
+    _mark("remap init")
     vmax_rec = (max_step_recession / dt_cfg) \
         if (np.isfinite(max_step_recession) and max_step_recession > 0
             and dt_cfg > 0) else np.inf

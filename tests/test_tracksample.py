@@ -106,3 +106,24 @@ def test_front_depth_matches_host(strip):
     assert abs(got98 - want98) < 2 * spacing
     assert abs(got02 - want02) < 2 * spacing
     assert got98 > 5e-3  # the front is real, not a degenerate 0
+
+
+def test_front_line_stencil_matches_front_depth(strip):
+    """Static-mesh front stencil (case-1/2.1 scan post-chunk path)
+    reproduces the per-step front_depth sweep exactly."""
+    from cmfem_tpu.core.pointlocate import (front_depth,
+                                            front_depth_static,
+                                            front_line_stencil)
+
+    mesh, fes = strip
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    xmid = 0.5 * (lo[0] + hi[0])
+    ec = v[mesh.elem_conn].mean(axis=1)
+    ids, ys = front_line_stencil(mesh, xmid, hi[1], lo[1])
+    for depth in (0.008, 0.02, 0.041):
+        tau = 1.0 / (1.0 + np.exp(-(hi[1] - depth - ec[:, 1]) / 5e-4))
+        for thr in (0.98, 0.02):
+            want = front_depth(mesh, tau, xmid, hi[1], lo[1], thr)
+            got = front_depth_static(ids, ys, tau, hi[1], thr)
+            assert got == pytest.approx(want, abs=1e-12)
