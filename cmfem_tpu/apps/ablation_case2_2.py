@@ -180,9 +180,20 @@ def _write_case22_step_outputs(csvs, sys_, fes, mesh, schedule, model,
     xmid = 0.5 * (lo[0] + hi[0])
     bc = schedule.eval(tnow)
     branch = classify_branch(bc, model)
-    # receding-wall-aware: the wall probe tracks the current surface.
-    # One location pass covers wall+probe points for both T and p.
-    wall_pt = np.array([[probe_x, min(probe_y[0], hi[1] - 1e-9)]])
+    # receding-wall-aware: the wall probe tracks the LOCAL surface at
+    # probe_x (interpolated from the bracketing top-edge nodes; a
+    # global max-y clamp loses the point once recession is nonuniform
+    # by >1e-9).  One location pass covers wall+probe points for T and p.
+    top_dofs_w = np.unique(np.asarray(sys_.trace.fes.bdr.dofs)
+                           [sys_.trace.face_ids])
+    tx = v[top_dofs_w, 0]
+    srt = np.argsort(tx)
+    j = int(np.clip(np.searchsorted(tx[srt], probe_x), 1, len(srt) - 1))
+    den = tx[srt[j]] - tx[srt[j - 1]]
+    w_ = float((probe_x - tx[srt[j - 1]]) / den) if den > 0 else 0.0
+    wall_y = ((1.0 - w_) * v[top_dofs_w[srt[j - 1]], 1]
+              + w_ * v[top_dofs_w[srt[j]], 1])
+    wall_pt = np.array([[probe_x, min(probe_y[0], wall_y - 1e-9)]])
     pts_all = np.vstack([wall_pt, probe_pts])
     Ts, ps = sample_h1_fields(fes, [np.asarray(T), np.asarray(p)],
                               pts_all, vertices=v)
@@ -1174,10 +1185,22 @@ def run_scan(cfg: dict) -> dict:
     v0hi = verts0.max(axis=0)
     diag_slack = max(2.0e-3, 0.1 * (v0hi[1] - v0lo[1]))
     probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
-    # row 0 is the wall probe: its y tracks the receding surface per
-    # step (host analog clamps to hi[1] - 1e-9)
+    # row 0 is the wall probe: its y tracks the LOCAL receding surface
+    # at probe_x (the global max-y clamp loses the point as soon as
+    # recession is nonuniform by >1e-9 and the whole wall column goes
+    # NaN).  x never changes under the y-only smoothing, so the
+    # bracketing top-edge nodes are static and their current heights
+    # interpolate the local wall height exactly (P1 top edge).
     pts_all0 = np.vstack([[[probe_x, min(probe_y[0], v0hi[1] - 1e-9)]],
                           probe_pts])
+    _tx = verts0[top_dofs, 0]
+    _ord = np.argsort(_tx)
+    _j = int(np.clip(np.searchsorted(_tx[_ord], probe_x), 1,
+                     len(_ord) - 1))
+    wall_n0 = int(top_dofs[_ord[_j - 1]])
+    wall_n1 = int(top_dofs[_ord[_j]])
+    _den = _tx[_ord[_j]] - _tx[_ord[_j - 1]]
+    wall_w = float((probe_x - _tx[_ord[_j - 1]]) / _den) if _den > 0         else 0.0
     diag_sampler = TrackedSampler(mesh, pts_all0, y_slack=diag_slack)
     pts_all0_j = jnp.asarray(pts_all0)
     xmid_s = 0.5 * (v0lo[0] + v0hi[0])
@@ -1193,8 +1216,10 @@ def run_scan(cfg: dict) -> dict:
         probe_p (np,), meq (np+1, 9), diag (15,), clamps (3,), f98, f2,
         top_y)."""
         top_y = jnp.max(verts[topj, 1])
+        wall_y = ((1.0 - wall_w) * verts[wall_n0, 1]
+                  + wall_w * verts[wall_n1, 1])
         pts = pts_all0_j.at[0, 1].set(
-            jnp.minimum(pts_all0_j[0, 1], top_y - 1e-9))
+            jnp.minimum(pts_all0_j[0, 1], wall_y - 1e-9))
         loc = diag_sampler.locate(verts, pts)
         Ts_all = diag_sampler.sample_h1(loc, T)
         ps_all = diag_sampler.sample_h1(loc, p)
