@@ -120,8 +120,8 @@ def summarize(case, out_dir, cfg, wall_s, run_out, platform, extra):
                                        "mesh_diagnostics.csv"))
     if os.path.isfile(md):
         header, rows = _read_csv(md)
-        if "quality_ratio" in header:
-            q = _col(rows, header, "quality_ratio")
+        if "min_quality_ratio" in header:
+            q = _col(rows, header, "min_quality_ratio")
             art["min_quality_ratio"] = round(min(q), 4)
 
     art["sane"] = bool(
