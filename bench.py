@@ -521,6 +521,19 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    # persistent compile cache: remote (tunneled) compiles are ~1-3 min
+    # per program and dominate a cold bench run; a warm cache fits the
+    # whole sweep comfortably inside the default deadline
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception as e:  # pragma: no cover
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
     platform = jax.devices()[0].platform
     n = int(os.environ.get("BENCH_N", "48"))
     orders = [int(o) for o in
