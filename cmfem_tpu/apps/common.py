@@ -373,12 +373,14 @@ def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
     final_res = np.inf
     lu = None
     rbest = np.inf
+    rmax = np.inf
     noimp = 0
     un_prev = np.inf
     stall_improve = getattr(newton_cfg, "stall_improve", 1e-3)
     stall_patience = getattr(newton_cfg, "stall_patience", 2)
     stall_accept = getattr(newton_cfg, "stall_accept_rel", 1e-3)
     stall_flat = getattr(newton_cfg, "stall_flat_factor", 1.15)
+    flat_enabled = float(stall_flat) > 1.0
     stall_dx_rtol = getattr(newton_cfg, "stall_dx_rtol", None)
     if stall_dx_rtol is None:
         stall_dx_rtol = 30.0 * float(jnp.finfo(jnp.result_type(T)).eps)
@@ -392,12 +394,21 @@ def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
             r0 = max(1.0, res_norm)
         rel_res = res_norm / r0
         final_res = res_norm
-        noimp = 0 if res_norm < (1.0 - stall_improve) * rbest else noimp + 1
+        # same flat-stall semantics as scan_newton / newton_solve
+        # (ADVICE r3 #2): window MAXIMUM vs the pre-update best, so an
+        # oscillating divergence never flat-exits on a dip; every linear
+        # solve here passed check_linear_result, satisfying the
+        # usable-solve gate
+        rbest_pre = rbest
+        improved = res_norm < (1.0 - stall_improve) * rbest
+        noimp = 0 if improved else noimp + 1
+        rmax = res_norm if improved else max(rmax, res_norm)
         rbest = min(rbest, res_norm)
         xnorm = float(np.sqrt(float(jnp.sum(T * T)) + float(jnp.sum(p * p))))
+        flat_ok = flat_enabled and rmax <= stall_flat * rbest_pre
         stalled = noimp >= stall_patience and (
             rel_res < stall_accept or un_prev <= stall_dx_rtol * xnorm
-            or res_norm <= stall_flat * rbest)
+            or flat_ok)
         if res_norm < newton_cfg.abs_tol or rel_res < newton_cfg.rel_tol \
                 or stalled:
             converged = True
