@@ -334,6 +334,14 @@ def bench_operator(jax, jnp, n, order, platform, run_cg=True):
     out["cg_iters"] = int(r.iters)
     out["cg_s"] = round(cg_s, 3)
     out["cg_mdofs"] = round(cg_mdofs, 1)
+    # solve outcome (VERDICT r4 #5): cg_mdofs is a throughput number
+    # either way, but the artifact must say whether the rtol-1e-5 solve
+    # actually finished or ran into the 200-iteration cap
+    out["cg_converged"] = bool(r.converged)
+    out["cg_stagnated"] = bool(r.stagnated)
+    out["cg_rel_residual"] = float(r.rel_residual)
+    out["cg_hit_maxiter"] = bool(int(r.iters) >= 200
+                                 and not bool(r.converged))
     return out
 
 
@@ -387,9 +395,11 @@ def bench_mg(jax, jnp, n, order):
         out[f"{name}_s"] = round(time.perf_counter() - t0, 4)
         # rtol 1e-8 targets the f64 regime; on the f32 chip cg's
         # true-residual stopping reports stagnated-at-floor instead of
-        # converged — both are a finished solve here, and the recorded
-        # rel_residual shows WHERE it stopped
-        out[f"{name}_converged"] = bool(r.converged) or bool(r.stagnated)
+        # converged.  Both are a finished solve here, but they are
+        # DISTINCT outcomes and recorded separately (ADVICE r4 #2); the
+        # rel_residual shows WHERE the solve stopped either way.
+        out[f"{name}_converged"] = bool(r.converged)
+        out[f"{name}_stagnated"] = bool(r.stagnated)
         out[f"{name}_rel_residual"] = float(r.rel_residual)
     out["speedup_vs_jacobi"] = round(out["jacobi_s"] / out["mg_s"], 2)
     return out
@@ -607,16 +617,23 @@ def main():
             print(f"# order={order} sweep failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    # headline (first-order) section first, then the mg/ablation evidence
-    # sections, then the remaining orders — so a deadline drops the extra
-    # order sweeps rather than the mg/ablation sections (round-3 lesson:
-    # the 3-order sweep ate the budget and mg+ablation were skipped).
+    # headline (first-order) section first and printed immediately, then
+    # the REMAINING ORDERS (VERDICT r4 #3: round 4 deferred them after
+    # mg/ablation and the deadline skipped orders 3-4 entirely — the
+    # roofline rows are primary evidence, the mg/ablation sections are
+    # the optional extras), then mg/ablation.
     run_order(orders[0], True)
     if headline > 0:
         # print the headline record NOW: if anything downstream dies
         # or the driver's timeout fires, this line is the artifact
         print(headline_json(partial=True))
         sys.stdout.flush()
+
+    for order in orders[1:]:
+        if time_left() < 120:
+            skipped.append(f"order-{order}")
+            continue
+        run_order(order, False)
 
     mg_results = {}
     if time_left() < 150:
@@ -642,12 +659,6 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# ablation section failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-
-    for order in orders[1:]:
-        if time_left() < 180:
-            skipped.append(f"order-{order}")
-            continue
-        run_order(order, False)
 
     bsr_results = {}
     if os.environ.get("BENCH_BLOCKSOLVE", "0") == "1":

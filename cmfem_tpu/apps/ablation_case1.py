@@ -26,6 +26,7 @@ from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, num_steps, make_block_linear_solver,
     run_tp_newton_loop, maybe_enable_lattice_residual,
+    NewtonStallStats,
     maybe_reorder_strip_mesh,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
@@ -622,6 +623,7 @@ def run_scan(cfg: dict) -> dict:
     wall = 0.0
     bounds = list(range(0, nsteps, output_every)) + [nsteps]
     bounds = sorted(set(bounds))
+    stall_stats = NewtonStallStats()
     for b, e in zip(bounds[:-1], bounds[1:]):
         ts = jnp.asarray(t_edges[b + 1:e + 1])
         dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
@@ -633,6 +635,7 @@ def run_scan(cfg: dict) -> dict:
               f"({1e3 * wall / max(1, e):.0f} ms/step avg)", flush=True)
         (probes, mdots, taus, iters, r0s, rns, dones, res_hs, upd_hs,
          Tbcs, lin_oks, nw_stalls) = [np.asarray(o) for o in outs]
+        stall_stats.update(nw_stalls, rns, r0s)
         if nw_stalls.any():
             print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
                   "accepted at the Newton working-precision stall floor "
@@ -692,7 +695,8 @@ def run_scan(cfg: dict) -> dict:
           f"({amort * 1e3:.1f} ms/step; one fused XLA program per "
           f"{output_every}-step output frame)")
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
-            "fes": fes, "mesh": mesh}
+            "fes": fes, "mesh": mesh,
+            "newton_stall_stats": stall_stats.summary()}
 
 
 def main(argv=None):

@@ -34,6 +34,7 @@ from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
     maybe_enable_lattice_residual, maybe_reorder_strip_mesh,
+    NewtonStallStats,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -1018,6 +1019,7 @@ def run_scan(cfg: dict) -> dict:
     carry = (T0, p0, X0)
     state = state_init
     wall = 0.0
+    stall_stats = NewtonStallStats()
     for b, e in zip(bounds[:-1], bounds[1:]):
         ts = jnp.asarray(t_edges[b + 1:e + 1])
         dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
@@ -1033,6 +1035,7 @@ def run_scan(cfg: dict) -> dict:
         (Ts, ps, Xs, tau_es, rho_es, pi_es, mdot_es, extent_es, pi_qps,
          iters, r0s, rns, dones, res_hs, upd_hs, lin_oks, nw_stalls) = \
             [np.asarray(o) for o in outs]
+        stall_stats.update(nw_stalls, rns, r0s)
         if nw_stalls.any():
             print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
                   "accepted at the Newton working-precision stall floor "
@@ -1120,7 +1123,8 @@ def run_scan(cfg: dict) -> dict:
           f"output/restart frame)")
     return {"T": np.asarray(T), "p": np.asarray(p), "state": state,
             "fes": fes, "mesh": mesh, "step": step0 + nsteps,
-            "time": float(t_edges[-1]), "bprime": bprime}
+            "time": float(t_edges[-1]), "bprime": bprime,
+            "newton_stall_stats": stall_stats.summary()}
 
 
 def main(argv=None):

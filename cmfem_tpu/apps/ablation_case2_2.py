@@ -32,7 +32,7 @@ from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, make_block_linear_solver, run_tp_newton_loop, num_steps,
     maybe_enable_lattice_residual, maybe_reorder_strip_mesh,
-    moving_mesh_and_ale_toggles,
+    moving_mesh_and_ale_toggles, NewtonStallStats,
 )
 from ..utils.yamlcfg import load_yaml, resolve_path
 from ..io import CsvWriter, VTUCollection
@@ -1183,7 +1183,21 @@ def run_scan(cfg: dict) -> dict:
 
     v0lo = verts0.min(axis=0)
     v0hi = verts0.max(axis=0)
-    diag_slack = max(2.0e-3, 0.1 * (v0hi[1] - v0lo[1]))
+    # Candidate-band slack for the tracked samplers must cover the TOTAL
+    # mesh motion of the run (ADVICE r4 #1: the old 10%-of-height
+    # heuristic gave 5.0 mm while the production run receded 5.06 mm —
+    # the TrackedSampler contract was already exceeded and only survived
+    # on element-bbox margin).  Derive it from the recession bound
+    # max_step_recession * nsteps; that clamp bound is loose (production
+    # deck: 2e-4 * 48000 = 9.6 m), so cap at the strip height —
+    # recession beyond the full height consumes the domain anyway, and
+    # a full-height band costs only a few extra candidate pairs per
+    # point in the per-step barycentric test.
+    height0 = float(v0hi[1] - v0lo[1])
+    rec_bound = (max_step_recession * nsteps
+                 if (np.isfinite(max_step_recession)
+                     and max_step_recession > 0) else height0)
+    diag_slack = float(min(height0, max(2.0e-3, 1.25 * rec_bound)))
     probe_pts = np.array([[probe_x, y] for y in probe_y[1:]])
     # row 0 is the wall probe: its y tracks the LOCAL receding surface
     # at probe_x (the global max-y clamp loses the point as soon as
@@ -1457,6 +1471,7 @@ def run_scan(cfg: dict) -> dict:
     wall = 0.0
     bounds = sorted(set(list(range(0, nsteps, output_every)) + [nsteps])
                     | seg_edges)
+    stall_stats = NewtonStallStats()
     for b, e in zip(bounds[:-1], bounds[1:]):
         ts = jnp.asarray(t_edges[b + 1:e + 1])
         dts = jnp.asarray(np.diff(t_edges[b:e + 1]))
@@ -1473,6 +1488,7 @@ def run_scan(cfg: dict) -> dict:
          upd_hs, lin_oks, nw_stalls, wallTs, probeTs, wallps, probeps,
          meqs, diags, clampss, f98s, f2s,
          topys) = [np.asarray(o) for o in outs]
+        stall_stats.update(nw_stalls, rns, r0s)
         if nw_stalls.any():
             print(f"WARNING: {int(nw_stalls.sum())}/{e - b} steps "
                   "accepted at the Newton working-precision stall floor "
@@ -1556,6 +1572,15 @@ def run_scan(cfg: dict) -> dict:
         w.writerow(["sum_output_time_maxrank", 0.0])
         w.writerow(["avg_step_time_maxrank", amort])
 
+    # tracked-sampler contract check (ADVICE r4 #1): the candidate band
+    # must have covered the realized motion; if the run receded past it,
+    # probe/front samples may have silently gone NaN mid-run — say so.
+    if float(rec_total) >= diag_slack:
+        print(f"WARNING: total recession {float(rec_total):.4e} m "
+              f"reached the tracked-sampler slack band {diag_slack:.4e} "
+              f"m; probe/front samples past that depth were NaN.",
+              file=sys.stderr)
+
     recession_metrics = _finalize_case22_outputs(cfg, output_path,
                                                  amaryllis_mass_file,
                                                  recession_history)
@@ -1567,7 +1592,8 @@ def run_scan(cfg: dict) -> dict:
             "recession_total": float(rec_total),
             "vertices": np.asarray(verts_f), "time": float(t_edges[-1]),
             "handler": None, "recession_history": recession_history,
-            "recession_metrics": recession_metrics}
+            "recession_metrics": recession_metrics,
+            "newton_stall_stats": stall_stats.summary()}
 
 
 def main(argv=None):

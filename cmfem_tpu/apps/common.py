@@ -342,6 +342,42 @@ def replay_newton_history(newton_csv, gstep, tk, nit, r0k, res_h, upd_h):
                              float(rk) / r0k, un, du0, un / du0, conv])
 
 
+class NewtonStallStats:
+    """Accumulates per-step Newton stall-exit statistics across scan
+    chunks (VERDICT r4 #9): how many steps were accepted at the
+    working-precision stall floor rather than the abs/rel tolerance,
+    and the distribution of those steps' final relative residuals —
+    so f32 floor-acceptance stays observable in full-run artifacts."""
+
+    def __init__(self):
+        self.steps = 0
+        self.stalled = 0
+        self._rels = []
+
+    def update(self, nw_stalls, rns, r0s):
+        m = np.asarray(nw_stalls, dtype=bool)
+        self.steps += int(m.size)
+        self.stalled += int(m.sum())
+        if m.any():
+            rel = np.asarray(rns, dtype=float)[m] \
+                / np.maximum(np.asarray(r0s, dtype=float)[m], 1e-300)
+            self._rels.extend(rel.tolist())
+
+    def summary(self):
+        out = {"newton_steps": self.steps,
+               "newton_stalled_steps": self.stalled,
+               "newton_stalled_frac": round(
+                   self.stalled / max(1, self.steps), 5)}
+        if self._rels:
+            r = np.asarray(self._rels)
+            out["stalled_rel_residual"] = {
+                "min": float(r.min()),
+                "p50": float(np.percentile(r, 50)),
+                "p90": float(np.percentile(r, 90)),
+                "max": float(r.max())}
+        return out
+
+
 def run_tp_newton_loop(T, p, *, residual, factorize, enforce_bc,
                        newton_cfg, rebuild_freq, newton_csv, step, t, n,
                        print_level=0, print_multiline=True):

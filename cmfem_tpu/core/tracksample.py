@@ -34,8 +34,12 @@ class TrackedSampler:
     points on a moving-vertex triangle mesh.
 
     ``y_slack`` widens each element's candidate bbox vertically; it must
-    cover the total mesh motion over the run (production 2.2 recession
-    is ~1 mm over 120 s; the default 10 mm is comfortable)."""
+    cover the TOTAL mesh motion over the run (the production 2.2 deck
+    recedes ~5.1 mm over 120 s — artifacts_fullrun_case2_2.json).
+    Derive it from a recession bound (max_step_recession * nsteps,
+    capped at the strip height) rather than a fixed heuristic: a band
+    smaller than the realized motion silently turns probe/front samples
+    NaN once the surface recedes past it."""
 
     def __init__(self, mesh: Mesh, points, y_slack: float = 0.01,
                  tol: float = 1e-9):

@@ -8,8 +8,10 @@ linear interpolation in B'g, **log-linear in p** (:469-478), derivatives
 d/dB'g and d/dT with clamp and non-smoothness flags, and mutable clamp
 statistics (ClampStats).
 
-JAX port: all levels share padded (Lp, Lbg, nT) arrays (true for the PATO
-decks), lookups are batched jnp ops differentiable in (B'g, T).
+JAX port: levels are stored as padded (Lp, Lbg, nTmax) arrays but each
+level evaluates on ITS OWN T knots (ragged per-level rows supported, as
+real PATO decks commonly are); lookups are batched jnp ops
+differentiable in (B'g, T).
 """
 
 from __future__ import annotations
@@ -33,12 +35,20 @@ class ClampStats:
 class BPrimeTable:
     p_levels: np.ndarray       # (Lp,)
     bg_levels: np.ndarray      # (Lbg,) shared across p levels
-    T: np.ndarray              # (nT,) shared grid
-    bc: np.ndarray             # (Lp, Lbg, nT)
-    hw: np.ndarray             # (Lp, Lbg, nT)
-    bc2: np.ndarray            # spline second derivatives
+    T_tab: np.ndarray          # (Lp, Lbg, nTmax) per-level T knots (padded)
+    T_hi: np.ndarray           # (Lp, Lbg) true top knot per level
+    bc: np.ndarray             # (Lp, Lbg, nTmax)
+    hw: np.ndarray             # (Lp, Lbg, nTmax)
+    bc2: np.ndarray            # spline second derivatives (0 on padding)
     hw2: np.ndarray
+    uniform: bool = True       # every level shares identical T knots
     clamp_stats: ClampStats = field(default_factory=ClampStats)
+
+    @property
+    def T(self):
+        """Shared T grid for uniform tables; level (0,0)'s knots
+        otherwise (ragged tables have no shared grid)."""
+        return self.T_tab[0, 0]
 
     @classmethod
     def load_file(cls, path: str) -> "BPrimeTable":
@@ -62,34 +72,60 @@ class BPrimeTable:
 
     @classmethod
     def from_rows(cls, p, bg, bc, T, hw) -> "BPrimeTable":
+        """Group rows into (p, B'g) levels; every level keeps ITS OWN
+        sorted T knots.  Ragged tables — per-level T rows of different
+        counts/positions, the common shape of real PATO B' decks — are
+        supported exactly as the reference builds them: one cubic
+        spline per level over that level's rows
+        (bprime_table.cpp:253-371).  Levels are padded to the longest
+        row with a monotone knot extension carrying the end value
+        (y2=0); lookups clamp the query to each level's TRUE T range,
+        so padded knots are never evaluated."""
         p = np.asarray(p); bg = np.asarray(bg)
         bc = np.asarray(bc); T = np.asarray(T); hw = np.asarray(hw)
         ps = np.unique(p)
         bgs = np.unique(bg)
-        Ts = np.unique(T)
-        nT = len(Ts)
-        bc_t = np.zeros((len(ps), len(bgs), nT))
-        hw_t = np.zeros((len(ps), len(bgs), nT))
-        filled = np.zeros((len(ps), len(bgs)), dtype=bool)
+        Lp, Lbg = len(ps), len(bgs)
+        levels = {}
+        nTmax = 0
         for i, pv in enumerate(ps):
             for j, bgv in enumerate(bgs):
                 sel = (p == pv) & (bg == bgv)
                 if not sel.any():
-                    continue
+                    raise ValueError(
+                        "B' table must have every (p, B'g) combination "
+                        f"(missing p={pv}, B'g={bgv})")
                 Tsel = T[sel]
                 order = np.argsort(Tsel)
                 Tu, idx = np.unique(Tsel[order], return_index=True)
-                if len(Tu) != nT or not np.allclose(Tu, Ts):
-                    raise NotImplementedError(
-                        "B' table T grids must match across (p, B'g) levels")
-                bc_t[i, j] = bc[sel][order][idx]
-                hw_t[i, j] = hw[sel][order][idx]
-                filled[i, j] = True
-        if not filled.all():
-            raise NotImplementedError(
-                "B' table must have every (p, B'g) combination")
-        return cls(ps, bgs, Ts, bc_t, hw_t,
-                   natural_spline_y2(Ts, bc_t), natural_spline_y2(Ts, hw_t))
+                if len(Tu) < 2:
+                    raise ValueError(
+                        f"B' level (p={pv}, B'g={bgv}) needs >= 2 T rows")
+                levels[i, j] = (Tu, bc[sel][order][idx],
+                                hw[sel][order][idx])
+                nTmax = max(nTmax, len(Tu))
+        T_tab = np.zeros((Lp, Lbg, nTmax))
+        T_hi = np.zeros((Lp, Lbg))
+        bc_t = np.zeros((Lp, Lbg, nTmax))
+        hw_t = np.zeros((Lp, Lbg, nTmax))
+        bc2 = np.zeros((Lp, Lbg, nTmax))
+        hw2 = np.zeros((Lp, Lbg, nTmax))
+        T00 = levels[0, 0][0]
+        uniform = True
+        for (i, j), (Tu, bcu, hwu) in levels.items():
+            nTl = len(Tu)
+            npad = nTmax - nTl
+            uniform &= (nTl == len(T00)) and bool(np.allclose(Tu, T00))
+            T_hi[i, j] = Tu[-1]
+            dpad = Tu[-1] - Tu[-2]
+            T_tab[i, j] = np.concatenate(
+                [Tu, Tu[-1] + dpad * np.arange(1, npad + 1)])
+            bc_t[i, j] = np.concatenate([bcu, np.full(npad, bcu[-1])])
+            hw_t[i, j] = np.concatenate([hwu, np.full(npad, hwu[-1])])
+            bc2[i, j, :nTl] = natural_spline_y2(Tu, bcu)
+            hw2[i, j, :nTl] = natural_spline_y2(Tu, hwu)
+        return cls(ps, bgs, T_tab, T_hi, bc_t, hw_t, bc2, hw2,
+                   uniform=uniform)
 
     @classmethod
     def synthetic_tacot(cls) -> "BPrimeTable":
@@ -133,7 +169,11 @@ class BPrimeTable:
         bg = jnp.asarray(bg)
         T = jnp.asarray(T)
 
-        # evaluate splines at all (p, bg) levels: (Lp, Lbg, ...)
+        # evaluate splines at all (p, bg) levels: (Lp, Lbg, ...).  Each
+        # level uses ITS OWN knots (ragged tables): the query is clamped
+        # to the level's TRUE T range so the monotone padding knots are
+        # never evaluated, and the clamp flag/zero-derivative semantics
+        # are imposed against the true range (EvalClampWithDerivative).
         def eval_all(y, y2):
             vals = []
             ders = []
@@ -141,8 +181,14 @@ class BPrimeTable:
             for i in range(Lp):
                 vi, di, ci = [], [], []
                 for j in range(Lbg):
-                    v, d, c = spline_eval(self.T, jnp.asarray(y[i, j]),
-                                          jnp.asarray(y2[i, j]), T)
+                    lo = self.T_tab[i, j, 0]
+                    hi = self.T_hi[i, j]
+                    Tq = jnp.clip(T, lo, hi)
+                    v, d, _ = spline_eval(jnp.asarray(self.T_tab[i, j]),
+                                          jnp.asarray(y[i, j]),
+                                          jnp.asarray(y2[i, j]), Tq)
+                    c = (T < lo) | (T > hi)
+                    d = jnp.where(c, 0.0, d)
                     vi.append(v); di.append(d); ci.append(c)
                 vals.append(jnp.stack(vi)); ders.append(jnp.stack(di))
                 cls_.append(jnp.stack(ci))

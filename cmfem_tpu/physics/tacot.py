@@ -124,19 +124,32 @@ def spline_eval(x, y, y2, xq):
 class PropertyTable:
     """(p, T) property table: splines in T per pressure level, linear in p.
 
-    p_levels (L,), T (nT,), y (L, nprop, nT), y2 same."""
+    p_levels (L,), T_tab (L, nTmax) per-level T knots — RAGGED per-level
+    rows supported (the reference's MultiTable2D builds one spline per
+    level over that level's own rows, tacot_material.cpp:693-865);
+    shorter levels are padded with a monotone knot extension carrying
+    the end value (y2=0), and evaluation clamps the query to each
+    level's TRUE range so padding is never reached.  T_hi (L,) true top
+    knot, y (L, nprop, nTmax), y2 same."""
 
     p_levels: np.ndarray
-    T: np.ndarray
+    T_tab: np.ndarray
+    T_hi: np.ndarray
     y: np.ndarray
     y2: np.ndarray
     log_p: bool = False
+    uniform: bool = True
+
+    @property
+    def T(self):
+        """Shared T grid for uniform tables; level 0's knots otherwise."""
+        return self.T_tab[0]
 
     @classmethod
     def from_yaml_node(cls, node: dict, nprop: int) -> "PropertyTable":
         levels = sorted(node["pressure_tables"], key=lambda t: float(t["p"]))
         ps = np.array([float(t["p"]) for t in levels])
-        Ts = None
+        grids = []
         ys = []
         for t in levels:
             rows = sorted(([float(v) for v in r] for r in t["rows"]),
@@ -144,16 +157,30 @@ class PropertyTable:
             rows = np.asarray(rows)
             if rows.shape[1] < nprop + 1:
                 raise ValueError("Malformed table row")
-            Tg = rows[:, 0]
-            if Ts is None:
-                Ts = Tg
-            elif len(Tg) != len(Ts) or not np.allclose(Tg, Ts):
-                raise NotImplementedError(
-                    "Per-level T grids must match (true for all shipped decks)")
-            ys.append(rows[:, 1:nprop + 1].T)  # (nprop, nT)
-        y = np.stack(ys, axis=0)  # (L, nprop, nT)
-        y2 = natural_spline_y2(Ts, y)
-        return cls(ps, Ts, y, y2)
+            if rows.shape[0] < 2:
+                raise ValueError("Each pressure level needs >= 2 T rows")
+            grids.append(rows[:, 0])
+            ys.append(rows[:, 1:nprop + 1].T)  # (nprop, nTl)
+        nTmax = max(len(g) for g in grids)
+        L = len(ps)
+        T_tab = np.zeros((L, nTmax))
+        T_hi = np.zeros(L)
+        y = np.zeros((L, nprop, nTmax))
+        y2 = np.zeros((L, nprop, nTmax))
+        uniform = True
+        for i, (Tg, yi) in enumerate(zip(grids, ys)):
+            nTl = len(Tg)
+            npad = nTmax - nTl
+            uniform &= (nTl == len(grids[0])
+                        and bool(np.allclose(Tg, grids[0])))
+            T_hi[i] = Tg[-1]
+            dpad = Tg[-1] - Tg[-2]
+            T_tab[i] = np.concatenate(
+                [Tg, Tg[-1] + dpad * np.arange(1, npad + 1)])
+            y[i, :, :nTl] = yi
+            y[i, :, nTl:] = yi[:, -1:]
+            y2[i, :, :nTl] = natural_spline_y2(Tg, yi)
+        return cls(ps, T_tab, T_hi, y, y2, uniform=uniform)
 
     def eval(self, prop_idx: int, p, T, with_derivs: bool = False):
         """Batched evaluation; returns value or (value, dp, dT, clamped_p,
@@ -165,10 +192,19 @@ class PropertyTable:
 
         T = jnp.asarray(T)
         p = jnp.asarray(p)
+
         # evaluate the spline at every pressure level (L is tiny: 2..5)
-        vals, ders, Tcl = jax.vmap(
-            lambda yl, y2l: spline_eval(self.T, yl, y2l, T)
-        )(yj, y2j)  # (L, ...) each
+        # on that level's OWN knots, clamped to its true range (ragged
+        # levels: padding knots are never evaluated)
+        def level_eval(Tl, Thil, yl, y2l):
+            lo = Tl[0]
+            Tq = jnp.clip(T, lo, Thil)
+            v, d, _ = spline_eval(Tl, yl, y2l, Tq)
+            c = (T <= lo) | (T >= Thil)
+            return v, jnp.where(c, 0.0, d), c
+
+        vals, ders, Tcl = jax.vmap(level_eval)(
+            jnp.asarray(self.T_tab), jnp.asarray(self.T_hi), yj, y2j)
 
         if L == 1:
             out = vals[0]

@@ -90,7 +90,12 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
     norm fails to improve 10% below its best over that many consecutive
     iterations — the working-precision floor of the arithmetic, which
     the deck f64 rtols (1e-10..1e-12) sit below on f32 chips.  CG's
-    residual is non-monotone, so the window is long; 0 disables.
+    residual is non-monotone, so the window is long.  0 disables the
+    stall exits AND the residual-replacement checkpoints (plain CG
+    recurrence, no extra operator applies); the recursive-residual
+    tolerance exit and the explicit final true-residual check remain,
+    so a solve whose recursion passed tol while the truth did not is
+    still reported ``stagnated``.
 
     Stagnation, the convergence test, and the reported
     ``residual``/``rel_residual`` are all anchored on EXPLICITLY
@@ -124,8 +129,10 @@ def cg(apply_A: Callable, b, x0=None, M: Callable | None = None,
     M = M or _identity
     dot = dot or jnp.vdot
     window = int(stall_window) if stall_window else (maxiter + 1)
-    # trued-residual checkpoint period: two per stall window
-    check = max(1, window // 2)
+    # trued-residual checkpoint period: two per stall window; with
+    # stall_window=0 the checkpoints are disabled too (never fire), so
+    # no hidden operator applies run when stall detection is off
+    check = max(1, window // 2) if stall_window else (maxiter + 2)
 
     r0 = (b - apply_A(x0)).astype(b.dtype)
     z0 = M(r0)

@@ -254,6 +254,11 @@ def main():
         if args.case == "case2_2":
             extra["recession_total_m"] = float(
                 run_out.get("recession_total", 0.0))
+        # f32 floor-acceptance observability (VERDICT r4 #9): how many
+        # steps exited Newton via the stall floor vs the tolerance, and
+        # where those stalled residuals sat
+        if run_out.get("newton_stall_stats"):
+            extra["newton_stall_stats"] = run_out["newton_stall_stats"]
     art = summarize(args.case, out_dir, cfg, wall, run_out, platform, extra)
     path = args.artifact or os.path.join(REPO,
                                          f"artifacts_fullrun_{args.case}.json")

@@ -58,6 +58,41 @@ def test_table_pressure_interpolation(mat):
     np.testing.assert_allclose(v_mid, 0.5 * (v1 + v2), rtol=1e-12)
 
 
+def test_property_table_ragged_levels():
+    """Per-pressure-level T grids of different counts/positions (ragged,
+    as the reference's MultiTable2D supports — tacot_material.cpp:693-865)
+    must evaluate as per-level splines over each level's own rows,
+    linearly blended in p; clamping is per level."""
+    t = PropertyTable.from_yaml_node({
+        "pressure_tables": [
+            {"p": 1.0e3, "rows": [[300.0, 1.0], [600.0, 2.0],
+                                  [900.0, 2.5], [1500.0, 4.0]]},
+            {"p": 1.0e5, "rows": [[400.0, 10.0], [800.0, 12.0],
+                                  [1600.0, 15.0], [2400.0, 16.0],
+                                  [3200.0, 18.0]]},
+        ]}, 1)
+    assert not t.uniform
+    assert t.T_tab.shape == (2, 5)
+    # per-level values match scipy natural splines on that level's rows
+    cs0 = CubicSpline([300.0, 600.0, 900.0, 1500.0], [1.0, 2.0, 2.5, 4.0],
+                      bc_type="natural")
+    cs1 = CubicSpline([400.0, 800.0, 1600.0, 2400.0, 3200.0],
+                      [10.0, 12.0, 15.0, 16.0, 18.0], bc_type="natural")
+    Tq = 700.0
+    v_mid = float(t.eval(0, 0.5 * (1.0e3 + 1.0e5), Tq))
+    np.testing.assert_allclose(v_mid, 0.5 * (cs0(Tq) + cs1(Tq)),
+                               rtol=1e-12)
+    # level-1's range extends beyond level-0's: at 2000 K level 0 clamps
+    # to its 1500 K end value while level 1 interpolates
+    v, dp, dT, cp, cT = t.eval(0, 0.5 * (1.0e3 + 1.0e5), 2000.0,
+                               with_derivs=True)
+    np.testing.assert_allclose(float(v), 0.5 * (4.0 + cs1(2000.0)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(dT), 0.5 * (0.0 + cs1(2000.0, 1)),
+                               rtol=1e-12)
+    assert bool(cT)          # a contributing level clamped
+
+
 def test_reaction_extents_satisfy_implicit_equation(mat):
     T = jnp.asarray([300.0, 600.0, 900.0, 1500.0, 3000.0])
     dt = 0.1
