@@ -21,7 +21,7 @@ import numpy as np
 
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
-    ensure_outdir, num_steps,
+    ensure_outdir, num_steps, make_mg_preconditioner,
 )
 from ..utils.yamlcfg import load_yaml
 from ..io import CsvWriter, VTUCollection
@@ -108,31 +108,9 @@ def run(cfg: dict) -> dict:
     # analog of the reference's petsc*.opts AMG configurations
     solver = str(cfg.get("linear_solver", "jacobi")).lower()
     if solver == "mg":
-        from ..solvers import GeometricMG
-
-        base = load_mesh_from_cfg(
-            {**cfg, "serial_ref_levels": 0, "par_ref_levels": 0})
-        nref = int(cfg.get("serial_ref_levels", 0)) \
-            + int(cfg.get("par_ref_levels", 0))
-        if nref < 1 and order < 2:
-            raise ValueError(
-                "linear_solver: mg needs a hierarchy — set "
-                "serial_ref_levels >= 1 and/or order >= 2")
-        chain = [base]
-        for _ in range(nref):
-            chain.insert(0, chain[0].uniform_refine(1))
-        specs = [(chain[0], order)]
-        if order > 1:
-            specs.append((chain[0], 1))
-        specs += [(m, 1) for m in chain[1:]]
-        mg = GeometricMG.build(
-            specs, lambda o: BilinearForm(o).add_mass(1.0)
+        M = make_mg_preconditioner(
+            cfg, order, lambda o: BilinearForm(o).add_mass(1.0)
             .add_diffusion(alpha * gdt))
-        Mmg, mg_arrays = mg.bind()
-        M = lambda r: Mmg(r, mg_arrays)
-        print(f"MG hierarchy: {len(specs)} levels "
-              f"({[s[0].num_elements for s in specs]} elems at orders "
-              f"{[s[1] for s in specs]})")
     elif solver in ("jacobi", "cg"):
         M = jacobi_preconditioner(diag)
     else:

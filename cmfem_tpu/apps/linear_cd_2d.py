@@ -17,6 +17,7 @@ import numpy as np
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, validate_unit_square, check_standalone_linear,
+    make_mg_preconditioner,
 )
 from ..utils.yamlcfg import load_yaml
 from ..io import CsvWriter, VTUCollection
@@ -85,7 +86,17 @@ def run(cfg: dict) -> dict:
     u_bc = jnp.asarray(fes.project_bdr(np.zeros(fes.nscalar), exact))
     apply_A = lambda v: a.apply(data, v)
     B = bc.constrained_rhs(apply_A, b, u_bc)
-    M = jacobi_preconditioner(jnp.where(bc.mask, 1.0, a.assemble_diagonal(data)))
+    # linear_solver: jacobi (default) | mg — VERDICT r4 #7: the steady
+    # CDR driver accepts the MG preconditioner like diffusion_mms does
+    if str(cfg.get("linear_solver", "jacobi")).lower() == "mg":
+        M = make_mg_preconditioner(
+            cfg, order, lambda o: BilinearForm(o)
+            .add_diffusion(kappa)
+            .add_convection(np.array([cx, cy]))
+            .add_mass(s))
+    else:
+        M = jacobi_preconditioner(
+            jnp.where(bc.mask, 1.0, a.assemble_diagonal(data)))
     res = gmres(bc.constrain_operator(apply_A), B, M=M,
                 rtol=float(cfg.get("solver_rtol", 1e-12)),
                 restart=int(cfg.get("solver_restart", 80)),

@@ -31,6 +31,7 @@ from scipy.special import erfc as _erfc
 from .common import (
     parse_args, setup_cpu_if_requested, load_mesh_from_cfg, echo_config,
     ensure_outdir, validate_unit_square, x_boundary_attrs, num_steps,
+    make_mg_preconditioner,
 )
 from ..utils.yamlcfg import load_yaml
 from ..io import CsvWriter, VTUCollection
@@ -167,11 +168,25 @@ def run(cfg: dict) -> dict:
     restart = int(cfg.get("solver_restart", 60))
     maxiter = int(cfg.get("solver_maxiter", 60))
 
+    # linear_solver: jacobi (default) | mg — one geometric hierarchy per
+    # Peclet operator (VERDICT r4 #7)
+    use_mg = str(cfg.get("linear_solver", "jacobi")).lower() == "mg"
+
     dirk_steps = []
     for k in range(3):
         apply_A = lambda v, d=datas[k], f=forms[k]: f.apply(d, v)
         apply_M = lambda v: mass.apply(mdata, v)
-        M = jacobi_preconditioner(diags[k])
+        if use_mg:
+            # the PC must pin the SAME dofs as the system: x-boundaries
+            # only (attribute ids survive uniform refinement)
+            M = make_mg_preconditioner(
+                cfg, order, lambda o, pe=peclet[k]: BilinearForm(o)
+                .add_mass(1.0)
+                .add_convection(beta, alpha=gdt)
+                .add_diffusion(gdt / pe),
+                ess_dofs=lambda fes_l: fes_l.boundary_dofs(x_attrs))
+        else:
+            M = jacobi_preconditioner(diags[k])
         solve = lambda op, B, x0, M=M: gmres(op, B, x0=x0, M=M, rtol=rtol,
                                              restart=restart,
                                              maxiter=maxiter)

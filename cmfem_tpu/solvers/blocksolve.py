@@ -146,7 +146,8 @@ class BlockNewtonKrylov:
     """
 
     def __init__(self, element_dofs, n, ess_T, ess_p,
-                 restart: int = 400, maxiter: int = 10, dof_lattice=None):
+                 restart: int = 400, maxiter: int = 10, dof_lattice=None,
+                 pc: str = "pointblock"):
         ed = np.asarray(element_dofs, dtype=np.int64)
         self.ne, self.nd = ed.shape
         self.n = int(n)
@@ -162,6 +163,20 @@ class BlockNewtonKrylov:
         self.restart = int(restart)
         self.maxiter = int(maxiter)
         self._init_lattice(ed, mask, dof_lattice)
+        self.pc = pc
+        self.mg = None
+        if pc == "linemg":
+            # h-robust x-semicoarsened MG with exact y-line smoothing
+            # (solvers/linemg.py) — replaces the point-block PC whose
+            # iterations grow ~2.7x per refinement.  Lattice-only.
+            if self.lattice is None:
+                raise ValueError("pc='linemg' requires a dof lattice")
+            from .linemg import StripLineMG
+
+            self.mg = StripLineMG(self.lattice["NY"], self.lattice["NX"],
+                                  self.lattice["offs"])
+        elif pc != "pointblock":
+            raise ValueError(f"unknown pc {pc!r}")
         self._prepare = jax.jit(self._prepare_impl)
         self._prepare_face = jax.jit(self._prepare_impl_face)
         self._solve = jax.jit(self._solve_impl)
@@ -271,6 +286,10 @@ class BlockNewtonKrylov:
             S = jax.ops.segment_sum(blocks.reshape(-1), idx4.reshape(-1),
                                     num_segments=4 * ngrid)
             S = S.reshape(4, L["KO"], L["NY"], L["NX"])
+        if self.mg is not None:
+            # the line-MG hierarchy replaces the point-block factors
+            return S, self.mg.setup(S, L["mask2_lat"], self.n), \
+                s[L["latflat2"]]
         pb_lat = pb[:, L["latflat"]]
         s_lat = s[L["latflat2"]]
         return S, pb_lat, s_lat
@@ -343,7 +362,8 @@ class BlockNewtonKrylov:
     def _solve_impl_lattice(self, S, pb, s, b, rtol, atol):
         """Stencil (DIA) matvec: y[f] = sum_g sum_off S[f,g,off] *
         shift(x[g], off) as padded shifted-window multiplies — no gather
-        or scatter per GMRES iteration."""
+        or scatter per GMRES iteration.  ``pb`` is the point-block
+        factors, or the line-MG level hierarchy when pc='linemg'."""
         L = self.lattice
         NY, NX, pad = L["NY"], L["NX"], L["pad"]
         n = self.n
@@ -364,8 +384,20 @@ class BlockNewtonKrylov:
             return jnp.concatenate([yT.reshape(-1), yp.reshape(-1)])
 
         bl = b[L["latflat2"]]
-        res = solve_equilibrated(matvec, pb, s, bl, L["mask2_lat"], n,
-                                 rtol, atol, self.restart, self.maxiter)
+        if self.mg is not None:
+            def apply_A(y):
+                return jnp.where(L["mask2_lat"], y, matvec(y))
+
+            res = gmres(apply_A, s * bl,
+                        M=lambda r: self.mg.apply(pb, r,
+                                                  mask=L["mask2_lat"]),
+                        rtol=rtol, atol=atol, restart=self.restart,
+                        maxiter=self.maxiter)
+            res = res._replace(x=s * res.x)
+        else:
+            res = solve_equilibrated(matvec, pb, s, bl, L["mask2_lat"],
+                                     n, rtol, atol, self.restart,
+                                     self.maxiter)
         return res._replace(x=res.x[L["dofperm2"]])
 
     def solve(self, factors, b, rtol=1e-10, atol=0.0):

@@ -97,11 +97,16 @@ class GeometricMG:
         self.coarse_degree = coarse_degree
 
     @staticmethod
-    def build(specs, make_form, quad_order=None):
+    def build(specs, make_form, quad_order=None, ess_dofs=None):
         """specs: list of (mesh, order) fine -> coarse (nested domains —
         every finer level's nodes must lie inside the coarser mesh).
         ``make_form(ops) -> BilinearForm`` defines the SPD PDE on every
-        level.  Essential dofs are each level's full boundary."""
+        level.  ``ess_dofs(fes) -> index array`` selects each level's
+        essential dofs (default: the full boundary).  The PC's pinned
+        set must match the SYSTEM's essential dofs — a PC that pins
+        dofs the system leaves free (e.g. full boundary vs x-only
+        Dirichlet in the 3-Peclet driver) acts as identity there and
+        can stall GMRES into a silently wrong iterate."""
         from ..core.fespace import FESpace as _FESpace
         from ..core.pointlocate import h1_sampling_stencil
 
@@ -113,7 +118,9 @@ class GeometricMG:
             form = make_form(ops)
             data = form.assemble()
             mask = np.zeros(fes.nscalar, bool)
-            mask[np.asarray(fes.boundary_dofs())] = True
+            ess_l = (fes.boundary_dofs() if ess_dofs is None
+                     else ess_dofs(fes))
+            mask[np.asarray(ess_l)] = True
             diag = np.asarray(form.assemble_diagonal(data))
             diag = np.where(mask, 1.0, diag)
             lvl = {

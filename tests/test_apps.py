@@ -43,6 +43,45 @@ def test_linear_cd_2d_orders_1_to_3(tmp_path, order, rel_l2_max):
     assert out["rel_l2"] < rel_l2_max
 
 
+def test_linear_cd_2d_mg_preconditioner(tmp_path):
+    """linear_solver: mg on the steady CDR driver (VERDICT r4 #7) —
+    same answer as the Jacobi path on the same deck."""
+    from cmfem_tpu.apps.linear_cd_2d import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 2,
+        "serial_ref_levels": 1,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out_j = run(cfg)
+    out_mg = run({**cfg, "linear_solver": "mg"})
+    assert out_mg["rel_l2"] < 3.2e-4
+    assert abs(out_mg["rel_l2"] - out_j["rel_l2"]) \
+        < 1e-6 * max(1e-12, out_j["rel_l2"]) + 1e-12
+
+
+def test_transient_3pe_mg_preconditioner(tmp_path):
+    """linear_solver: mg on the 3-Peclet transient driver: one
+    hierarchy per Peclet operator, final errors match Jacobi."""
+    from cmfem_tpu.apps.linear_cd_transient import run
+
+    cfg = {
+        "mesh_file": f"{REF}/Mesh/unit_square.msh",
+        "order": 1,
+        "serial_ref_levels": 1,
+        "dt": 5.0e-3,
+        "t_final": 2.0e-2,
+        "output_path": str(tmp_path),
+        "save_paraview": False,
+    }
+    out_j = run(cfg)
+    out_mg = run({**cfg, "linear_solver": "mg"})
+    for a, b in zip(out_j["final_errors"], out_mg["final_errors"]):
+        assert abs(a - b) < 1e-8 + 1e-6 * abs(a)
+
+
 def test_linear_cd_circle_runs(tmp_path):
     from cmfem_tpu.apps.linear_cd_2d_circle import run
 
