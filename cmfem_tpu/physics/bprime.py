@@ -169,11 +169,15 @@ class BPrimeTable:
         bg = jnp.asarray(bg)
         T = jnp.asarray(T)
 
-        # evaluate splines at all (p, bg) levels: (Lp, Lbg, ...).  Each
-        # level uses ITS OWN knots (ragged tables): the query is clamped
-        # to the level's TRUE T range so the monotone padding knots are
-        # never evaluated, and the clamp flag/zero-derivative semantics
-        # are imposed against the true range (EvalClampWithDerivative).
+        # evaluate splines at all (p, bg) levels: (Lp, Lbg, ...).
+        # UNIFORM tables evaluate on the one SHARED grid so the interval
+        # search/one-hot is a common subexpression across the Lp*Lbg
+        # unrolled evals (XLA CSEs it once); ragged tables clamp the
+        # query to each level's TRUE T range (padding knots never
+        # evaluated) with clamp-flag/zero-derivative semantics imposed
+        # per level (EvalClampWithDerivative).
+        T_shared = jnp.asarray(self.T_tab[0, 0]) if self.uniform else None
+
         def eval_all(y, y2):
             vals = []
             ders = []
@@ -181,14 +185,20 @@ class BPrimeTable:
             for i in range(Lp):
                 vi, di, ci = [], [], []
                 for j in range(Lbg):
-                    lo = self.T_tab[i, j, 0]
-                    hi = self.T_hi[i, j]
-                    Tq = jnp.clip(T, lo, hi)
-                    v, d, _ = spline_eval(jnp.asarray(self.T_tab[i, j]),
-                                          jnp.asarray(y[i, j]),
-                                          jnp.asarray(y2[i, j]), Tq)
-                    c = (T < lo) | (T > hi)
-                    d = jnp.where(c, 0.0, d)
+                    if self.uniform:
+                        v, d, c = spline_eval(T_shared,
+                                              jnp.asarray(y[i, j]),
+                                              jnp.asarray(y2[i, j]), T)
+                    else:
+                        lo = self.T_tab[i, j, 0]
+                        hi = self.T_hi[i, j]
+                        Tq = jnp.clip(T, lo, hi)
+                        v, d, _ = spline_eval(
+                            jnp.asarray(self.T_tab[i, j]),
+                            jnp.asarray(y[i, j]),
+                            jnp.asarray(y2[i, j]), Tq)
+                        c = (T < lo) | (T > hi)
+                        d = jnp.where(c, 0.0, d)
                     vi.append(v); di.append(d); ci.append(c)
                 vals.append(jnp.stack(vi)); ders.append(jnp.stack(di))
                 cls_.append(jnp.stack(ci))

@@ -193,18 +193,28 @@ class PropertyTable:
         T = jnp.asarray(T)
         p = jnp.asarray(p)
 
-        # evaluate the spline at every pressure level (L is tiny: 2..5)
-        # on that level's OWN knots, clamped to its true range (ragged
-        # levels: padding knots are never evaluated)
-        def level_eval(Tl, Thil, yl, y2l):
-            lo = Tl[0]
-            Tq = jnp.clip(T, lo, Thil)
-            v, d, _ = spline_eval(Tl, yl, y2l, Tq)
-            c = (T <= lo) | (T >= Thil)
-            return v, jnp.where(c, 0.0, d), c
+        # evaluate the spline at every pressure level (L is tiny: 2..5).
+        # UNIFORM tables (every shipped deck) use the shared grid with
+        # the knot array CLOSED OVER, so the interval search/one-hot —
+        # the (nqp, nT) working set — is invariant to the level vmap
+        # and XLA hoists it ONCE.  Vmapping the grid itself (the ragged
+        # path below) materializes it per level; doing that
+        # unconditionally multiplied residual memory by L x n_props and
+        # OOM'd the refine-1 ablation residual at 17 GB on-chip.
+        if self.uniform:
+            Tg = jnp.asarray(self.T_tab[0])
+            vals, ders, Tcl = jax.vmap(
+                lambda yl, y2l: spline_eval(Tg, yl, y2l, T))(yj, y2j)
+        else:
+            def level_eval(Tl, Thil, yl, y2l):
+                lo = Tl[0]
+                Tq = jnp.clip(T, lo, Thil)
+                v, d, _ = spline_eval(Tl, yl, y2l, Tq)
+                c = (T <= lo) | (T >= Thil)
+                return v, jnp.where(c, 0.0, d), c
 
-        vals, ders, Tcl = jax.vmap(level_eval)(
-            jnp.asarray(self.T_tab), jnp.asarray(self.T_hi), yj, y2j)
+            vals, ders, Tcl = jax.vmap(level_eval)(
+                jnp.asarray(self.T_tab), jnp.asarray(self.T_hi), yj, y2j)
 
         if L == 1:
             out = vals[0]

@@ -1,0 +1,202 @@
+"""Multi-chip communication-volume model for the distributed paths.
+
+Real multi-chip hardware is unavailable in this environment (one
+tunneled chip), so the distributed designs are validated on a virtual
+N-device CPU mesh (__graft_entry__.dryrun_multichip).  This script adds
+the SCALING model the single-chip roofline lacks (VERDICT r4 #10): it
+compiles the actual distributed programs on the virtual mesh, extracts
+every collective operation (all-reduce / collective-permute /
+all-gather / reduce-scatter) with its shape FROM THE COMPILED HLO —
+not from hand-waving — and converts them to per-apply / per-iteration
+communication bytes.  An ICI-time projection against the measured
+single-chip apply throughput then says where compute/communication
+crossover sits.
+
+Paths modeled:
+  z-sharded sum-factorized apply  (ops/sumfact_sharded.py: x/y
+      contractions device-local, one-plane halo exchange in z)
+  dof-partitioned CG              (parallel/dofpart.py: owned slabs +
+      interface-psum halo assembly; collectives inside the CG loop run
+      once per iteration)
+
+Writes artifacts_comms_model.json.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       JAX_PLATFORMS=cpu python scripts/comms_model.py
+"""
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+               "u32": 4, "pred": 1, "s64": 8, "u64": 8}
+
+# v5e numbers: 819 GB/s HBM; ICI ~ 186 GB/s per link bidirectional
+# (2x 93 GB/s per direction), 4 links per chip on a 2D torus.
+ICI_GBPS = float(os.environ.get("COMMS_ICI_GBPS", "93"))
+
+
+def collective_stats(hlo_text):
+    """Per-computation collective ops parsed from HLO text.
+
+    Returns {computation_name: [(op_kind, dtype, shape, bytes)]}."""
+    comps = {}
+    cur = "<module>"
+    for line in hlo_text.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
+        if line.strip().startswith(("ENTRY", "%")) and "{" in line:
+            m2 = re.search(r"(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
+            if m2:
+                cur = m2.group(1)
+        m = re.search(
+            r"=\s+(?:\()?(\w+)\[([0-9,]*)\][^\s]*\s+"
+            r"(all-reduce|collective-permute|all-gather|reduce-scatter"
+            r"|all-to-all)(?:-start)?\(", line)
+        if m:
+            dt, shape_s, kind = m.group(1), m.group(2), m.group(3)
+            shape = [int(v) for v in shape_s.split(",") if v] or [1]
+            nbytes = DTYPE_BYTES.get(dt, 4)
+            for v in shape:
+                nbytes *= v
+            comps.setdefault(cur, []).append(
+                {"op": kind, "dtype": dt, "shape": shape,
+                 "bytes": nbytes})
+    return comps
+
+
+def summarize(comps):
+    """Split collective bytes into one-shot (entry) vs per-iteration
+    (while-loop body computations)."""
+    out = {"per_call": [], "per_iteration": [], "loop_computations": []}
+    for name, ops in comps.items():
+        is_body = "body" in name or "while" in name
+        tgt = "per_iteration" if is_body else "per_call"
+        if is_body:
+            out["loop_computations"].append(name)
+        for o in ops:
+            out[tgt].append(o)
+    for key in ("per_call", "per_iteration"):
+        tot = sum(o["bytes"] for o in out[key])
+        out[f"{key}_bytes"] = tot
+        out[f"{key}_count"] = len(out[key])
+    return out
+
+
+def model_sumfact(jax, jnp, np, n_devices):
+    """z-sharded sum-factorized apply: compile, extract collectives."""
+    from cmfem_tpu.core import make_cartesian_mesh_3d, FESpace
+    from cmfem_tpu.ops import SpaceOps, BilinearForm
+    from cmfem_tpu.ops.sumfact_sharded import ShardedSumFactOperator
+    from cmfem_tpu.parallel import make_device_mesh
+
+    nx = ny = 8
+    nz = 4 * n_devices
+    order = 2
+    smesh = make_cartesian_mesh_3d(nx, ny, nz)
+    sfes = FESpace(smesh, order)
+    sops = SpaceOps(sfes, quad_order=2 * order)
+    sform = (BilinearForm(sops).add_diffusion(0.1)
+             .add_convection(np.array([1.0, -2.0, 0.5])).add_mass(1.0))
+    sdata = sform.assemble()
+    zmesh = make_device_mesh(n_devices, axis="z")
+    shop = ShardedSumFactOperator(sops, sdata, nx, ny, nz, order, zmesh)
+    u = shop.to_sharded(np.zeros(sfes.nscalar, np.float32))
+    compiled = jax.jit(shop._apply).lower(u, shop.D).compile()
+    stats = summarize(collective_stats(compiled.as_text()))
+    ndofs = sfes.nscalar
+    # analytic check: the halo is one dof plane (NXd*NYd floats) each
+    # direction; under z sharding each device exchanges its boundary
+    # plane once per apply
+    NXd, NYd = nx * order + 1, ny * order + 1
+    stats["analytic_halo_bytes_per_apply"] = 2 * NXd * NYd * 4
+    stats["ndofs"] = ndofs
+    stats["n_devices"] = n_devices
+    stats["note"] = ("per_call bytes are PER APPLY (no loops in the "
+                     "apply program); halo volume is independent of NZ "
+                     "-> weak scaling in z is flat in comms")
+    return stats
+
+
+def model_dofpart_cg(jax, jnp, np, n_devices):
+    """dof-partitioned CG: collectives inside the loop body run once
+    per CG iteration."""
+    from cmfem_tpu.core import load_gmsh, FESpace
+    from cmfem_tpu.ops import SpaceOps, BilinearForm
+    from cmfem_tpu.parallel import DofPartitionedOperator, \
+        make_device_mesh
+    from cmfem_tpu.solvers import cg
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    mesh = load_gmsh(f"{REF}/Mesh/unit_square.msh")
+    fes = FESpace(mesh, 2)
+    ops = SpaceOps(fes, quad_order=4)
+    form = BilinearForm(ops).add_mass(1.0).add_diffusion(0.1)
+    data = form.assemble()
+    dmesh = make_device_mesh(n_devices)
+    dop = DofPartitionedOperator(ops, data, dmesh)
+    b = dop.to_dist(np.ones(fes.nscalar, np.float32))
+
+    def solve(bv):
+        return cg(dop, bv, rtol=1e-6, maxiter=200).x
+
+    compiled = jax.jit(solve).lower(b).compile()
+    stats = summarize(collective_stats(compiled.as_text()))
+    stats["ndofs"] = fes.nscalar
+    stats["n_devices"] = n_devices
+    stats["per_device_floats"] = int(dop.per_device_floats())
+    stats["note"] = ("per_iteration bytes are per CG iteration "
+                     "(interface halo psum in the operator + dot-"
+                     "product all-reduces); per_call is setup/epilogue")
+    return stats
+
+
+def main():
+    n_devices = int(os.environ.get("COMMS_NDEV", "8"))
+    import jax
+    if jax.device_count() < n_devices:
+        print(f"need {n_devices} devices; run with "
+              f"XLA_FLAGS=--xla_force_host_platform_device_count="
+              f"{n_devices} JAX_PLATFORMS=cpu", file=sys.stderr)
+        return 1
+    import jax.numpy as jnp
+    import numpy as np
+
+    art = {"n_devices": n_devices,
+           "ici_gbps_per_link_per_dir": ICI_GBPS,
+           "method": "collectives parsed from compiled SPMD HLO on the "
+                     "virtual CPU mesh; while-loop-body collectives "
+                     "classified per-iteration"}
+    art["z_sharded_sumfact"] = model_sumfact(jax, jnp, np, n_devices)
+    art["dofpart_cg"] = model_dofpart_cg(jax, jnp, np, n_devices)
+
+    # projection: time per apply at the measured single-chip rate vs
+    # ICI time for the halo bytes
+    sf = art["z_sharded_sumfact"]
+    apply_mdofs = float(os.environ.get("COMMS_APPLY_MDOFS", "860"))
+    dofs_per_dev = sf["ndofs"] / n_devices
+    t_compute_us = dofs_per_dev / apply_mdofs  # MDOF/s -> us for local part
+    t_ici_us = sf["per_call_bytes"] / (ICI_GBPS * 1e3) \
+        if sf["per_call_bytes"] else 0.0
+    art["projection"] = {
+        "apply_mdofs_single_chip": apply_mdofs,
+        "sumfact_compute_us_per_device_apply": round(t_compute_us, 3),
+        "sumfact_ici_us_per_apply": round(t_ici_us, 3),
+        "comment": "halo bytes are per-device-pair and independent of "
+                   "the local z extent: scaling z keeps the ICI share "
+                   "constant while compute grows with local dofs",
+    }
+    path = os.path.join(REPO, "artifacts_comms_model.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: art[k] for k in ("n_devices",)}))
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
