@@ -48,8 +48,11 @@ def collective_stats(hlo_text):
     comps = {}
     cur = "<module>"
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
-        if line.strip().startswith(("ENTRY", "%")) and "{" in line:
+        # computation headers look like `%name (args) -> type {` with no
+        # assignment; instruction lines always contain " = " (and layout
+        # braces like f32[4]{0}, so "{" alone is not a header signal)
+        if " = " not in line and "->" in line \
+                and line.rstrip().endswith("{"):
             m2 = re.search(r"(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
             if m2:
                 cur = m2.group(1)
@@ -69,15 +72,15 @@ def collective_stats(hlo_text):
     return comps
 
 
-def summarize(comps):
+def summarize(comps, hlo_text):
     """Split collective bytes into one-shot (entry) vs per-iteration
-    (while-loop body computations)."""
-    out = {"per_call": [], "per_iteration": [], "loop_computations": []}
+    (while-loop body computations, identified from the while ops'
+    ``body=`` attributes — XLA names them region_*, not 'body')."""
+    bodies = set(re.findall(r"body=%?([\w.\-]+)", hlo_text))
+    out = {"per_call": [], "per_iteration": [],
+           "loop_computations": sorted(bodies)}
     for name, ops in comps.items():
-        is_body = "body" in name or "while" in name
-        tgt = "per_iteration" if is_body else "per_call"
-        if is_body:
-            out["loop_computations"].append(name)
+        tgt = "per_iteration" if name in bodies else "per_call"
         for o in ops:
             out[tgt].append(o)
     for key in ("per_call", "per_iteration"):
@@ -107,7 +110,8 @@ def model_sumfact(jax, jnp, np, n_devices):
     shop = ShardedSumFactOperator(sops, sdata, nx, ny, nz, order, zmesh)
     u = shop.to_sharded(np.zeros(sfes.nscalar, np.float32))
     compiled = jax.jit(shop._apply).lower(u, shop.D).compile()
-    stats = summarize(collective_stats(compiled.as_text()))
+    txt = compiled.as_text()
+    stats = summarize(collective_stats(txt), txt)
     ndofs = sfes.nscalar
     # analytic check: the halo is one dof plane (NXd*NYd floats) each
     # direction; under z sharding each device exchanges its boundary
@@ -145,7 +149,8 @@ def model_dofpart_cg(jax, jnp, np, n_devices):
         return cg(dop, bv, rtol=1e-6, maxiter=200).x
 
     compiled = jax.jit(solve).lower(b).compile()
-    stats = summarize(collective_stats(compiled.as_text()))
+    txt = compiled.as_text()
+    stats = summarize(collective_stats(txt), txt)
     stats["ndofs"] = fes.nscalar
     stats["n_devices"] = n_devices
     stats["per_device_floats"] = int(dop.per_device_floats())
@@ -158,6 +163,9 @@ def model_dofpart_cg(jax, jnp, np, n_devices):
 def main():
     n_devices = int(os.environ.get("COMMS_NDEV", "8"))
     import jax
+    # the axon sitecustomize pins JAX_PLATFORMS=axon; env vars do not
+    # override it — switch explicitly (see .claude/skills/verify)
+    jax.config.update("jax_platforms", "cpu")
     if jax.device_count() < n_devices:
         print(f"need {n_devices} devices; run with "
               f"XLA_FLAGS=--xla_force_host_platform_device_count="
