@@ -120,6 +120,56 @@ def spline_eval(x, y, y2, xq):
     return val, der, lo_clamp | hi_clamp
 
 
+def spline_eval_multi(x, ys, y2s, xq):
+    """Evaluate L natural cubic splines SHARING one knot grid at the
+    same queries: x (nT,), ys/y2s (L, nT), xq (...,) ->
+    (val (L, ...), der (L, ...), clamped (...,)).
+
+    Semantics identical to ``jax.vmap(lambda y, y2: spline_eval(x, y,
+    y2, xq))(ys, y2s)`` — but that vmap lowers the per-level
+    ``dot(onehot, tab_l)`` to a batched matmul whose lhs is the one-hot
+    BROADCAST across L: at refine-3 ablation scale (1.5M QPs, 151
+    knots, L=8) that is a 22 GB intermediate that cannot compile
+    on-chip.  Here the one-hot is contracted against ALL levels' knot
+    tables in ONE (nqp, nT-1) @ (nT-1, 4L) matmul, so the working set
+    stays one one-hot plus (L, 4) coefficients per query."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    xq = jnp.asarray(xq)
+    ys = jnp.asarray(ys)
+    y2s = jnp.asarray(y2s)
+    L = ys.shape[0]
+    ss = jnp.sum(xq[..., None] > x, axis=-1)
+    k = jnp.clip(ss, 1, n - 1) - 1
+    onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    xlo = jnp.dot(onehot, x[:-1], precision=hi)
+    xhi = jnp.dot(onehot, x[1:], precision=hi)
+    # (L, nT-1, 4) -> (nT-1, 4L): one contraction for every level
+    tab = jnp.stack([ys[:, :-1], ys[:, 1:], y2s[:, :-1], y2s[:, 1:]],
+                    axis=-1)
+    tab2 = jnp.moveaxis(tab, 0, 1).reshape(n - 1, 4 * L)
+    g = jnp.dot(onehot, tab2, precision=hi)       # (..., 4L)
+    g = jnp.moveaxis(g.reshape(g.shape[:-1] + (L, 4)), -2, 0)
+    ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
+    h = xhi - xlo
+    a = (xhi - xq) / h
+    b = (xq - xlo) / h
+    val = (a * ylo + b * yhi
+           + ((a ** 3 - a) * y2lo + (b ** 3 - b) * y2hi) * (h * h) / 6.0)
+    der = ((yhi - ylo) / h
+           + (h / 6.0) * (-(3 * a * a - 1) * y2lo
+                          + (3 * b * b - 1) * y2hi))
+    lo_clamp = xq <= x[0]
+    hi_clamp = xq >= x[-1]
+    shape1 = (L,) + (1,) * (val.ndim - 1)
+    val = jnp.where(lo_clamp, ys[:, 0].reshape(shape1), val)
+    val = jnp.where(hi_clamp, ys[:, -1].reshape(shape1), val)
+    clamped = lo_clamp | hi_clamp
+    der = jnp.where(clamped, 0.0, der)
+    return val, der, jnp.broadcast_to(clamped, val.shape)
+
+
 @dataclass
 class PropertyTable:
     """(p, T) property table: splines in T per pressure level, linear in p.
@@ -202,9 +252,8 @@ class PropertyTable:
         # unconditionally multiplied residual memory by L x n_props and
         # OOM'd the refine-1 ablation residual at 17 GB on-chip.
         if self.uniform:
-            Tg = jnp.asarray(self.T_tab[0])
-            vals, ders, Tcl = jax.vmap(
-                lambda yl, y2l: spline_eval(Tg, yl, y2l, T))(yj, y2j)
+            vals, ders, Tcl = spline_eval_multi(
+                jnp.asarray(self.T_tab[0]), yj, y2j, T)
         else:
             def level_eval(Tl, Thil, yl, y2l):
                 lo = Tl[0]
