@@ -235,41 +235,71 @@ class PropertyTable:
     def eval(self, prop_idx: int, p, T, with_derivs: bool = False):
         """Batched evaluation; returns value or (value, dp, dT, clamped_p,
         clamped_T)."""
+        return self.eval_props((prop_idx,), p, T, with_derivs)[0]
+
+    def eval_props(self, prop_idxs, p, T, with_derivs: bool = False):
+        """Evaluate SEVERAL properties of this table at the same (p, T)
+        queries; returns a list aligned with ``prop_idxs``.
+
+        All (level, property) splines are contracted against ONE
+        interval one-hot in ONE matmul.  This is a memory-scaling
+        requirement, not a convenience: separate per-property ``eval``
+        calls build identical one-hots that XLA groups into a batched
+        dot whose BROADCAST lhs materializes (n_dots, nqp, nT-1) — at
+        refine-3 ablation scale (1.5M QPs, 151 gas knots, 8 dots) a
+        22 GB buffer that cannot compile on-chip."""
+        idxs = list(prop_idxs)
+        P = len(idxs)
         ps = jnp.asarray(self.p_levels)
         L = len(self.p_levels)
-        yj = jnp.asarray(self.y[:, prop_idx])    # (L, nT)
-        y2j = jnp.asarray(self.y2[:, prop_idx])
+        yj = jnp.asarray(self.y[:, idxs])        # (L, P, nT)
+        y2j = jnp.asarray(self.y2[:, idxs])
 
         T = jnp.asarray(T)
         p = jnp.asarray(p)
+        nTmax = yj.shape[-1]
 
         # evaluate the spline at every pressure level (L is tiny: 2..5).
-        # UNIFORM tables (every shipped deck) use the shared grid with
-        # the knot array CLOSED OVER, so the interval search/one-hot —
-        # the (nqp, nT) working set — is invariant to the level vmap
-        # and XLA hoists it ONCE.  Vmapping the grid itself (the ragged
-        # path below) materializes it per level; doing that
-        # unconditionally multiplied residual memory by L x n_props and
-        # OOM'd the refine-1 ablation residual at 17 GB on-chip.
+        # UNIFORM tables (every shipped deck) share one grid, so the
+        # (L*P) splines ride one one-hot contraction; ragged tables pay
+        # a per-level working set (their own grids).
         if self.uniform:
-            vals, ders, Tcl = spline_eval_multi(
-                jnp.asarray(self.T_tab[0]), yj, y2j, T)
+            v, d, c = spline_eval_multi(
+                jnp.asarray(self.T_tab[0]),
+                yj.reshape(L * P, nTmax),
+                y2j.reshape(L * P, nTmax), T)
+            shp = (L, P) + v.shape[1:]
+            vals, ders, Tcl = (v.reshape(shp), d.reshape(shp),
+                               c.reshape(shp))
         else:
             def level_eval(Tl, Thil, yl, y2l):
                 lo = Tl[0]
                 Tq = jnp.clip(T, lo, Thil)
-                v, d, _ = spline_eval(Tl, yl, y2l, Tq)
+                v, d, _ = jax.vmap(
+                    lambda a, b: spline_eval(Tl, a, b, Tq))(yl, y2l)
                 c = (T <= lo) | (T >= Thil)
-                return v, jnp.where(c, 0.0, d), c
+                return v, jnp.where(c, 0.0, d), \
+                    jnp.broadcast_to(c, v.shape)
 
             vals, ders, Tcl = jax.vmap(level_eval)(
-                jnp.asarray(self.T_tab), jnp.asarray(self.T_hi), yj, y2j)
+                jnp.asarray(self.T_tab), jnp.asarray(self.T_hi),
+                yj, y2j)
+
+        def _per_prop(value, dp, dT, clamped_p, cT):
+            outs = []
+            for i in range(P):
+                if with_derivs:
+                    outs.append((value[i], dp[i], dT[i], clamped_p,
+                                 cT[i]))
+                else:
+                    outs.append(value[i])
+            return outs
 
         if L == 1:
-            out = vals[0]
-            if not with_derivs:
-                return out
-            return out, jnp.zeros_like(out), ders[0], jnp.zeros_like(out, bool), Tcl[0]
+            z = jnp.zeros_like(vals[0, 0])
+            return _per_prop(vals[0], jnp.broadcast_to(z, vals[0].shape),
+                             ders[0],
+                             jnp.zeros(z.shape, bool), Tcl[0])
 
         pc = jnp.clip(p, ps[0], ps[-1])
         clamped_p = (p <= ps[0]) | (p >= ps[-1])
@@ -290,7 +320,9 @@ class PropertyTable:
         oh_hi = (hi[..., None] == jnp.arange(L))
 
         def take(arr, oh):
-            am = jnp.moveaxis(arr, 0, -1)          # (..., L)
+            # (L, P, ...) -> (P, ..., L), contract L against the
+            # query-shaped one-hot (broadcast over the leading P)
+            am = jnp.moveaxis(arr, 0, -1)
             if arr.dtype == jnp.bool_:
                 return jnp.any(am & oh, axis=-1)
             return jnp.sum(am * oh.astype(am.dtype), axis=-1)
@@ -299,14 +331,14 @@ class PropertyTable:
         v1 = take(vals, oh_hi)
         d0 = take(ders, oh_lo)
         d1 = take(ders, oh_hi)
-        c0 = take(Tcl, oh_lo)
-        c1 = take(Tcl, oh_hi)
         value = (1 - w) * v0 + w * v1
         dT = (1 - w) * d0 + w * d1
         if not with_derivs:
-            return value
+            return [value[i] for i in range(P)]
+        c0 = take(Tcl, oh_lo)
+        c1 = take(Tcl, oh_hi)
         dp = jnp.where(clamped_p, 0.0, (v1 - v0) / (p1 - p0))
-        return value, dp, dT, clamped_p, (c0 | c1)
+        return _per_prop(value, dp, dT, clamped_p, c0 | c1)
 
 
 def _make_extent_solver(mat: "TacotMaterial"):
@@ -612,12 +644,10 @@ class TacotMaterial:
         rho_ref = jnp.maximum(rho_s, rho_c)
         vw = jnp.where(rho_ref > 0, tau * rho_v / rho_ref, tau)
 
-        cp_v = self.virgin.eval(0, p, T)
-        h_v = self.virgin.eval(1, p, T)
-        k_v = self.virgin.eval(2, p, T)
-        cp_c = self.char.eval(0, p, T)
-        h_c = self.char.eval(1, p, T)
-        k_c = self.char.eval(2, p, T)
+        # one one-hot contraction per table (eval_props): per-property
+        # eval calls batch into a broadcast dot that OOMs at scale
+        cp_v, h_v, k_v = self.virgin.eval_props((0, 1, 2), p, T)
+        cp_c, h_c, k_c = self.char.eval_props((0, 1, 2), p, T)
 
         out = {
             "tau": tau,
@@ -627,10 +657,8 @@ class TacotMaterial:
             "k": k_v * vw + k_c * (1 - vw),
         }
         if self.virgin_optics is not None and self.char_optics is not None:
-            eps_v = self.virgin_optics.eval(0, p, T)
-            refl_v = self.virgin_optics.eval(1, p, T)
-            eps_c = self.char_optics.eval(0, p, T)
-            refl_c = self.char_optics.eval(1, p, T)
+            eps_v, refl_v = self.virgin_optics.eval_props((0, 1), p, T)
+            eps_c, refl_c = self.char_optics.eval_props((0, 1), p, T)
             out["emissivity"] = jnp.clip(eps_v * vw + eps_c * (1 - vw),
                                          0.0, 1.0)
             out["reflectivity"] = jnp.clip(refl_v * vw + refl_c * (1 - vw),
@@ -667,8 +695,6 @@ class TacotMaterial:
 
     def gas_props(self, T, p):
         """EvaluateGas (:404-419)."""
-        M = self.gas.eval(0, p, T)
-        h = self.gas.eval(1, p, T)
-        mu = self.gas.eval(2, p, T)
+        M, h, mu = self.gas.eval_props((0, 1, 2), p, T)
         rho = p * M / (self.R * jnp.maximum(T, 1.0))
         return {"M": M, "h": h, "mu": mu, "rho": rho}

@@ -209,7 +209,8 @@ def main():
     if os.environ.get("CMFEM_FORCE_CPU", "0") == "1":
         import jax
         jax.config.update("jax_platforms", "cpu")
-    study = run_study()
+    refs = tuple(int(a) for a in sys.argv[1:]) or (0, 1, 2, 3)
+    study = run_study(refinements=refs)
     path = os.path.join(REPO, "artifacts_blocksolve_refinement.json")
     with open(path, "w") as f:
         json.dump(study, f, indent=1)
