@@ -141,17 +141,34 @@ def spline_eval_multi(x, ys, y2s, xq):
     L = ys.shape[0]
     ss = jnp.sum(xq[..., None] > x, axis=-1)
     k = jnp.clip(ss, 1, n - 1) - 1
-    onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    xlo = jnp.dot(onehot, x[:-1], precision=hi)
-    xhi = jnp.dot(onehot, x[1:], precision=hi)
-    # (L, nT-1, 4) -> (nT-1, 4L): one contraction for every level
-    tab = jnp.stack([ys[:, :-1], ys[:, 1:], y2s[:, :-1], y2s[:, 1:]],
-                    axis=-1)
-    tab2 = jnp.moveaxis(tab, 0, 1).reshape(n - 1, 4 * L)
-    g = jnp.dot(onehot, tab2, precision=hi)       # (..., 4L)
-    g = jnp.moveaxis(g.reshape(g.shape[:-1] + (L, 4)), -2, 0)
-    ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1], g[..., 2], g[..., 3])
+    nqp = int(np.prod(xq.shape)) if xq.shape else 1
+    if nqp * (n - 1) > int(os.environ.get("CMFEM_SPLINE_ONEHOT_MAX",
+                                          str(64 * 1024 * 1024))):
+        # LARGE problems (refinement studies): the (nqp, nT-1) one-hot
+        # working set no longer fits — at refine-3 ablation scale the
+        # TPU compiler materialized 22 GB of broadcast one-hots.
+        # Fall back to index gathers: bit-identical selection, O(L*nqp)
+        # memory, at the cost of scalarized loads on TPU (fine for a
+        # study-scale residual, never taken at production sizes).
+        xlo = jnp.take(x[:-1], k)
+        xhi = jnp.take(x[1:], k)
+        ylo = jnp.take(ys[:, :-1], k, axis=-1)
+        yhi = jnp.take(ys[:, 1:], k, axis=-1)
+        y2lo = jnp.take(y2s[:, :-1], k, axis=-1)
+        y2hi = jnp.take(y2s[:, 1:], k, axis=-1)
+    else:
+        onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
+        hi = jax.lax.Precision.HIGHEST
+        xlo = jnp.dot(onehot, x[:-1], precision=hi)
+        xhi = jnp.dot(onehot, x[1:], precision=hi)
+        # (L, nT-1, 4) -> (nT-1, 4L): one contraction for every level
+        tab = jnp.stack([ys[:, :-1], ys[:, 1:], y2s[:, :-1], y2s[:, 1:]],
+                        axis=-1)
+        tab2 = jnp.moveaxis(tab, 0, 1).reshape(n - 1, 4 * L)
+        g = jnp.dot(onehot, tab2, precision=hi)       # (..., 4L)
+        g = jnp.moveaxis(g.reshape(g.shape[:-1] + (L, 4)), -2, 0)
+        ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1],
+                                g[..., 2], g[..., 3])
     h = xhi - xlo
     a = (xhi - xq) / h
     b = (xq - xlo) / h
