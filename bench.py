@@ -510,16 +510,50 @@ def bench_ablation(jax, jnp, nx, ny):
     t_prep = loop_ms(many_prep, T1, p1)
     t_solve = loop_ms(many_solve, fac0, R1)
     res = bks.solve(fac0, -R1, rtol=1e-4)
-    return {"ne": sys_.ne, "ndofs_tp": 2 * n,
-            "residual_ms": round(t_res, 2),
-            "prepare_ms": round(t_prep, 2),
-            "solve_ms": round(t_solve, 2),
-            "newton_step_ms": round(t_res + t_prep + t_solve, 2),
-            "timing": f"device time amortized over {REPS} chained "
-                      "in-jit iterations (the scan drivers' regime)",
-            "gmres_cycles": int(res.iters),
-            "R0": rnorm0, "R_after_2_steps": rnorm1,
-            "residual_reduction_ok": bool(rnorm1 < rnorm0)}
+    out = {"ne": sys_.ne, "ndofs_tp": 2 * n,
+           "residual_ms": round(t_res, 2),
+           "prepare_ms": round(t_prep, 2),
+           "solve_ms": round(t_solve, 2),
+           "newton_step_ms": round(t_res + t_prep + t_solve, 2),
+           "timing": f"device time amortized over {REPS} chained "
+                     "in-jit iterations (the scan drivers' regime)",
+           "gmres_cycles": int(res.iters),
+           "R0": rnorm0, "R_after_2_steps": rnorm1,
+           "residual_reduction_ok": bool(rnorm1 < rnorm0)}
+
+    # h-robust line-MG PC (solvers/linemg.py) on the same system
+    try:
+        bks_mg = BlockNewtonKrylov(fes.element_dofs, n, ess, ess,
+                                   restart=60, maxiter=5,
+                                   dof_lattice=lat, pc="linemg")
+
+        @jax.jit
+        def many_prep_mg(T, p):
+            def body(_, c):
+                T, p = c
+                fac = bks_mg._prepare_impl(*jac_blocks(T, p))
+                s = jnp.sum(fac[2]) * 1e-30
+                return (T + s, p + s)
+            return jax.lax.fori_loop(0, REPS, body, (T, p))
+
+        fac_mg = bks_mg.prepare(jac_blocks(T1, p1))
+
+        @jax.jit
+        def many_solve_mg(fac, R):
+            def body(_, R):
+                res = bks_mg.solve(fac, -R, rtol=1e-4)
+                return R + 1e-30 * res.x
+            return jax.lax.fori_loop(0, REPS, body, R)
+
+        res_mg = bks_mg.solve(fac_mg, -R1, rtol=1e-4)
+        out["linemg_prepare_ms"] = round(loop_ms(many_prep_mg, T1, p1), 2)
+        out["linemg_solve_ms"] = round(loop_ms(many_solve_mg, fac_mg,
+                                               R1), 2)
+        out["linemg_inner_iters"] = int(res_mg.inner_iters)
+        out["linemg_converged"] = bool(res_mg.converged)
+    except Exception as e:  # pragma: no cover
+        out["linemg_failed"] = f"{type(e).__name__}: {e}"
+    return out
 
 
 def main():
