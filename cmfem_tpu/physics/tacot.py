@@ -123,52 +123,62 @@ def spline_eval(x, y, y2, xq):
 def spline_eval_multi(x, ys, y2s, xq):
     """Evaluate L natural cubic splines SHARING one knot grid at the
     same queries: x (nT,), ys/y2s (L, nT), xq (...,) ->
-    (val (L, ...), der (L, ...), clamped (...,)).
+    (val (L, ...), der (L, ...), clamped (L, ...)).
 
     Semantics identical to ``jax.vmap(lambda y, y2: spline_eval(x, y,
     y2, xq))(ys, y2s)`` — but that vmap lowers the per-level
     ``dot(onehot, tab_l)`` to a batched matmul whose lhs is the one-hot
     BROADCAST across L: at refine-3 ablation scale (1.5M QPs, 151
-    knots, L=8) that is a 22 GB intermediate that cannot compile
-    on-chip.  Here the one-hot is contracted against ALL levels' knot
-    tables in ONE (nqp, nT-1) @ (nT-1, 4L) matmul, so the working set
-    stays one one-hot plus (L, 4) coefficients per query."""
+    knots) that is a 22 GB intermediate that cannot compile on-chip.
+    Here the one-hot is contracted against ALL levels' knot tables in
+    ONE (nqp, nT-1) @ (nT-1, 4L) matmul; above
+    CMFEM_SPLINE_ONEHOT_MAX one-hot entries the leading query axis is
+    additionally CHUNKED through a sequential ``lax.map`` so peak
+    memory stays bounded regardless of problem size (plain index
+    gathers are no escape — XLA:TPU's gather expander lowers small-
+    table gathers back into exactly these one-hot dots)."""
     x = jnp.asarray(x)
     n = x.shape[0]
     xq = jnp.asarray(xq)
     ys = jnp.asarray(ys)
     y2s = jnp.asarray(y2s)
     L = ys.shape[0]
+    nqp = int(np.prod(xq.shape)) if xq.shape else 1
+    budget = int(os.environ.get("CMFEM_SPLINE_ONEHOT_MAX",
+                                str(64 * 1024 * 1024)))
+    if xq.ndim >= 1 and xq.shape[0] > 1 and nqp * (n - 1) > budget:
+        lead = xq.shape[0]
+        rest = xq.shape[1:]
+        per_lead = (nqp // lead) * (n - 1)
+        chunk = max(1, budget // max(1, per_lead))
+        nch = -(-lead // chunk)
+        pad = nch * chunk - lead
+        xq_p = jnp.concatenate(
+            [xq, jnp.broadcast_to(xq[:1], (pad,) + rest)]) \
+            if pad else xq
+        xq_c = xq_p.reshape((nch, chunk) + rest)
+        v, d, c = jax.lax.map(
+            lambda xc: spline_eval_multi(x, ys, y2s, xc), xq_c)
+        out = []
+        for a in (v, d, c):
+            a = jnp.moveaxis(a, 0, 1).reshape(
+                (L, nch * chunk) + rest)[:, :lead]
+            out.append(a)
+        return tuple(out)
     ss = jnp.sum(xq[..., None] > x, axis=-1)
     k = jnp.clip(ss, 1, n - 1) - 1
-    nqp = int(np.prod(xq.shape)) if xq.shape else 1
-    if nqp * (n - 1) > int(os.environ.get("CMFEM_SPLINE_ONEHOT_MAX",
-                                          str(64 * 1024 * 1024))):
-        # LARGE problems (refinement studies): the (nqp, nT-1) one-hot
-        # working set no longer fits — at refine-3 ablation scale the
-        # TPU compiler materialized 22 GB of broadcast one-hots.
-        # Fall back to index gathers: bit-identical selection, O(L*nqp)
-        # memory, at the cost of scalarized loads on TPU (fine for a
-        # study-scale residual, never taken at production sizes).
-        xlo = jnp.take(x[:-1], k)
-        xhi = jnp.take(x[1:], k)
-        ylo = jnp.take(ys[:, :-1], k, axis=-1)
-        yhi = jnp.take(ys[:, 1:], k, axis=-1)
-        y2lo = jnp.take(y2s[:, :-1], k, axis=-1)
-        y2hi = jnp.take(y2s[:, 1:], k, axis=-1)
-    else:
-        onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
-        hi = jax.lax.Precision.HIGHEST
-        xlo = jnp.dot(onehot, x[:-1], precision=hi)
-        xhi = jnp.dot(onehot, x[1:], precision=hi)
-        # (L, nT-1, 4) -> (nT-1, 4L): one contraction for every level
-        tab = jnp.stack([ys[:, :-1], ys[:, 1:], y2s[:, :-1], y2s[:, 1:]],
-                        axis=-1)
-        tab2 = jnp.moveaxis(tab, 0, 1).reshape(n - 1, 4 * L)
-        g = jnp.dot(onehot, tab2, precision=hi)       # (..., 4L)
-        g = jnp.moveaxis(g.reshape(g.shape[:-1] + (L, 4)), -2, 0)
-        ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1],
-                                g[..., 2], g[..., 3])
+    onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    xlo = jnp.dot(onehot, x[:-1], precision=hi)
+    xhi = jnp.dot(onehot, x[1:], precision=hi)
+    # (L, nT-1, 4) -> (nT-1, 4L): one contraction for every level
+    tab = jnp.stack([ys[:, :-1], ys[:, 1:], y2s[:, :-1], y2s[:, 1:]],
+                    axis=-1)
+    tab2 = jnp.moveaxis(tab, 0, 1).reshape(n - 1, 4 * L)
+    g = jnp.dot(onehot, tab2, precision=hi)       # (..., 4L)
+    g = jnp.moveaxis(g.reshape(g.shape[:-1] + (L, 4)), -2, 0)
+    ylo, yhi, y2lo, y2hi = (g[..., 0], g[..., 1],
+                            g[..., 2], g[..., 3])
     h = xhi - xlo
     a = (xhi - xq) / h
     b = (xq - xlo) / h

@@ -93,6 +93,36 @@ def test_property_table_ragged_levels():
     assert bool(cT)          # a contributing level clamped
 
 
+def test_spline_eval_multi_chunked_matches_unchunked(monkeypatch):
+    """Above CMFEM_SPLINE_ONEHOT_MAX the multi-level spline eval chunks
+    the query axis through lax.map (the one-hot working set OOM'd the
+    refine-3 ablation residual at 22 GB on-chip); results must be
+    bit-identical to the unchunked path."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.physics.tacot import natural_spline_y2, \
+        spline_eval_multi
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(200.0, 4000.0, 40))
+    ys = rng.standard_normal((5, 40))
+    y2s = natural_spline_y2(x, ys)
+    Tq = rng.uniform(150.0, 4200.0, (37, 9))
+    ref = spline_eval_multi(x, ys, y2s, jnp.asarray(Tq))
+    monkeypatch.setenv("CMFEM_SPLINE_ONEHOT_MAX", "1000")
+    chunked = spline_eval_multi(x, ys, y2s, jnp.asarray(Tq))
+    # same selection, same formula; only last-ulp dot reassociation
+    # differs between the chunked and whole-array contraction shapes
+    np.testing.assert_allclose(np.asarray(ref[0]),
+                               np.asarray(chunked[0]),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ref[1]),
+                               np.asarray(chunked[1]),
+                               rtol=1e-11, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(ref[2]),
+                                  np.asarray(chunked[2]))
+
+
 def test_reaction_extents_satisfy_implicit_equation(mat):
     T = jnp.asarray([300.0, 600.0, 900.0, 1500.0, 3000.0])
     dt = 0.1
