@@ -139,32 +139,33 @@ def spline_eval_multi(x, ys, y2s, xq):
     table gathers back into exactly these one-hot dots)."""
     x = jnp.asarray(x)
     n = x.shape[0]
-    xq = jnp.asarray(xq)
+    xq_in = jnp.asarray(xq)
     ys = jnp.asarray(ys)
     y2s = jnp.asarray(y2s)
     L = ys.shape[0]
-    nqp = int(np.prod(xq.shape)) if xq.shape else 1
+    nqp = int(np.prod(xq_in.shape)) if xq_in.shape else 1
     budget = int(os.environ.get("CMFEM_SPLINE_ONEHOT_MAX",
-                                str(64 * 1024 * 1024)))
-    if xq.ndim >= 1 and xq.shape[0] > 1 and nqp * (n - 1) > budget:
-        lead = xq.shape[0]
-        rest = xq.shape[1:]
-        per_lead = (nqp // lead) * (n - 1)
-        chunk = max(1, budget // max(1, per_lead))
-        nch = -(-lead // chunk)
-        pad = nch * chunk - lead
-        xq_p = jnp.concatenate(
-            [xq, jnp.broadcast_to(xq[:1], (pad,) + rest)]) \
-            if pad else xq
-        xq_c = xq_p.reshape((nch, chunk) + rest)
+                                str(16 * 1024 * 1024)))
+    if nqp * (n - 1) > budget:
+        # flatten the queries (multi-dim query shapes pad the one-hot's
+        # sublane axis — measured 3.0x expansion for (..., 9, 151) f32
+        # tiles) and evaluate in sequential lax.map chunks so peak
+        # memory is bounded at any problem size
+        flat = xq_in.reshape(-1)
+        chunk = max(1, budget // (n - 1))
+        nch = -(-nqp // chunk)
+        pad = nch * chunk - nqp
+        flat_p = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[:1], (pad,))]) if pad else flat
         v, d, c = jax.lax.map(
-            lambda xc: spline_eval_multi(x, ys, y2s, xc), xq_c)
+            lambda xc: spline_eval_multi(x, ys, y2s, xc),
+            flat_p.reshape(nch, chunk))
         out = []
         for a in (v, d, c):
-            a = jnp.moveaxis(a, 0, 1).reshape(
-                (L, nch * chunk) + rest)[:, :lead]
-            out.append(a)
+            a = jnp.moveaxis(a, 0, 1).reshape(L, nch * chunk)[:, :nqp]
+            out.append(a.reshape((L,) + xq_in.shape))
         return tuple(out)
+    xq = xq_in
     ss = jnp.sum(xq[..., None] > x, axis=-1)
     k = jnp.clip(ss, 1, n - 1) - 1
     onehot = (k[..., None] == jnp.arange(n - 1)).astype(xq.dtype)
