@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -269,8 +271,32 @@ class AblationSystem:
         p_e = jnp.asarray(p)[ops.eldofs]
         jac = jax.vmap(jax.jacfwd(elem_res, argnums=(0, 1)),
                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
-        (JTT, JTp), (JpT, Jpp) = jac(T_e, p_e, gf.invJ, gf.wdetJ,
-                                     T_old_q, p_old_q, X_old, wq, *gcl_arrs)
+        args = (T_e, p_e, gf.invJ, gf.wdetJ, T_old_q, p_old_q, X_old,
+                wq, *gcl_arrs)
+        ne = T_e.shape[0]
+        chunk = int(os.environ.get("CMFEM_ELEMJAC_CHUNK", "16384"))
+        if ne <= chunk:
+            (JTT, JTp), (JpT, Jpp) = jac(*args)
+            return JTT, JTp, JpT, Jpp
+        # large meshes (refinement studies): the tangent-vmapped AD
+        # materializes per-element table one-hots with the 2*nd tangent
+        # batch dim — (2nd, ne, nq, nT) blew past HBM at refine-3
+        # (168k elements).  Chunk the element axis through a sequential
+        # lax.map so peak memory is bounded; production-sized meshes
+        # take the single vmap above unchanged.
+        nch = -(-ne // chunk)
+        pad = nch * chunk - ne
+
+        def to_chunks(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            return a.reshape((nch, chunk) + a.shape[1:])
+
+        outs = jax.lax.map(lambda ars: jac(*ars),
+                           tuple(to_chunks(a) for a in args))
+        (JTT, JTp), (JpT, Jpp) = jax.tree.map(
+            lambda a: a.reshape((nch * chunk,) + a.shape[2:])[:ne], outs)
         return JTT, JTp, JpT, Jpp
 
     # -- state advance + diagnostics --------------------------------------

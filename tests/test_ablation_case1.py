@@ -239,3 +239,34 @@ def test_strip_element_reorder_enables_lattice():
     lp = StripLatticeOps(fes.element_dofs, fes.nscalar,
                          strip_dof_lattice(fes.node_positions))
     assert (lp.nyc, lp.nxc) == (239, 11)
+
+
+def test_element_jacobians_chunked_matches_unchunked(monkeypatch):
+    """CMFEM_ELEMJAC_CHUNK splits the element axis of the AD Jacobian
+    build through lax.map (the tangent-vmapped table one-hots OOM'd at
+    refine-3 scale); blocks must match the single-vmap path."""
+    import jax.numpy as jnp
+
+    from cmfem_tpu.core import FESpace, make_cartesian_mesh_2d
+    from cmfem_tpu.ops import SpaceOps
+    from cmfem_tpu.physics.tacot import TacotMaterial
+    from cmfem_tpu.physics.ablation import AblationSystem, AblationState
+
+    REF = "/root/reference/myapps/convection_diffusion"
+    mesh = make_cartesian_mesh_2d(6, 11, sx=0.0025, sy=0.05)
+    mat = TacotMaterial.load_yaml(f"{REF}/Input/material_tacot_case1.yaml")
+    fes = FESpace(mesh, 1)
+    n = fes.nscalar
+    ops = SpaceOps(fes, quad_order=4)
+    sys_ = AblationSystem(ops, mat, top_attr=3)
+    state = AblationState.initial(sys_.ne, sys_.nq, mat)
+    T = jnp.full(n, 300.0).at[0].set(1000.0)
+    p = jnp.full(n, 101325.0)
+    To = ops.values_at_qp(jnp.full(n, 300.0))
+    po = ops.values_at_qp(p)
+    ref = sys_.element_jacobians(T, p, To, po, state.extent, 0.05)
+    monkeypatch.setenv("CMFEM_ELEMJAC_CHUNK", "7")
+    ch = sys_.element_jacobians(T, p, To, po, state.extent, 0.05)
+    for a, b in zip(ref, ch):
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d <= 1e-12 * max(float(jnp.max(jnp.abs(a))), 1.0)
