@@ -190,6 +190,12 @@ def run_study(refinements=(0, 1, 2, 3), rtol=1e-6, dt=0.0025,
                       f"wall={wall:.3f}s", file=sys.stderr)
             rec["states"][name] = st
         out["levels"].append(rec)
+        # flush after every level: a watchdog/timeout kill mid-study
+        # keeps the completed levels (single-core host, long traces)
+        with open(os.path.join(REPO,
+                               "artifacts_blocksolve_refinement.partial.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
 
     # growth factor per level for the h-robust path, worst state
     growth = {}
